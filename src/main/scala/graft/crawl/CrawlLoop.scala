@@ -1,0 +1,304 @@
+package graft.crawl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.{Extractor, RuleCompiler}
+import graft.frontier.{Politeness, SeenSet, SnapshotTable}
+import graft.model._
+
+/** One crawl session: the rebuild of `RiverWeb.crawl()`
+  * (RiverWeb.java:226-508) as a driver round-loop where each round is ONE
+  * declarative DataFrame DAG (SURVEY.md §3.1):
+  *
+  *   claim (politeness windows, W1/W2) → fetch = frontier⋈corpus (J4, S5)
+  *   → extract (P3-P9, F1-F9, A1, X4) → children (X5, U2/U3)
+  *   → canonicalize-hash-dedup (F13 + J1 bloom-prefiltered exact anti-join)
+  *   → mode-aware doc write (S8, J2/J3) + frontier/seen snapshot commits.
+  *
+  * All state crosses rounds through [[SnapshotTable]] commits, so a crawl
+  * resumes from its latest manifest (Z6) and every round's plan starts from
+  * a fresh parquet scan (no unbounded lineage).
+  *
+  * Canonical crawl order is `(depth asc, urlHash asc, url asc)` — the
+  * deterministic, shuffle-free stand-in for the reference's wall-clock
+  * queue-insertion order (SURVEY.md §7.5.1); [[Oracle]] implements the same
+  * discipline in ~100 lines of driver-side Scala for parity tests.
+  *
+  * Enqueue-time policy (shared with the oracle): robots.txt (Z2) filters
+  * BOTH seeds and children; include/exclude regexes (P1/P2) filter children
+  * only (the reference adds seeds unconditionally, RiverWeb.java:385-398,
+  * and checks robots at fetch — filtering at enqueue is equivalent because
+  * a disallowed URL is never fetched either way).
+  */
+final class CrawlSession(
+    spark: SparkSession,
+    config: CrawlConfig,
+    corpus: DataFrame,  // PageDoc shape: doc_id, host, lastModified, spans
+    robots: DataFrame,  // RobotsRules shape: host, disallow_prefixes
+    workDir: String,
+    clock: () => Timestamp = () => new Timestamp(1700000000000L),
+    // collect per-round claim order for oracle parity tests; disable for bench
+    recordOrder: Boolean = true) {
+
+  import CrawlSession._
+
+  // session-scoped working state vs shared output index (Z6: the reference
+  // keys queue/filter state by sessionId but writes docs to one target index)
+  val frontierTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/frontier", spark)
+  val seenTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/seen", spark)
+  val docsTable = new SnapshotTable(s"$workDir/docs", spark)
+
+  private val sitemapRe = RuleCompiler.anchored(config.sitemapPattern)
+
+  /** robots predicate (Z2): URL's path must not start with any disallowed
+    * prefix for its host. Pure built-ins — stays codegen'd.
+    */
+  private def robotsAllowed(urlCol: Column, prefixes: Column): Column = {
+    val path = regexp_replace(urlCol, "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    val normPath = when(path === "", "/").otherwise(path)
+    prefixes.isNull || !exists(prefixes, p => startswith(normPath, p))
+  }
+
+  private def applyRobots(df: DataFrame): DataFrame =
+    if (!config.robotsTxt) df
+    else df
+      .join(broadcast(robots), Seq("host"), "left")
+      .filter(robotsAllowed(col("url"), col("disallow_prefixes")))
+      .drop("disallow_prefixes")
+
+  /** P1/P2 include/exclude on canonical child URLs (full-match anchored,
+    * RiverWeb.java:400-422). Empty include list keeps everything.
+    */
+  private def includeExclude(df: DataFrame): DataFrame = {
+    val inc =
+      if (config.includeUrls.isEmpty) lit(true)
+      else config.includeUrls
+        .map(re => col("url").rlike(RuleCompiler.anchored(re)))
+        .reduce(_ || _)
+    val exc =
+      if (config.excludeUrls.isEmpty) lit(false)
+      else config.excludeUrls
+        .map(re => col("url").rlike(RuleCompiler.anchored(re)))
+        .reduce(_ || _)
+    df.filter(inc && !exc)
+  }
+
+  /** raw URL strings -> deduped canonical frontier candidates. */
+  private def toCandidates(raw: DataFrame, depthCol: Column,
+      parentCol: Column, applyIncludeExclude: Boolean): DataFrame = {
+    val canon = raw
+      .select(
+        UrlOps.canonicalizeCol(col("child")).as("url"),
+        depthCol.cast("int").as("depth"),
+        parentCol.as("parentUrl"))
+      .filter(trim(col("url")) =!= "") // P9
+    val filtered = if (applyIncludeExclude) includeExclude(canon) else canon
+    val keyed = filtered
+      .withColumn("urlHash", UrlOps.urlHashCol(col("url")))
+      .withColumn("host", UrlOps.hostCol(col("url")))
+    val depthOk =
+      if (config.maxDepth < 0) keyed
+      else keyed.filter(col("depth") <= config.maxDepth)
+    // in-batch dedup: one row per url. A round can claim parents at mixed
+    // depths (politeness defers hot-host rows), so the same child may arrive
+    // at different depths in one batch — keep the minimum (canonical claim
+    // order processes shallower parents first, so the oracle's
+    // first-occurrence rule is exactly min-depth).
+    applyRobots(depthOk)
+      .groupBy("url", "urlHash", "host")
+      .agg(min(col("depth")).as("depth"), min(col("parentUrl")).as("parentUrl"))
+      .select("url", "urlHash", "host", "depth", "parentUrl")
+  }
+
+  /** Seed the frontier + seen set (round 0). Idempotent: no-op on resume. */
+  def init(): Unit = {
+    if (!frontierTable.isEmpty) return
+    import spark.implicits._
+    val seedsDf = config.seeds.toDF("child")
+    val cand = toCandidates(seedsDf, lit(0), lit(null).cast("string"),
+      applyIncludeExclude = false)
+    val (_, n) = frontierTable.commitFull(cand,
+      Map("round" -> "0", "processed" -> "0", "kind" -> "seed"))
+    seenTable.commitAppend(cand.select("urlHash", "url"),
+      Map("round" -> "0"))
+    log(s"seeded frontier: $n urls")
+  }
+
+  /** One crawl round. Returns the round's result, or None if the crawl is
+    * complete (empty frontier or access budget exhausted, Z4/Z5).
+    */
+  def runRound(): Option[RoundResult] = {
+    val v = frontierTable.currentVersion
+    val round = frontierTable.metric(v, "round").map(_.toInt).getOrElse(0)
+    val processed = frontierTable.metric(v, "processed").map(_.toLong).getOrElse(0L)
+    val frontierRows = frontierTable.rowsOf(v)
+    val remaining = config.maxAccessCount - processed
+    if (frontierRows == 0 || remaining <= 0) return None
+
+    val frontier = frontierTable.read()
+    val seenCount = if (seenTable.isEmpty) 0L else seenTable.rowsOf(seenTable.currentVersion)
+    val seen = if (seenCount == 0) null else seenTable.read()
+
+    // --- claim (W1/W2/A2) --------------------------------------------------
+    val claimed = Politeness
+      .claim(frontier, config.hostBudgetPerRound, remaining)
+      .persist()
+    val claimedCount = claimed.count()
+    if (claimedCount == 0) { claimed.unpersist(); return None }
+
+    // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
+    // The claim batch is orders of magnitude smaller than the corpus
+    // (≤ hosts·budget rows), so it broadcasts as the build side; the corpus
+    // scan prunes to the joined columns only.
+    val fetched = corpus
+      .join(broadcast(claimed), corpus("doc_id") === claimed("url"), "inner")
+      .select(
+        claimed("url"), claimed("parentUrl"), claimed("depth"),
+        claimed("urlHash"), claimed("host").as("claimHost"),
+        lit("GET").as("method"),
+        lit("text/html").as("mimeType"),
+        lit("UTF-8").as("charSet"),
+        lit(200).as("httpStatusCode"),
+        aggregate(
+          transform(corpus("spans"), s => coalesce(length(s.getField("text")), lit(0))),
+          lit(0L), (acc, x) => acc + x).as("contentLength"),
+        pmod(claimed("urlHash"), lit(500)).as("executionTime"),
+        corpus("lastModified").as("lastModified"),
+        corpus("spans").as("spans"))
+      .persist()
+
+    val isSitemap = col("url").rlike(sitemapRe)
+
+    // --- extract + store docs (P3-F9, X4, S8, J2/J3) ------------------------
+    val docs = Extractor.extract(fetched.filter(!isSitemap), config)
+      .drop("children")
+      .withColumn("@timestamp", lit(clock()))
+    val docsWritten = writeDocs(docs)
+
+    // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
+    val scrapedChildren = Extractor
+      .childLinks(fetched.filter(!isSitemap), config)
+      .select(col("child"), col("depth"), col("parentUrl"))
+    val sitemapChildren = fetched.filter(isSitemap)
+      .select(explode(Extractor.spanRefs(col("spans"), "sitemap-loc")).as("child"),
+        col("depth"), col("url").as("parentUrl"))
+    val cand = toCandidates(
+      scrapedChildren.unionByName(sitemapChildren),
+      col("depth") + 1, col("parentUrl"), applyIncludeExclude = true)
+
+    val newEntries =
+      (if (seen == null) cand else SeenSet.filterNew(cand, seen, seenCount))
+        .persist()
+
+    // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
+    val unclaimed = frontier.join(
+      claimed.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+    val nextFrontier = unclaimed.unionByName(
+      newEntries.select(unclaimed.columns.map(col): _*))
+
+    val newProcessed = processed + claimedCount
+    val (_, frontierLeft) = frontierTable.commitFull(nextFrontier, Map(
+      "round" -> (round + 1).toString,
+      "processed" -> newProcessed.toString,
+      "claimed" -> claimedCount.toString,
+      "docsWritten" -> docsWritten.toString))
+    val (_, seenTotal) = seenTable.commitAppend(
+      newEntries.select("urlHash", "url"), Map("round" -> (round + 1).toString))
+    val newUrls = newEntries.count()
+
+    // round claim order for parity tests (small: ≤ claim batch)
+    val order =
+      if (!recordOrder) Array.empty[(String, Int)]
+      else claimed
+        .orderBy(col("depth"), col("urlHash"), col("url"))
+        .select("url", "depth").collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+
+    claimed.unpersist(); fetched.unpersist(); newEntries.unpersist()
+    log(s"round ${round + 1}: claimed=$claimedCount docs=$docsWritten " +
+      s"new=$newUrls frontier=$frontierLeft seen=$seenTotal processed=$newProcessed")
+    Some(RoundResult(round + 1, claimedCount, docsWritten, newUrls,
+      frontierLeft, seenTotal, newProcessed, order.toSeq))
+  }
+
+  /** Mode-aware document write (RiverWebTest semantics, SURVEY.md §2.1 S8 +
+    * §2.3 J2/J3).
+    */
+  private def writeDocs(docs: DataFrame): Long = {
+    val hasExisting = !docsTable.isEmpty && docsTable.rowsOf(docsTable.currentVersion) > 0
+    config.mode match {
+      case WriteMode.Default =>
+        val (_, _) = docsTable.commitAppend(docs)
+        docsTable.metric(docsTable.currentVersion, "segmentRows").map(_.toLong).getOrElse(0L)
+      case WriteMode.Overwrite =>
+        // J3: delete-by-url then insert = copy-on-write MERGE
+        if (!hasExisting) { docsTable.commitFull(docs); docs.count() }
+        else {
+          val existing = docsTable.read()
+          val kept = existing.join(docs.select("url").distinct(), Seq("url"), "left_anti")
+          val merged = kept.unionByName(docs.select(kept.columns.map(col): _*))
+          docsTable.commitFull(merged)
+          docs.count()
+        }
+      case WriteMode.Incremental =>
+        // J2: skip docs whose lastModified is not newer than what's indexed
+        val fresh =
+          if (!hasExisting) docs
+          else {
+            val indexed = docsTable.read()
+              .groupBy(col("url").as("i_url"))
+              .agg(max("lastModified").as("i_lastModified"))
+            docs.join(indexed, docs("url") === col("i_url"), "left")
+              .filter(col("i_lastModified").isNull ||
+                col("lastModified") > col("i_lastModified"))
+              .drop("i_url", "i_lastModified")
+          }
+        docsTable.commitAppend(fresh)
+        docsTable.metric(docsTable.currentVersion, "segmentRows").map(_.toLong).getOrElse(0L)
+    }
+  }
+
+  /** Run to completion (budget hit or frontier drained). */
+  def run(maxRounds: Int = 1000): CrawlResult = {
+    init()
+    val rounds = Seq.newBuilder[RoundResult]
+    var r = runRound()
+    var i = 0
+    while (r.isDefined && i < maxRounds) {
+      rounds += r.get
+      i += 1
+      r = if (i < maxRounds) runRound() else None
+    }
+    val rs = rounds.result()
+    CrawlResult(rs, rs.map(_.claimed).sum)
+  }
+
+  def cleanup(): Unit = { // S9
+    frontierTable.drop(); seenTable.drop(); docsTable.drop()
+  }
+
+  private def log(msg: String): Unit =
+    if (sys.env.get("GRAFT_QUIET").isEmpty) println(s"[crawl ${config.sessionId}] $msg")
+}
+
+object CrawlSession {
+  final case class RoundResult(
+      round: Int,
+      claimed: Long,
+      docsWritten: Long,
+      newUrls: Long,
+      frontierLeft: Long,
+      seenTotal: Long,
+      processed: Long,
+      claimOrder: Seq[(String, Int)])
+
+  final case class CrawlResult(rounds: Seq[RoundResult], totalClaimed: Long) {
+    /** flattened canonical crawl order: rounds in sequence, canonical order
+      * within a round.
+      */
+    def crawlOrder: Seq[(String, Int)] = rounds.flatMap(_.claimOrder)
+  }
+}

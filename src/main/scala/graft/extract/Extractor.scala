@@ -1,0 +1,243 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Rule matching (P3/P4): first ScrapingRule whose anchored regexes
+  * full-match the response fields wins (ScrapingRule.java:45-64,
+  * RiverConfig.java:61-68). Java `Matcher.matches()` is whole-string, so
+  * patterns are anchored `^(?:…)$`; a null field never matches (reference:
+  * `ScrapingRule.java:52-55`). First-match = `when`-chain order (CaseWhen
+  * short-circuits — the built-in analog of the reference's precompiled
+  * rule-list scan).
+  */
+object RuleCompiler {
+  def anchored(re: String): String = "^(?:" + re + ")$"
+
+  /** The int `ruleId` value (null = no rule matched). */
+  def ruleId(rules: Seq[ScrapingRule], url: Column, mimeType: Column): Column =
+    rules.zipWithIndex.foldRight(lit(null).cast("int")) { case ((r, i), acc) =>
+      when(
+        url.rlike(anchored(r.urlPattern)) && mimeType.rlike(anchored(r.mimeTypePattern)),
+        lit(i)
+      ).otherwise(acc)
+    }
+}
+
+/** Config → Column extraction pipeline: the whole per-page transform hot
+  * path of the reference (ScrapingTransformer.java:195-326,549-604) compiled
+  * ONCE per session into declarative Catalyst expressions — no per-row
+  * interpretation, no UDFs; everything stays inside whole-stage codegen.
+  *
+  * Input: a DataFrame with FetchResult columns (`spans` =
+  * array<struct<kind,text,media_ref,offset>>). Output: metadata projection
+  * (P6) + per-config property columns (nested structs for dotted names, F9)
+  * + zip-explode rows for `[]`-groups (X4) + a `children` array (X5).
+  */
+object Extractor {
+
+  private val MetaCols = Seq("url", "parentUrl", "method", "mimeType", "charSet",
+    "httpStatusCode", "contentLength", "executionTime", "lastModified")
+
+  /** ordered texts of spans of `kind` — the CSS-select analog (F3/F4).
+    * Spans are stored in document order (offset dense asc), so `filter`
+    * preserves the reference's jsoup DOM order (ScrapingTransformer.java:408-423).
+    */
+  def spanTexts(spans: Column, kind: String): Column =
+    transform(filter(spans, s => s.getField("kind") === lit(kind)),
+      s => s.getField("text"))
+
+  /** ordered media refs of spans of `kind` — attr(src/href)/absUrl analog (F5). */
+  def spanRefs(spans: Column, kind: String): Column =
+    transform(filter(spans, s => s.getField("kind") === lit(kind)),
+      s => s.getField("media_ref"))
+
+  /** :eq/:lt/:gt positional selection over an ordered array (T4;
+    * ScrapingTransformer.java:467-499). `slice` is out-of-bounds-safe, so
+    * `:eq(n)` beyond the end yields [] like jsoup's empty Elements.
+    */
+  def positional(arr: Column, p: Positional): Column = p match {
+    case Positional.Eq(n) => slice(arr, n + 1, 1)
+    case Positional.Lt(n) => slice(arr, 1, n)
+    case Positional.Gt(n) => slice(arr, lit(n + 2), greatest(size(arr) - (n + 1), lit(0)))
+  }
+
+  /** trim_spaces: collapse whitespace + trim, then drop blanks (F1/A1;
+    * ScrapingTransformer.java:523-531,267-273).
+    */
+  def trimSpacesArr(arr: Column): Column =
+    filter(
+      transform(arr, x => trim(regexp_replace(x, "\\s+", " "))),
+      x => x.isNotNull && x =!= lit(""))
+
+  /** Whitelisted per-element value rewrite (X1 replacement for JSR-223
+    * scripts; evaluated once per element like the reference's index loop,
+    * ScrapingTransformer.java:288-294).
+    */
+  def applyTransform(x: Column, t: NamedTransform): Column = t match {
+    case NamedTransform.RegexExtract(p, g)  => regexp_extract(x, p, g)
+    case NamedTransform.RegexReplace(p, r)  => regexp_replace(x, p, r)
+    case NamedTransform.Prepend(p)          => concat(lit(p), x)
+    case NamedTransform.Append(s)           => concat(x, lit(s))
+    case NamedTransform.Lower               => lower(x)
+    case NamedTransform.Upper               => upper(x)
+    case NamedTransform.ContainsFlag(n)     => when(x.contains(n), "true").otherwise("false")
+  }
+
+  /** Whole raw page text (F8, `source` property type). */
+  def sourceText(spans: Column): Column =
+    array_join(
+      filter(transform(spans, s => s.getField("text")), x => x.isNotNull), " ")
+
+  /** The array value of one property rule, before array/scalar shaping. */
+  private def rawArray(spans: Column, pr: PropertyRule): Column = {
+    val base = pr.extraction match {
+      case Extraction.SpanText(kind, pos) =>
+        pos.foldLeft(spanTexts(spans, kind))((a, p) => positional(a, p))
+      case Extraction.SpanRef(kind, pos) =>
+        pos.foldLeft(spanRefs(spans, kind))((a, p) => positional(a, p))
+      case Extraction.Value(vs) => array(vs.map(lit): _*)
+      case Extraction.Source => array(sourceText(spans))
+      case Extraction.Base64Data(maxSize) =>
+        // attachment: base64 of the page text bytes, size-gated (P7/F6)
+        val src = sourceText(spans)
+        array(when(length(src) <= maxSize, base64(src.cast("binary"))))
+    }
+    val trimmed = if (pr.trimSpaces) trimSpacesArr(base) else base
+    val distinct = if (pr.isDistinct) array_distinct(trimmed) else trimmed
+    pr.transform.fold(distinct)(t => transform(distinct, x => applyTransform(x, t)))
+  }
+
+  /** Final column value of a property: array as-is, or space-joined with the
+    * reference's `String.join` null→"null" rendering (F2 quirk,
+    * ScrapingTransformer.java:275).
+    */
+  private def shaped(spans: Column, pr: PropertyRule): Column =
+    if (pr.isArray) rawArray(spans, pr)
+    else array_join(rawArray(spans, pr), " ", "null")
+
+  private def stripGroup(name: String): String = name.stripPrefix("[]")
+
+  /** X5 children of a rule-matched page: explicit is_child properties
+    * REPLACE default anchor extraction (U3, ScrapingTransformer.java:640-654);
+    * default = all `a` hrefs. Requires `spans`, `url`, `ruleId` columns.
+    */
+  def childArray(config: CrawlConfig): Column = {
+    val spans = col("spans")
+    val defaultChildren = spanRefs(spans, "a")
+    val branches = config.rules.zipWithIndex.map { case (r, i) =>
+      val childProps = r.properties.filter(_.isChild)
+      val v = if (childProps.isEmpty) defaultChildren
+              else concat(childProps.map(pr => rawArray(spans, pr)): _*)
+      (col("ruleId") === i) -> v
+    }
+    val chained = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+      case (acc, (c, v)) => acc.when(c, v)
+    }
+    // U2: per-page HashSet dedup + blank (P9) + self/dup-variant removal
+    filter(array_distinct(chained),
+      u => u.isNotNull && trim(u) =!= lit("") &&
+        u =!= col("url") && u =!= concat(col("url"), lit("/")))
+  }
+
+  /** (parentUrl, depth, child) rows for frontier candidate generation —
+    * computed BEFORE zip-explosion so multi-row documents don't duplicate
+    * their outgoing links. Requires FetchResult columns plus `depth`.
+    */
+  def childLinks(fetched: DataFrame, config: CrawlConfig): DataFrame = {
+    val rid = RuleCompiler.ruleId(config.rules, col("url"), col("mimeType"))
+    fetched
+      .withColumn("ruleId", rid)
+      .filter(col("ruleId").isNotNull && col("httpStatusCode") === 200)
+      .select(col("url").as("parentUrl"), col("depth"),
+        explode(childArray(config)).as("child"))
+  }
+
+  /** Compile the full extraction for `config` over a fetched DataFrame.
+    *
+    * @param fetched FetchResult-shaped DataFrame (must include MetaCols + spans)
+    * @return DataFrame with metadata + property columns (+ `position` when a
+    *         `[]` zip-explode group exists) + `children` array column.
+    */
+  def extract(fetched: DataFrame, config: CrawlConfig): DataFrame = {
+    val spans = col("spans")
+    val rid = RuleCompiler.ruleId(config.rules, col("url"), col("mimeType"))
+    // P4 no-rule skip + P5 status gate
+    val matched = fetched
+      .withColumn("ruleId", rid)
+      .filter(col("ruleId").isNotNull && col("httpStatusCode") === 200)
+
+    // union of output property names across rules (non-child), first-rule
+    // branch wins per row via the ruleId when-chain
+    val propNames: Seq[String] = config.rules
+      .flatMap(_.properties.filterNot(_.isChild).map(_.name)).distinct
+
+    def propCol(name: String): Column = {
+      val branches = config.rules.zipWithIndex.flatMap { case (r, i) =>
+        r.properties.find(p => p.name == name && !p.isChild)
+          .map(pr => (col("ruleId") === i) -> shaped(spans, pr))
+      }
+      branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+    }
+
+    val flat = propNames.foldLeft(matched) { (df, name) =>
+      df.withColumn(colAlias(name), propCol(name))
+    }.withColumn("children", childArray(config))
+
+    // X4 zip-explode over the `[]` group
+    val groupNames = propNames.filter(_.startsWith("[]"))
+    val exploded =
+      if (groupNames.isEmpty) flat
+      else {
+        val listMembers = groupNames.filter { n =>
+          config.rules.exists(_.properties.exists(p => p.name == n && p.isArray))
+        }
+        val scalarMembers = groupNames.filterNot(listMembers.contains)
+        val maxLen =
+          if (listMembers.isEmpty) lit(1)
+          else greatest(
+            (listMembers.map(n => coalesce(size(col(colAlias(n))), lit(0)).cast("int")) :+
+              lit(1)): _*)
+        val withPos = flat
+          .withColumn("position", explode(sequence(lit(0), maxLen - 1)))
+        val reshaped = listMembers.foldLeft(withPos) { (df, n) =>
+          df.withColumn(colAlias(n), get(col(colAlias(n)), col("position")))
+        }
+        scalarMembers.foldLeft(reshaped) { (df, n) =>
+          // non-list group members appear only on the first exploded row
+          // (ScrapingTransformer.java:589-595)
+          df.withColumn(colAlias(n),
+            when(col("position") === 0, col(colAlias(n))))
+        }
+      }
+
+    // final projection: metadata (P6) + nested structs for dotted names (F9)
+    val outProps = nestDotted(propNames.map(n => stripGroup(n) -> col(colAlias(n))))
+    val posCols = if (groupNames.isEmpty) Seq.empty else Seq(col("position"))
+    exploded.select(
+      (MetaCols.map(col) ++ outProps ++ posCols :+ col("children")): _*)
+  }
+
+  /** internal flat column name for a property ([] and dots escaped). */
+  private def colAlias(name: String): String =
+    "__p_" + name.stripPrefix("[]").replace('.', '$')
+
+  /** Dotted property names → nested struct columns (F9,
+    * ScrapingTransformer.java:533-547). e.g. `nav.sideMenus` and `nav.title`
+    * become one `nav` struct with fields `sideMenus`, `title`.
+    */
+  private[extract] def nestDotted(props: Seq[(String, Column)]): Seq[Column] = {
+    val (plain, dotted) = props.partition(!_._1.contains('.'))
+    val grouped = dotted.groupBy(_._1.takeWhile(_ != '.'))
+    val plainCols = plain.map { case (n, c) => c.as(n) }
+    val structCols = grouped.toSeq.sortBy(_._1).map { case (top, members) =>
+      val inner = members.map { case (n, c) => (n.drop(top.length + 1), c) }
+      struct(nestDotted(inner): _*).as(top)
+    }
+    plainCols ++ structCols
+  }
+}

@@ -1,0 +1,130 @@
+package graft.frontier
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned table shim (S3/Z6) — stands in for Iceberg (no Iceberg
+  * runtime jar ships offline; SURVEY.md §7.1). Semantics mirrored:
+  *   - data lives in immutable `segments/<k>/` parquet dirs; a snapshot is a
+  *     `meta.json` listing its live segments plus lineage + metrics
+  *     (north_rule: per-partition lineage = the parquet file list, one file
+  *     per writing partition);
+  *   - a commit writes a new segment then atomically renames a manifest
+  *     pointing at the new snapshot — the rename IS the commit, so readers
+  *     always see a complete table (the reference's delete-on-claim
+  *     exactly-once discipline, RiverWeb.java:183-195, becomes
+  *     snapshot-transition atomicity);
+  *   - `commitFull` = copy-on-write replace (frontier round transition),
+  *     `commitAppend` = delta segment (seen-set growth, doc appends) —
+  *     merge-on-read via multi-dir parquet scan;
+  *   - resume = read the current manifest (session isolation + resume,
+  *     RiverWeb.java:80-84,238-240); crawl state (round, processed) rides in
+  *     the metrics map.
+  * The interface is deliberately Iceberg-shaped so a real catalog slots in
+  * unchanged on a cluster (atomic rename → Iceberg commit).
+  */
+final class SnapshotTable(val root: String, spark: SparkSession) {
+
+  private def manifestPath: Path = Paths.get(root, "manifest.json")
+  Files.createDirectories(Paths.get(root, "segments"))
+  Files.createDirectories(Paths.get(root, "snapshots"))
+
+  /** current snapshot version, or -1 if never committed. */
+  def currentVersion: Long =
+    if (!Files.exists(manifestPath)) -1L
+    else readLong(Files.readString(manifestPath), "current").getOrElse(-1L)
+
+  private def readLong(json: String, key: String): Option[Long] =
+    ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+
+  private def metaPath(v: Long): Path =
+    Paths.get(root, "snapshots", v.toString, "meta.json")
+
+  /** live segment dirs of snapshot v. */
+  def segmentsOf(v: Long): Seq[String] = {
+    val json = Files.readString(metaPath(v))
+    "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json) match {
+      case Some(m) =>
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+      case None => Seq.empty
+    }
+  }
+
+  /** a metric recorded at commit time of snapshot v. */
+  def metric(v: Long, key: String): Option[String] = {
+    if (v < 0 || !Files.exists(metaPath(v))) return None
+    val json = Files.readString(metaPath(v))
+    ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+  }
+
+  def rowsOf(v: Long): Long =
+    metric(v, "rows").map(_.toLong).getOrElse(0L)
+
+  def isEmpty: Boolean = currentVersion < 0
+
+  /** Read the current snapshot (caller guards `isEmpty`). */
+  def read(): DataFrame = readVersion(currentVersion)
+
+  def readVersion(v: Long): DataFrame = {
+    val segs = segmentsOf(v)
+    spark.read.parquet(segs.map(s => s"$root/segments/$s"): _*)
+  }
+
+  def commitFull(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) =
+    commit(df, metrics, appendTo = Seq.empty)
+
+  def commitAppend(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) = {
+    val prev = if (isEmpty) Seq.empty else segmentsOf(currentVersion)
+    commit(df, metrics, appendTo = prev)
+  }
+
+  private def commit(df: DataFrame, metrics: Map[String, String],
+      appendTo: Seq[String]): (Long, Long) = {
+    val v = currentVersion + 1
+    val seg = v.toString
+    val segDir = s"$root/segments/$seg"
+    df.write.mode("overwrite").parquet(segDir)
+    // segment row count from parquet footers only — no data scan
+    val segRows = spark.read.parquet(segDir).count()
+    val prevRows = if (appendTo.isEmpty || isEmpty) 0L else rowsOf(currentVersion)
+    val rows = if (appendTo.isEmpty) segRows else prevRows + segRows
+    val files = Files.list(Paths.get(segDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val segs = appendTo :+ seg
+    val metricsJson = (metrics ++ Map(
+      "parentVersion" -> currentVersion.toString,
+      "rows" -> rows.toString,
+      "segmentRows" -> segRows.toString))
+      .toSeq.sortBy(_._1)
+      .map { case (k, q) => s""""$k": "${q.replace("\"", "'")}"""" }
+      .mkString(",\n  ")
+    val segsJson = segs.map(s => s""""$s"""").mkString("[", ",", "]")
+    val filesJson = files.map(f => s""""$f"""").mkString("[", ",", "]")
+    Files.createDirectories(metaPath(v).getParent)
+    Files.writeString(metaPath(v),
+      s"""{\n  "version": $v,\n  $metricsJson,\n  "segments": $segsJson,\n  "newFiles": $filesJson\n}\n""")
+    val tmp = Paths.get(root, s".manifest.$v.tmp")
+    Files.writeString(tmp, s"""{"current": $v}""")
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    (v, rows)
+  }
+
+  /** Drop the whole table (S9 cleanup sink, RiverWeb.java:482-508). */
+  def drop(): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(root))
+  }
+}
+
+object SnapshotTable {
+  def apply(root: String)(implicit spark: SparkSession): SnapshotTable =
+    new SnapshotTable(root, spark)
+}

@@ -1,0 +1,57 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Politeness claim (W2/Z1) — the reference's time-based per-thread pacing
+  * (WebRiverIntervalController.java:5-13, RiverWeb.java:437-439) translated
+  * into the testable per-round invariant: at most `hostBudget` fetches per
+  * host per round, claimed in the canonical crawl order
+  * `(depth asc, urlHash asc, url asc)` (BFS within-depth, W1), then globally
+  * capped by the remaining `max_access_count` budget (A2/Z4).
+  *
+  * Skew: hosts are zipf-distributed (BASELINE.md), so a naive
+  * `Window.partitionBy(host)` funnels the hottest host's 10^8 frontier rows
+  * through one partition. We rank in two phases:
+  *   1. per (host, salt) top-`hostBudget`, salt = pmod(urlHash, saltBuckets)
+  *      — bounded partitions regardless of skew;
+  *   2. exact per-host top-`hostBudget` over the ≤ saltBuckets·budget
+  *      survivors — tiny by construction.
+  * The true per-host top-k is always contained in the union of per-salt
+  * top-ks, so phase 2 is exact.
+  */
+object Politeness {
+
+  val OrderCols = Seq("depth", "urlHash", "url")
+
+  /** Claim up to `hostBudget` rows per host and `remaining` rows overall. */
+  def claim(
+      frontier: DataFrame,
+      hostBudget: Int,
+      remaining: Long,
+      saltBuckets: Int = 16): DataFrame = {
+
+    val order = Seq(col("depth").asc, col("urlHash").asc, col("url").asc)
+
+    val phase1 = Window
+      .partitionBy(col("host"), pmod(col("urlHash"), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col("host")).orderBy(order: _*)
+
+    val perHost = frontier
+      .withColumn("__r1", row_number().over(phase1))
+      .filter(col("__r1") <= hostBudget)
+      .drop("__r1")
+      .withColumn("__r2", row_number().over(phase2))
+      .filter(col("__r2") <= hostBudget)
+      .drop("__r2")
+
+    // global budget cap in canonical order — planned as
+    // TakeOrderedAndProject (no full global sort materialization)
+    if (remaining == Long.MaxValue) perHost
+    else if (remaining <= Int.MaxValue.toLong)
+      perHost.orderBy(order: _*).limit(remaining.toInt)
+    else perHost
+  }
+}

@@ -1,0 +1,147 @@
+package graft.model
+
+/** Core data model for the Spark-native crawl engine.
+  *
+  * Shapes derive from the reference's dynamic record model
+  * (ScrapingTransformer.java:214,533-547 — LinkedHashMap documents;
+  * RiverWeb.java:392-398 — ES-backed frontier) re-expressed as typed
+  * Spark Datasets per BASELINE.json input_hint:
+  * documents(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>).
+  */
+
+/** One extraction unit of a parsed page — the columnar analog of a jsoup
+  * DOM node (reference: Element.text()/attr() extraction,
+  * ScrapingTransformer.java:395-427). `offset` is dense document order.
+  */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** One fetched+parsed page. doc_id is the canonical URL. */
+final case class PageDoc(doc_id: String, host: String, lastModified: Long, spans: Seq[Span])
+
+/** Frontier entry — the rebuild of fess-crawler's ES UrlQueue record
+  * (RiverWeb.java:392-398,484). Canonical crawl order is
+  * (depth asc, urlHash asc, url asc): deterministic, shuffle-free to
+  * compute, and shared with the in-memory Oracle (SURVEY.md §7.5.1).
+  */
+final case class FrontierEntry(
+    url: String,
+    urlHash: Long,
+    host: String,
+    depth: Int,
+    parentUrl: String)
+
+/** Synthetic fetch result — ResponseData bean analog
+  * (ScrapingTransformer.java:91-92, RwCrawlerThread.java:40).
+  */
+final case class FetchResult(
+    url: String,
+    parentUrl: String,
+    method: String,
+    mimeType: String,
+    charSet: String,
+    httpStatusCode: Int,
+    contentLength: Long,
+    executionTime: Long,
+    lastModified: Long,
+    spans: Seq[Span])
+
+/** robots.txt rules per host (Z2; RiverWeb.java:297-299). */
+final case class RobotsRules(host: String, disallow_prefixes: Seq[String])
+
+// ---------------------------------------------------------------------------
+// Crawl config — the "river" JSON (README.md:90-141) as an ADT.
+// ---------------------------------------------------------------------------
+
+/** How a property value is produced (ScrapingTransformer.java:222-263). */
+sealed trait Extraction
+object Extraction {
+  /** CSS-query analog: select spans of `kind`, optionally positional
+    * (`:eq/:lt/:gt`, ScrapingTransformer.java:467-499), take text.
+    */
+  final case class SpanText(kind: String, positional: Option[Positional] = None) extends Extraction
+  /** attr()/absUrl analog: the media_ref field of matching spans
+    * (ScrapingTransformer.java:412-418,429-440).
+    */
+  final case class SpanRef(kind: String, positional: Option[Positional] = None) extends Extraction
+  /** Literal value property (ScrapingTransformer.java:232-243). */
+  final case class Value(values: Seq[String]) extends Extraction
+  /** Whole raw page text (ScrapingTransformer.java:255-260). */
+  case object Source extends Extraction
+  /** base64 attachment data, size-gated (ScrapingTransformer.java:244-254). */
+  final case class Base64Data(maxFileSize: Long = 1000000L) extends Extraction
+}
+
+/** :eq(n) / :lt(n) / :gt(n) positional pseudo-selectors
+  * (ScrapingTransformer.java:480-491). 0-based n, like jsoup.
+  */
+sealed trait Positional
+object Positional {
+  final case class Eq(n: Int) extends Positional
+  final case class Lt(n: Int) extends Positional
+  final case class Gt(n: Int) extends Positional
+}
+
+/** Whitelisted pure value-rewrite transforms replacing the reference's
+  * arbitrary JSR-223 scripts (X1, ScrapingTransformer.java:266-299).
+  * Each is a named, deterministic String => String.
+  */
+sealed trait NamedTransform
+object NamedTransform {
+  final case class RegexExtract(pattern: String, group: Int) extends NamedTransform
+  final case class RegexReplace(pattern: String, replacement: String) extends NamedTransform
+  final case class Prepend(prefix: String) extends NamedTransform
+  final case class Append(suffix: String) extends NamedTransform
+  case object Lower extends NamedTransform
+  case object Upper extends NamedTransform
+  /** contains→flag rewrite: value becomes "true"/"false". */
+  final case class ContainsFlag(needle: String) extends NamedTransform
+}
+
+/** One property rule (README.md:396-472; ScrapingTransformer.java:222-322).
+  * Name may be dotted (`nav.sideMenus` → nested struct, F9) and/or
+  * `[]`-prefixed (zip-explode group member, X4).
+  */
+final case class PropertyRule(
+    name: String,
+    extraction: Extraction,
+    isArray: Boolean = false,
+    isDistinct: Boolean = false,
+    isChild: Boolean = false,
+    trimSpaces: Boolean = false,
+    transform: Option[NamedTransform] = None)
+
+/** One scraping rule: full-match regex patterns over FetchResult fields
+  * (ScrapingRule.java:45-64) + ordered property rules.
+  */
+final case class ScrapingRule(
+    urlPattern: String,
+    mimeTypePattern: String = ".*",
+    properties: Seq[PropertyRule] = Seq.empty)
+
+/** Output-table write discipline (RiverWebTest.java:110-273). */
+sealed trait WriteMode
+object WriteMode {
+  /** duplicates accumulate (test_default). */
+  case object Default extends WriteMode
+  /** delete-then-insert by url (test_overwrite, ScrapingTransformer.java:554-565). */
+  case object Overwrite extends WriteMode
+  /** skip re-index when lastModified not newer (test_incremental, RwCrawlerThread.java:24-49). */
+  case object Incremental extends WriteMode
+}
+
+/** The crawl config ("river", RiverWeb.java:226-465). */
+final case class CrawlConfig(
+    sessionId: String,
+    seeds: Seq[String],
+    includeUrls: Seq[String] = Seq.empty, // P1: keep iff full-matches >=1 (empty = keep all)
+    excludeUrls: Seq[String] = Seq.empty, // P2: drop if full-matches any
+    maxDepth: Int = -1,                   // Z3: -1 = unlimited (RiverWeb.java:427)
+    maxAccessCount: Long = 100L,          // Z4 (RiverWeb.java:431)
+    hostBudgetPerRound: Int = 5,          // Z1→W2: politeness interval as per-host round budget
+    robotsTxt: Boolean = true,            // Z2
+    mode: WriteMode = WriteMode.Default,
+    // S6: pages whose url full-matches this are treated as sitemaps —
+    // their sitemap-loc refs are enqueued, no document is stored
+    // (SitemapsRule, crawler/rule+.xml:18-30)
+    sitemapPattern: String = ".*sitemap.*",
+    rules: Seq[ScrapingRule] = Seq.empty)

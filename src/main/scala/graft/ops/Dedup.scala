@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine — over a documents table
+  * (`doc_id, text, …`) and an embeddings table (`vec_id, embedding`).
+  *
+  * Scale design: every variant is one shuffle on a bounded key
+  * (fingerprint / band signature / shingle / bucket) followed by bounded
+  * per-group work; no cross-product materializes unless two documents share
+  * a key. Candidate verification re-ranks exactly, so LSH fpp only costs
+  * compute, never correctness.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup by normalized-content fingerprint (hash-groupBy): one
+    * representative (min doc_id) per distinct content + duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // --- shingles ------------------------------------------------------------
+
+  /** k-token shingles (ordered), as strings. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*))
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** portable numeric shingle hashes in [0, P). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => pmod(TextOps.portableHash(s), lit(MinhashP)))
+
+  // --- MinHash + LSH ---------------------------------------------------------
+
+  val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** deterministic (a, b) coefficients for hash family j. */
+  def minhashCoef(j: Int): (Long, Long) = {
+    val a = math.abs(graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 1)) % (MinhashP - 1) + 1
+    val b = math.abs(graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 2)) % MinhashP
+    (a, b)
+  }
+
+  /** MinHash signature: array of `numHashes` values, h_j = min over shingle
+    * hashes s of (a_j·s + b_j) mod P. Computed per row over the shingle
+    * array — no explode, no shuffle; one pass per document.
+    */
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16): Column = {
+    val hashes = shingleHashes(text, k)
+    val sigs = (0 until numHashes).map { j =>
+      val (a, b) = minhashCoef(j)
+      aggregate(hashes, lit(MinhashP),
+        (acc, s) => least(acc, pmod(s * a + b, lit(MinhashP))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash LSH near-dup candidate pairs: band the signature, bucket-join
+    * on (band index, band signature), verify with exact signature
+    * similarity. `bands · rowsPerBand == numHashes`.
+    *
+    * Shuffle profile: explode to bands (rows × bands), one hash shuffle on
+    * the band key, self-join only within buckets.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minSignatureSim: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigd = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandSig")
+    val l = banded.select(col("band"), col("bandSig"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bandSig"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bandSig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("sig_sim"))
+      .distinct()
+      .filter(col("sig_sim") >= minSignatureSim)
+  }
+
+  // --- SimHash ---------------------------------------------------------------
+
+  /** SimHash over token hashes: bit b of the result is 1 iff the sum over
+    * tokens of (2·bit_b(h(tok)) − 1) is positive. Per-row computation, no
+    * shuffle; `bits ≤ 16` keeps the portable hash's entropy honest.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val hashes = transform(TextOps.tokens(text), t => TextOps.portableHash(t))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`: block on rotated bit-halves
+    * (two blocks ⇒ any pair within Hamming ≤ bits/2−1 of block width shares
+    * one), verify exactly. For small corpora where blocks collide heavily
+    * this degrades toward all-pairs within identical halves — bounded by
+    * construction.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sh"))
+    val lowMask = (1L << (bits / 2)) - 1
+    val blocked = sigd.select(col("id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("blk"), (col("sh").bitwiseAND(lowMask)).as("key")),
+        struct(lit(1).as("blk"), shiftright(col("sh"), bits / 2).as("key")))).as("b"))
+      .select(col("id"), col("sh"), col("b.blk"), col("b.key"))
+    val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- n-gram Jaccard ----------------------------------------------------------
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    * explode distinct shingles → self-join on shingle → |∩| per pair →
+    * J = |∩| / (|A| + |B| − |∩|). One shuffle on the shingle key; hot
+    * shingles are the skew risk (cap via `maxShingleFreq` like a stopword
+    * cut — standard in web-dedup pipelines).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.2,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= maxShingleFreq && col("freq") >= 2),
+      Seq("shingle"), "left_semi")
+    val pairs = filtered.select(col("shingle"), col("id").as("id_a"))
+      .join(filtered.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --- embedding near-dup --------------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, exact within
+    * an id subset (brute force is quadratic — gate the subset; the scale
+    * path is [[Similarity.lshBuckets]] + verify).
+    */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withNorm = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val l = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val r = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

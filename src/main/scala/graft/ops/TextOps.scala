@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a documents
+  * table (`doc_id, text, lang, source, n_chars`). All pure built-ins —
+  * codegen'd end to end, no UDFs — so each is independently expressible in
+  * ANSI SQL for the DuckDB oracle (SparkEntry.oracleSql).
+  */
+object TextOps {
+
+  /** whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+    * the usual GPT-2-style regex shape, counted not materialized.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Portable token hash: identical arithmetic is expressible in DuckDB SQL
+    * (ascii/substr/length only), so minhash/simhash pipelines built on it
+    * can be oracle-checked end to end. Weak on purpose — portability over
+    * dispersion; swap for xxhash64 when no oracle is needed.
+    */
+  def portableHash(tok: Column): Column = {
+    val padded = concat(tok, lit("xx"))
+    (ascii(substring(padded, 1, 1)) * 961 +
+      ascii(substring(padded, 2, 1)) * 31 +
+      ascii(substring(padded, 3, 1)) +
+      length(tok) * 7919).cast("long")
+  }
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic. Fixed and public — the oracle SQL embeds the same lists.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "de", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "y", "es", "un", "una", "de", "en", "por", "para"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "bu"))
+
+  /** language-ID: argmax of lexicon-hit counts over whitespace tokens;
+    * deterministic tie-break = lexicon order ("und" ties included). Counts
+    * token *occurrences* (not distinct) so repeated stopwords vote.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(lex: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(lex)))
+    val scored = Lexicons.map { case (lang, lex) => (lang, score(lex)) }
+    // argmax with first-wins tie-break: fold keeping (bestLang, bestScore)
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl),
+        when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality-score features + a composite score (length, punctuation ratio,
+    * stopword ratio, mean token length) — the standard pre-training text
+    * quality heuristics.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val allStop = Lexicons.flatMap(_._2).distinct
+    val stopHits = size(filter(toks, t => t.isInCollection(allStop)))
+    df
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        round((length(text) - nTok + 1).cast("double") / nTok, 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+          greatest(length(text), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(stopHits.cast("double") / greatest(nTok, lit(1)), 4))
+      .withColumn("quality_score",
+        round(least(nTok.cast("double") / 64.0, lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.3 +
+          (lit(1.0) - col("punct_ratio")) * 0.2, 4))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * content-defined identity for exact dedup across formatting variants.
+    * (md5 is bit-identical in DuckDB → hash-compare-safe.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling polynomial fingerprint over token hashes (position-weighted mod
+    * arithmetic; portable to SQL via the same CASE-mod formulation).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val P = 1000000007L
+    val toks = tokens(text)
+    val hashes = transform(toks, t => portableHash(t))
+    // sum(h_i * 31^(i mod 8) mod P) mod P — bounded weights keep the math in
+    // 63 bits both here and in DuckDB
+    val weights = Array.tabulate(8)(i => math.pow(31, i).toLong % P)
+    val weighted = zip_with(hashes, sequence(lit(0), size(toks) - 1),
+      (h, i) => pmod(h * element_at(typedlit(weights.toSeq), (pmod(i, lit(8)) + 1).cast("int")), lit(P)))
+    pmod(aggregate(weighted, lit(0L), (acc, x) => pmod(acc + x, lit(P))), lit(P))
+  }
+}

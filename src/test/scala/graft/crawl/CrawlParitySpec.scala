@@ -1,0 +1,177 @@
+package graft.crawl
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.corpus.SyntheticCorpus
+import graft.model._
+import graft.model.Extraction._
+
+/** North-rule parity: identical crawl ordering and URL-seen membership vs
+  * the in-memory oracle under the same seed list + politeness budget
+  * (BASELINE.json north_rule; reference E2E tests RiverWebTest.java:17-108).
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val builder = SyntheticCorpus.Builder(n = 400, hostCount = 25)
+  lazy val corpusDs = builder.corpus(spark)
+  lazy val corpusDf = corpusDs.toDF().withColumnRenamed("doc_id", "doc_id").persist()
+  lazy val robotsDf = builder.robots(spark)
+  lazy val pagesMap: Map[String, PageDoc] =
+    corpusDs.collect().map(p => p.doc_id -> p).toMap
+  lazy val robotsMap: Map[String, Seq[String]] =
+    robotsDf.collect().map(r => r.host -> r.disallow_prefixes).toMap
+
+  def seedUrls(idxs: Long*): Seq[String] = idxs.map { i =>
+    UrlOps.canonicalize(SyntheticCorpus.urlOf(i,
+      SyntheticCorpus.hostOfDoc(i, 42L, SyntheticCorpus.zipfCdf(25, 1.1))))
+  }
+
+  def baseConfig(id: String): CrawlConfig = CrawlConfig(
+    sessionId = id,
+    seeds = seedUrls(0L, 5L, 96L), // includes a sitemap seed (96 % 97 == 96)
+    excludeUrls = Seq(".*\\.(txt|png|css)"), // RiverWebTest.java:89 analog
+    maxDepth = 3,
+    maxAccessCount = 150,
+    hostBudgetPerRound = 3,
+    rules = Seq(ScrapingRule(
+      urlPattern = ".*/page/.*",
+      properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true),
+        PropertyRule("body", SpanText("p"), isArray = true, trimSpaces = true)))))
+
+  def runEngine(cfg: CrawlConfig): (CrawlSession.CrawlResult, Set[String], CrawlSession) = {
+    val dir = TestSpark.tmpDir(s"crawl-${cfg.sessionId}")
+    val session = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    val result = session.run()
+    val seen = session.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    (result, seen, session)
+  }
+
+  test("crawl order + seen membership match the oracle (north rule)") {
+    val cfg = baseConfig("parity1")
+    val (engine, engineSeen, session) = runEngine(cfg)
+    val oracle = Oracle.crawl(pagesMap, robotsMap, cfg)
+
+    assert(engine.crawlOrder == oracle.crawlOrder,
+      s"order diverged at ${engine.crawlOrder.zip(oracle.crawlOrder).indexWhere(p => p._1 != p._2)}")
+    assert(engineSeen == oracle.seen)
+    assert(engine.totalClaimed == oracle.processed)
+    assert(engine.totalClaimed <= cfg.maxAccessCount)
+    session.cleanup()
+  }
+
+  test("parity holds with robots off, unlimited depth, small budget") {
+    val cfg = baseConfig("parity2").copy(
+      robotsTxt = false, maxDepth = -1, maxAccessCount = 60, hostBudgetPerRound = 2)
+    val (engine, engineSeen, session) = runEngine(cfg)
+    val oracle = Oracle.crawl(pagesMap, robotsMap, cfg)
+    assert(engine.crawlOrder == oracle.crawlOrder)
+    assert(engineSeen == oracle.seen)
+    session.cleanup()
+  }
+
+  test("include filter restricts children (P1) with oracle parity") {
+    val cfg = baseConfig("parity3").copy(
+      includeUrls = Seq(".*h[0-3]\\.example\\.com.*"), maxAccessCount = 80)
+    val (engine, engineSeen, session) = runEngine(cfg)
+    val oracle = Oracle.crawl(pagesMap, robotsMap, cfg)
+    assert(engine.crawlOrder == oracle.crawlOrder)
+    assert(engineSeen == oracle.seen)
+    // all non-seed seen urls obey the include filter
+    val seeds = cfg.seeds.toSet
+    (engineSeen -- seeds).foreach(u => assert(u.matches(".*h[0-3]\\.example\\.com.*")))
+    session.cleanup()
+  }
+
+  test("politeness budget: ≤ hostBudget claims per host per round (W2/Z1)") {
+    val cfg = baseConfig("parity4").copy(hostBudgetPerRound = 2, maxAccessCount = 100)
+    val dir = TestSpark.tmpDir("crawl-budget")
+    val session = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    val result = session.run()
+    result.rounds.foreach { r =>
+      val perHost = r.claimOrder.groupBy { case (u, _) => UrlOps.host(u) }
+      perHost.foreach { case (h, claims) =>
+        assert(claims.size <= 2, s"host $h over budget in round ${r.round}")
+      }
+    }
+    session.cleanup()
+  }
+
+  test("resume from checkpoint: interrupted crawl equals uninterrupted (Z6)") {
+    val cfg = baseConfig("resume")
+    val dir = TestSpark.tmpDir("crawl-resume")
+    // run 1: two rounds only, then "crash"
+    val s1 = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    s1.init()
+    val r1 = s1.runRound().get
+    val r2 = s1.runRound().get
+    // run 2: fresh session object over the same workDir resumes from manifest
+    val s2 = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    val rest = s2.run()
+    val fullOrder = Seq(r1, r2).flatMap(_.claimOrder) ++ rest.crawlOrder
+    val oracle = Oracle.crawl(pagesMap, robotsMap, cfg)
+    assert(fullOrder == oracle.crawlOrder)
+    val seen = s2.seenTable.read().select("url").collect().map(_.getString(0)).toSet
+    assert(seen == oracle.seen)
+    s2.cleanup()
+  }
+}
+
+/** RiverWebTest mode semantics: default duplicates accumulate (:220-273),
+  * overwrite keeps 1 doc with a NEW @timestamp (:110-163), incremental keeps
+  * 1 doc with the SAME @timestamp (:165-218).
+  */
+class WriteModeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val builder = SyntheticCorpus.Builder(n = 50, hostCount = 5)
+  lazy val corpusDf = builder.corpus(spark).toDF().persist()
+  lazy val robotsDf = builder.robots(spark).toDF()
+
+  def cfg(id: String, mode: WriteMode): CrawlConfig = CrawlConfig(
+    sessionId = id,
+    seeds = Seq(UrlOps.canonicalize(SyntheticCorpus.urlOf(3L,
+      SyntheticCorpus.hostOfDoc(3L, 42L, SyntheticCorpus.zipfCdf(5, 1.1))))),
+    maxDepth = 0, // seed page only
+    maxAccessCount = 10,
+    mode = mode,
+    rules = Seq(ScrapingRule(".*/page/.*",
+      properties = Seq(PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+
+  def runTwice(mode: WriteMode): (Long, Seq[Timestamp]) = {
+    val dir = TestSpark.tmpDir(s"mode-$mode")
+    val t1 = new Timestamp(1700000001000L)
+    val t2 = new Timestamp(1700000002000L)
+    val s1 = new CrawlSession(spark, cfg(s"$mode-run1", mode), corpusDf, robotsDf, dir, () => t1)
+    s1.run()
+    val s2 = new CrawlSession(spark, cfg(s"$mode-run2", mode), corpusDf, robotsDf, dir, () => t2)
+    s2.run()
+    val docs = s2.docsTable.read()
+    val n = docs.count()
+    val stamps = docs.select("@timestamp").collect().map(_.getTimestamp(0)).toSeq
+    s2.docsTable.drop()
+    (n, stamps)
+  }
+
+  test("default mode: duplicates accumulate") {
+    val (n, _) = runTwice(WriteMode.Default)
+    assert(n == 2)
+  }
+
+  test("overwrite mode: one doc, new @timestamp (J3)") {
+    val (n, stamps) = runTwice(WriteMode.Overwrite)
+    assert(n == 1)
+    assert(stamps.head == new Timestamp(1700000002000L))
+  }
+
+  test("incremental mode: one doc, original @timestamp (J2)") {
+    val (n, stamps) = runTwice(WriteMode.Incremental)
+    assert(n == 1)
+    assert(stamps.head == new Timestamp(1700000001000L))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.corpus.SyntheticCorpus
+import graft.model._
+import graft.model.Extraction._
+import graft.model.Positional._
+
+/** Golden-fixture extraction parity with the reference's
+  * ScrapingTransformerTest.fess_codelibs_org (assertions at :26-33, property
+  * rules at :43-47): 27 sidebar items, section1.title "What is Fess?",
+  * section1.body size 2, section2.title "Features", section2.body size 12.
+  */
+class ExtractorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** PageDocs → FetchResult-shaped DataFrame (synthetic fetch). */
+  def fetchedOf(pages: Seq[PageDoc]): DataFrame =
+    spark.createDataset(pages).toDF()
+      .select(
+        col("doc_id").as("url"),
+        lit(null).cast("string").as("parentUrl"),
+        lit(0).as("depth"),
+        xxhash64(col("doc_id")).as("urlHash"),
+        lit("GET").as("method"),
+        lit("text/html").as("mimeType"),
+        lit("UTF-8").as("charSet"),
+        lit(200).as("httpStatusCode"),
+        lit(1234L).as("contentLength"),
+        lit(7L).as("executionTime"),
+        col("lastModified"),
+        col("spans"))
+
+  val goldenConfig = CrawlConfig(
+    sessionId = "golden",
+    seeds = Seq(SyntheticCorpus.GoldenUrl),
+    rules = Seq(ScrapingRule(
+      urlPattern = ".*fess.*",
+      properties = Seq(
+        PropertyRule("nav.sideMenus", SpanText("nav-li"), isArray = true, trimSpaces = true),
+        PropertyRule("section1.title", SpanText("h2", Some(Eq(0))), trimSpaces = true),
+        PropertyRule("section1.body", SpanText("p", Some(Lt(2))), isArray = true, trimSpaces = true),
+        PropertyRule("section2.title", SpanText("h2", Some(Eq(1))), trimSpaces = true),
+        PropertyRule("section2.body", SpanText("li", Some(Lt(12))), isArray = true, trimSpaces = true)))))
+
+  test("golden fixture extracts the reference's exact values") {
+    val out = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), goldenConfig)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val nav = r.getAs[Row]("nav")
+    assert(nav.getAs[scala.collection.Seq[String]]("sideMenus").size == 27)
+    assert(nav.getAs[scala.collection.Seq[String]]("sideMenus").head == "Menu 1")
+    val s1 = r.getAs[Row]("section1")
+    assert(s1.getAs[String]("title") == "What is Fess?")
+    assert(s1.getAs[scala.collection.Seq[String]]("body").size == 2)
+    assert(s1.getAs[scala.collection.Seq[String]]("body").head ==
+      "Fess is very powerful and easily deployable Enterprise Search Server.")
+    val s2 = r.getAs[Row]("section2")
+    assert(s2.getAs[String]("title") == "Features")
+    assert(s2.getAs[scala.collection.Seq[String]]("body").size == 12)
+    // metadata projection (P6)
+    assert(r.getAs[String]("url") == "http://fess.codelibs.example")
+    assert(r.getAs[Int]("httpStatusCode") == 200)
+  }
+
+  test("no-rule pages are skipped (P4) and children use U2 semantics") {
+    val cfg = goldenConfig.copy(rules = Seq(ScrapingRule(urlPattern = ".*nomatch.*")))
+    val out = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg)
+    assert(out.count() == 0)
+    // matching rule: default children = a hrefs, self/dup removed
+    val out2 = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), goldenConfig)
+    val children = out2.select("children").as[Seq[String]].head()
+    assert(children == Seq("http://fess.codelibs.example/docs/"))
+  }
+
+  test(":eq out of range yields empty (jsoup empty Elements analog)") {
+    val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+      PropertyRule("missing", SpanText("h2", Some(Eq(99)))),
+      PropertyRule("tail", SpanText("h2", Some(Gt(1))), isArray = true)))))
+    val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
+    assert(r.getAs[String]("missing") == "") // join of empty list
+    assert(r.getAs[scala.collection.Seq[String]]("tail") == Seq("News", "Download"))
+  }
+
+  test("zip-explode ([] group, X4): rows = max list size, scalars at position 0") {
+    val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+      PropertyRule("[]feature", SpanText("li"), isArray = true),
+      PropertyRule("[]para", SpanText("p"), isArray = true),
+      PropertyRule("[]label", Value(Seq("fess page"))),
+      PropertyRule("title", SpanText("title"))))))
+    val out = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg)
+      .orderBy("position")
+    val rows = out.collect()
+    assert(rows.length == 12) // max(12 li, 4 p)
+    assert(rows.map(_.getAs[Int]("position")).toSeq == (0 until 12))
+    // per-position elements, null beyond each list's length
+    assert(rows(0).getAs[String]("feature") == "Feature 1")
+    assert(rows(3).getAs[String]("para") == "Download the latest Fess.")
+    assert(rows(4).getAs[String]("para") == null)
+    // non-list group member only on first row (ScrapingTransformer.java:589-595)
+    assert(rows(0).getAs[String]("label") == "fess page")
+    assert(rows(1).getAs[String]("label") == null)
+    // non-group scalar copied to every row
+    assert(rows.forall(_.getAs[String]("title") ==
+      "Open Source Enterprise Search Server: Fess"))
+  }
+
+  test("is_distinct preserves first-occurrence order (A1) and F2 null-join quirk") {
+    val page = PageDoc("http://t/x", "t", 0L, Seq(
+      Span("w", "b", null, 0), Span("w", "a", null, 1), Span("w", "b", null, 2),
+      Span("w", null, null, 3), Span("w", "c", null, 4)))
+    val cfg = CrawlConfig(sessionId = "t", seeds = Seq(), rules = Seq(ScrapingRule(
+      urlPattern = ".*",
+      properties = Seq(
+        PropertyRule("d", SpanText("w"), isArray = true, isDistinct = true),
+        PropertyRule("joined", SpanText("w"))))))
+    val r = Extractor.extract(fetchedOf(Seq(page)), cfg).collect()(0)
+    // array_distinct keeps first occurrence; null is a distinct value
+    assert(r.getAs[scala.collection.Seq[String]]("d") == Seq("b", "a", null, "c"))
+    // String.join renders nulls as "null" (ScrapingTransformer.java:275)
+    assert(r.getAs[String]("joined") == "b a b null c")
+  }
+
+  test("named transforms (X1) apply per element") {
+    val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+      PropertyRule("flags", SpanText("p"), isArray = true,
+        transform = Some(NamedTransform.ContainsFlag("Fess"))),
+      PropertyRule("upper", SpanText("h2", Some(Eq(1))),
+        transform = Some(NamedTransform.Upper))))))
+    val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("flags") == Seq("true", "true", "true", "true"))
+    assert(r.getAs[String]("upper") == "FEATURES")
+  }
+
+  test("first matching rule wins (P3 when-chain order)") {
+    val cfg = goldenConfig.copy(rules = Seq(
+      ScrapingRule(".*codelibs.*", properties = Seq(PropertyRule("which", Value(Seq("first"))))),
+      ScrapingRule(".*fess.*", properties = Seq(PropertyRule("which", Value(Seq("second")))))))
+    val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
+    assert(r.getAs[String]("which") == "first")
+  }
+}
