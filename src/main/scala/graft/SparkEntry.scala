@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.SyntheticCorpus
+import graft.crawl.CrawlSession
+import graft.model._
+import graft.model.Extraction._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2) over
+  * the driver's parquet tables, each with a DuckDB-equivalent oracle SQL.
+  * Column names AND types are aligned pairwise (counts→BIGINT, ratios→
+  * rounded DOUBLE, timestamps→ISO strings) because the driver hash-compares
+  * values after sorting columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+  private val IsoFmtDuck = "%Y-%m-%dT%H:%M:%S.%gZ"
+
+  /** portable token hash — DuckDB twin of [[TextOps.portableHash]]. */
+  private def sqlHash(x: String): String =
+    s"(ascii(substr($x||'xx',1,1))*961+ascii(substr($x||'xx',2,1))*31+" +
+      s"ascii(substr($x||'xx',3,1))+length($x)*7919)"
+
+  // --- flagship: a real crawl through the whole engine ----------------------
+
+  /** Flagship: seeded synthetic crawl end-to-end (claim → fetch-join →
+    * extract → dedup → snapshot), returning the extracted documents.
+    */
+  def entry(spark: SparkSession): DataFrame = runCrawl(spark, n = 150, budget = 40)
+
+  private def runCrawl(spark: SparkSession, n: Long, budget: Long): DataFrame = {
+    val b = SyntheticCorpus.Builder(n = n, hostCount = 20)
+    val corpus = b.corpus(spark).toDF()
+    val cdf = SyntheticCorpus.zipfCdf(20, 1.1)
+    val seed = UrlOps.canonicalize(
+      SyntheticCorpus.urlOf(0L, SyntheticCorpus.hostOfDoc(0L, 42L, cdf)))
+    val cfg = CrawlConfig(
+      sessionId = "entry", seeds = Seq(seed),
+      maxDepth = 3, maxAccessCount = budget, hostBudgetPerRound = 3,
+      rules = Seq(ScrapingRule(".*/page/.*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true),
+        PropertyRule("headings", SpanText("h2"), isArray = true, trimSpaces = true)))))
+    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val session = new CrawlSession(spark, cfg, corpus, b.robots(spark).toDF(),
+      work, recordOrder = false)
+    session.run()
+    session.docsTable.read().select("url", "parentUrl", "title", "headings", "@timestamp")
+  }
+
+  // --- the queries map -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2/T1: deterministic pseudo-random queue poll, batch of 20
+    "q_s2_queue_poll" -> ((s, d) => t(s, d, "events")
+      .orderBy(pmod(col("event_id") * 2654435761L, lit(4294967296L)), col("event_id"))
+      .select("event_id", "user_id").limit(20)),
+
+    // P1: include-URL regex filter
+    "q_p1_include" -> ((s, d) => t(s, d, "documents")
+      .filter(col("text").rlike("crawl .*bloom") && col("lang").isin("en", "de"))
+      .select("doc_id", "lang")),
+
+    // P2: exclude filter
+    "q_p2_exclude" -> ((s, d) => t(s, d, "documents")
+      .filter(!col("text").rlike("spark|window"))
+      .select("doc_id", "source")),
+
+    // P3/P4: first-match rule chain + no-rule skip
+    "q_p3_rule_match" -> ((s, d) => t(s, d, "documents")
+      .withColumn("rule_id",
+        when(col("lang").rlike("^(?:en)$") && col("source").rlike("^(?:src1.*)$"), 0)
+          .when(col("lang") === "fr", 1)
+          .when(col("text").rlike("^(?:.*crawl.*)$"), 2))
+      .filter(col("rule_id").isNotNull)
+      .groupBy("rule_id").agg(count(lit(1)).as("n"))),
+
+    // J1: URL-seen anti-join analog
+    "q_j1_seen_antijoin" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")),
+
+    // J2: incremental as-of skip (max-lastModified lookup)
+    "q_j2_incremental" -> ((s, d) => {
+      val last = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(max("l_shipdate").as("last_ship"))
+      t(s, d, "orders")
+        .join(last, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("last_ship").isNull || col("o_orderdate") > col("last_ship"))
+        .select("o_orderkey")
+    }),
+
+    // J3: overwrite delete-then-insert merge
+    "q_j3_overwrite_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val existing = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      val incoming = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      existing.join(incoming.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), lit("kept").as("src"))
+        .unionByName(incoming.select(col("o_orderkey"), lit("new").as("src")))
+    }),
+
+    // A1: order-preserving distinct
+    "q_a1_distinct_order" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        array_join(array_distinct(split(col("text"), " ")), " ").as("distinct_text"))),
+
+    // W2/Z1: per-key politeness budget (top-3 per host analog)
+    "q_w2_politeness_topk" -> ((s, d) => t(s, d, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "rn")),
+
+    // W3/T2: latest-doc-per-url analog
+    "q_w3_latest_per_key" -> ((s, d) => t(s, d, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id")),
+
+    // T4: :eq/:lt/:gt positional selection
+    "q_t4_positional" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents").select(col("doc_id"),
+        get(toks, lit(2)).as("tok_eq2"),
+        array_join(slice(toks, 1, 2), " ").as("toks_lt2"),
+        array_join(slice(toks, lit(4), greatest(size(toks) - 3, lit(0))), " ").as("toks_gt3"))
+    }),
+
+    // U1: union + dedup
+    "q_u1_union_dedup" -> ((s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))
+      .unionByName(t(s, d, "customer").select(col("c_custkey").as("k")))
+      .distinct()),
+
+    // F1: trim_spaces whitespace collapse
+    "q_f1_trim_spaces" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("text"), " ", "   "), "\\s+", " "))
+          .as("cleaned"))),
+
+    // F2: String.join null→"null" quirk
+    "q_f2_join_null" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => when(length(x) > 4, x)), " ", "null").as("joined_nulls"))),
+
+    // F6/P7: base64 attachment encode
+    // note: Spark's base64 expression emits MIME-chunked output (CRLF every
+    // 76 chars); strip the wrapping for the canonical RFC 4648 form
+    "q_f6_base64" -> ((s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"))),
+
+    // F11: ISO-8601 UTC format
+    "q_f11_iso8601" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"), date_format(col("ts"), IsoFmt).as("iso"))),
+
+    // F13: canonicalize-url (engine Column pipeline vs constructed oracle)
+    "q_f13_canonicalize" -> ((s, d) => {
+      val messy = concat(
+        lit("HTTP://Host"), pmod(col("user_id"), lit(50)).cast("string"),
+        lit(".Example.COM:80/path/"), col("event_id").cast("string"),
+        when(pmod(col("event_id"), lit(3)) === 0, "#frag")
+          .when(pmod(col("event_id"), lit(3)) === 1, "/").otherwise(""))
+      t(s, d, "events").select(col("event_id"),
+        UrlOps.canonicalizeCol(messy).as("canon"))
+    }),
+
+    // X4: zip-explode with per-column length guards
+    "q_x4_zip_explode" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val a = filter(toks, x => length(x) > 4)
+      val b = slice(toks, 1, 5)
+      t(s, d, "documents")
+        .select(col("doc_id"), a.as("a"), b.as("b"))
+        .withColumn("pos", explode(sequence(lit(0),
+          greatest(size(col("a")), size(col("b")), lit(1)) - 1)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          get(col("a"), col("pos")).as("a_i"),
+          get(col("b"), col("pos")).as("b_i"))
+    }),
+
+    // X5/A4: child-url explode + counts
+    "q_x5_explode_count" -> ((s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 5)
+      .groupBy("tok").agg(count(lit(1)).as("n"))),
+
+    // A5: lastModified max per key
+    "q_a5_lastmod_max" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(date_format(max("l_shipdate"), IsoFmt).as("last_ship"))),
+
+    // A2/Z4: access-count budget arithmetic
+    "q_a2_access_budget" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity") > 25)
+      .agg(count(lit(1)).as("accessed"),
+        greatest(lit(100L) - count(lit(1)), lit(0L)).as("remaining"))),
+
+    // Z2: robots.txt prefix predicate via broadcast rules join
+    "q_z2_robots" -> ((s, d) => {
+      import s.implicits._
+      val robots = (0 until 10).map(h =>
+        (s"h$h", if (h % 5 == 0) Seq("/path/1", "/admin") else Seq("/admin")))
+        .toDF("host", "disallow_prefixes")
+      t(s, d, "events")
+        .select(col("event_id"),
+          concat(lit("h"), pmod(col("user_id"), lit(10)).cast("string")).as("host"),
+          concat(lit("/path/"), pmod(col("event_id"), lit(100)).cast("string")).as("path"))
+        .join(broadcast(robots), Seq("host"), "left")
+        .filter(col("disallow_prefixes").isNull ||
+          !exists(col("disallow_prefixes"), p => startswith(col("path"), p)))
+        .select("event_id")
+    }),
+
+    // W1/J1/U1/Z3 composite: BFS frontier loop vs recursive-CTE oracle
+    "q_bfs_frontier" -> ((s, d) => {
+      val edges = t(s, d, "orders").select(
+        pmod(col("o_orderkey"), lit(300)).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey"), lit(300)).as("dst")).distinct()
+      import s.implicits._
+      var visited = Seq((0L, 0), (1L, 0)).toDF("node", "depth")
+      var frontier = visited.select("node")
+      for (depth <- 1 to 4) {
+        val next = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("depth", lit(depth))
+        visited = visited.unionByName(next)
+        frontier = next.select("node")
+      }
+      visited.select(col("node").cast("long").as("node"), col("depth").cast("int").as("depth"))
+    }),
+
+    // --- dedup suite ---------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+
+    "q_dedup_minhash_sig" -> ((s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 100 && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), 3, 8)))
+      .withColumnRenamed("pos", "j")
+      .withColumnRenamed("col", "minhash")),
+
+    "q_dedup_simhash" -> ((s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
+        k = 3, threshold = 0.2)),
+
+    "q_dedup_embed_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings").filter(col("vec_id") < 120), 0.3)),
+
+    // LSH-banded minhash candidate pairs (rows-only: banding isn't SQL-portable)
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150))),
+
+    // --- similarity search -----------------------------------------------------
+    "q_sim_topk" -> ((s, d) => {
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), q, 10)
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall asserted vs brute force in tests)
+    "q_sim_lsh_ann" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      val q = embs.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      Similarity.lshTopK(Similarity.lshBuckets(embs, 8, dim), q, 10, 8)
+    }),
+
+    // --- text analysis ----------------------------------------------------------
+    "q_text_langid" -> ((s, d) => t(s, d, "documents")
+      .select(TextOps.langId(col("text")).as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))),
+
+    "q_text_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+          "stopword_ratio", "quality_score")),
+
+    "q_text_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))),
+
+    "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.rollingFingerprint(col("text")).as("rfp"))),
+
+    // --- multimodal plumbing ------------------------------------------------------
+    "q_mm_decode" -> ((s, d) =>
+      Multimodal.decode(Multimodal.syntheticMedia(s, t(s, d, "documents")))
+        .toDF().select("doc_id", "media_type", "byte_len")),
+
+    // features + frame sampling (rows-only: fake codec arithmetic isn't SQL)
+    "q_mm_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
+      Multimodal.features(media, dim = 16)
+        .select(col("doc_id"), col("media_ref"), size(col("embedding")).as("dim"))
+    }),
+
+    // full engine crawl (rows-only; parity is asserted against the oracle in sbt test)
+    "q_crawl_e2e" -> ((s, _) => runCrawl(s, n = 300, budget = 80)
+      .select("url", "parentUrl", "title"))
+  )
+
+  // --- oracle SQL (DuckDB dialect) -------------------------------------------
+
+  private def minhashOracle: String = {
+    val branches = (0 until 8).map { j =>
+      val (a, b) = Dedup.minhashCoef(j)
+      s"SELECT doc_id, $j AS j, CAST(min((h*$a+$b)%2147483647) AS BIGINT) AS minhash FROM sh GROUP BY doc_id"
+    }
+    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+       |  WHERE doc_id < 100 AND len(string_split(text,' ')) >= 3),
+       |idx AS (SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM base),
+       |sh AS (SELECT doc_id, ${sqlHash("s")}%2147483647 AS h
+       |  FROM (SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS s FROM idx))
+       |${branches.mkString(" UNION ALL ")}""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val sums = (0 until 16).map(b => s"sum(((h>>$b)&1)*2-1) AS s$b").mkString(", ")
+    val comb = (0 until 16).map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)").mkString("+")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |h AS (SELECT doc_id, CAST(${sqlHash("tok")} AS BIGINT) AS h FROM toks),
+       |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($comb AS BIGINT) AS sh FROM sums""".stripMargin
+  }
+
+  private def langidOracle: String = {
+    def inList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("(", ",", ")")
+    val scoreCols = TextOps.Lexicons.map { case (lang, lex) =>
+      s"count(CASE WHEN tok IN ${inList(lex)} THEN 1 END) AS s_$lang"
+    }.mkString(", ")
+    // first-wins argmax: lang k wins iff strictly greater than all before it
+    val langs = TextOps.Lexicons.map(_._1)
+    val caseBranches = langs.zipWithIndex.drop(1).reverse.map { case (lang, i) =>
+      val before = langs.take(i).map("s_" + _)
+      val beforeMax = if (before.size == 1) before.head else s"greatest(${before.mkString(",")})"
+      s"WHEN s_$lang > $beforeMax THEN '$lang'"
+    }.mkString(" ")
+    val anyPositive = s"greatest(${langs.map("s_" + _).mkString(",")}) > 0"
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok FROM documents),
+       |scores AS (SELECT doc_id, $scoreCols FROM toks GROUP BY doc_id)
+       |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT CASE WHEN NOT ($anyPositive) THEN 'und' $caseBranches ELSE '${langs.head}' END AS pred_lang
+       |  FROM scores)
+       |GROUP BY pred_lang""".stripMargin
+  }
+
+  private def qualityOracle: String = {
+    val allStop = TextOps.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH f AS (SELECT doc_id, text, string_split_regex(lower(text),'\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, len(toks) AS n, length(text) AS L,
+       |  len(list_filter(toks, x -> list_contains($allStop, x))) AS stop_hits,
+       |  length(regexp_replace(text,'[^.,;:!?]','','g')) AS punct FROM f)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  round((L - n + 1)*1.0/n, 4) AS mean_token_len,
+       |  round(punct*1.0/greatest(L,1), 4) AS punct_ratio,
+       |  round(stop_hits*1.0/greatest(n,1), 4) AS stopword_ratio,
+       |  floor((least(n*1.0/64, 1.0)*0.5 + round(stop_hits*1.0/greatest(n,1),4)*0.3 +
+       |        (1.0 - round(punct*1.0/greatest(L,1),4))*0.2)*10000)/10000.0 AS quality_score
+       |FROM g""".stripMargin
+  }
+
+  private def rollingFpOracle: String = {
+    val P = 1000000007L
+    val weights = Array.tabulate(8)(i => math.pow(31, i).toLong % P)
+    val wCase = s"(CASE (pos%8) ${weights.zipWithIndex.map { case (w, i) => s"WHEN $i THEN $w" }.mkString(" ")} END)"
+    s"""WITH toks AS (SELECT doc_id, text, unnest(string_split_regex(lower(text),'\\s+')) AS tok,
+       |  unnest(range(0, len(string_split_regex(lower(text),'\\s+')))) AS pos FROM documents)
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(min(text)),'\\s+',' ','g'))) AS fp,
+       |  CAST(sum((CAST(${sqlHash("tok")} AS BIGINT)*$wCase)%$P)%$P AS BIGINT) AS rfp
+       |FROM toks GROUP BY doc_id""".stripMargin
+  }
+
+  private val embedCosineCtes =
+    """v AS (SELECT vec_id, unnest(embedding) AS e, unnest(range(1, len(embedding)+1)) AS i
+      |  FROM embeddings {WHERE}),
+      |norms AS (SELECT vec_id, sqrt(sum(CAST(e AS DOUBLE)*e)) AS nrm FROM v GROUP BY vec_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s2_queue_poll" ->
+      "SELECT event_id, user_id FROM events ORDER BY (event_id*2654435761)%4294967296, event_id LIMIT 20",
+
+    "q_p1_include" ->
+      "SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'crawl .*bloom') AND lang IN ('en','de')",
+
+    "q_p2_exclude" ->
+      "SELECT doc_id, source FROM documents WHERE NOT regexp_matches(text, 'spark|window')",
+
+    "q_p3_rule_match" ->
+      """SELECT rule_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN regexp_matches(lang,'^(?:en)$') AND regexp_matches(source,'^(?:src1.*)$') THEN 0
+        |              WHEN lang = 'fr' THEN 1
+        |              WHEN regexp_matches(text,'^(?:.*crawl.*)$') THEN 2 END AS rule_id
+        |  FROM documents) WHERE rule_id IS NOT NULL GROUP BY rule_id""".stripMargin,
+
+    "q_j1_seen_antijoin" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)",
+
+    "q_j2_incremental" ->
+      """SELECT o_orderkey FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey) t
+        |ON o.o_orderkey = t.l_orderkey
+        |WHERE t.last_ship IS NULL OR o.o_orderdate > t.last_ship""".stripMargin,
+
+    "q_j3_overwrite_merge" ->
+      """SELECT o_orderkey, 'kept' AS src FROM orders WHERE o_orderkey%3 = 0 AND o_orderkey%2 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'new' AS src FROM orders WHERE o_orderkey%2 = 0""".stripMargin,
+
+    "q_a1_distinct_order" ->
+      """SELECT doc_id, string_agg(tok, ' ' ORDER BY fp) AS distinct_text FROM (
+        |  SELECT doc_id, tok, min(pos) AS fp FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |           unnest(range(1, len(string_split(text,' '))+1)) AS pos FROM documents)
+        |  GROUP BY doc_id, tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_w2_politeness_topk" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q_w3_latest_per_key" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_t4_positional" ->
+      """SELECT doc_id, l[3] AS tok_eq2,
+        |  array_to_string(l[1:2], ' ') AS toks_lt2,
+        |  array_to_string(l[4:len(l)], ' ') AS toks_gt3
+        |FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)""".stripMargin,
+
+    "q_u1_union_dedup" ->
+      "SELECT DISTINCT k FROM (SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey AS k FROM customer)",
+
+    "q_f1_trim_spaces" ->
+      "SELECT doc_id, trim(regexp_replace(replace(text,' ','   '), '\\s+', ' ', 'g')) AS cleaned FROM documents",
+
+    "q_f2_join_null" ->
+      """SELECT doc_id, array_to_string(list_transform(string_split(text,' '),
+        |  x -> CASE WHEN len(x) > 4 THEN x ELSE 'null' END), ' ') AS joined_nulls FROM documents""".stripMargin,
+
+    "q_f6_base64" ->
+      "SELECT doc_id, to_base64(encode(text)) AS b64 FROM documents WHERE doc_id < 100",
+
+    "q_f11_iso8601" ->
+      s"SELECT event_id, strftime(ts, '$IsoFmtDuck') AS iso FROM events",
+
+    "q_f13_canonicalize" ->
+      "SELECT event_id, 'http://host'||CAST(user_id%50 AS VARCHAR)||'.example.com/path/'||CAST(event_id AS VARCHAR) AS canon FROM events",
+
+    "q_x4_zip_explode" ->
+      """SELECT doc_id, pos, a[pos+1] AS a_i, b[pos+1] AS b_i FROM (
+        |  SELECT doc_id, a, b, unnest(range(0, greatest(len(a), len(b), 1))) AS pos FROM (
+        |    SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 4) AS a,
+        |           string_split(text,' ')[1:5] AS b FROM documents))""".stripMargin,
+
+    "q_x5_explode_count" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+        |WHERE len(tok) > 5 GROUP BY tok""".stripMargin,
+
+    "q_a5_lastmod_max" ->
+      s"SELECT l_orderkey, strftime(max(l_shipdate), '$IsoFmtDuck') AS last_ship FROM lineitem GROUP BY l_orderkey",
+
+    "q_a2_access_budget" ->
+      """SELECT CAST(count(*) AS BIGINT) AS accessed,
+        |  CAST(greatest(100 - count(*), 0) AS BIGINT) AS remaining
+        |FROM lineitem WHERE l_quantity > 25""".stripMargin,
+
+    "q_z2_robots" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, 'h'||CAST(user_id%10 AS VARCHAR) AS host,
+        |         '/path/'||CAST(event_id%100 AS VARCHAR) AS path FROM events)
+        |WHERE NOT (((host='h0' OR host='h5') AND starts_with(path,'/path/1'))
+        |           OR starts_with(path,'/admin'))""".stripMargin,
+
+    "q_bfs_frontier" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT o_orderkey%300 AS src, (o_custkey*7+o_orderkey)%300 AS dst FROM orders),
+        |bfs(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth UNION ALL SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, b.depth+1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.depth < 4)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY node""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash_sig" -> minhashOracle,
+
+    "q_dedup_simhash" -> simhashOracle,
+
+    "q_dedup_jaccard" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS shingle FROM (
+        |    SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM (
+        |      SELECT doc_id, string_split(text,' ') AS l FROM documents
+        |      WHERE doc_id < 150 AND len(string_split(text,' ')) >= 3))),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(inter*1.0/(sa.sz+sb.sz-inter), 4) >= 0.2""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      s"""WITH ${embedCosineCtes.replace("{WHERE}", "WHERE vec_id < 120")},
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE)) AS d
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(d/(na.nrm*nb.nrm), 4) AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+        |WHERE round(d/(na.nrm*nb.nrm), 4) >= 0.3""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+        |qv AS (SELECT unnest(embedding) AS qe, unnest(range(1, len(embedding)+1)) AS i
+        |  FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(CAST(qe AS DOUBLE)*qe)) AS qnrm FROM qv),
+        |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(qv.qe AS DOUBLE)) AS d
+        |  FROM v JOIN qv ON v.i = qv.i GROUP BY 1)
+        |SELECT vec_id, round(d/(nrm*qnrm), 6) AS cosine
+        |FROM dots JOIN norms USING (vec_id), qn
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_langid" -> langidOracle,
+
+    "q_text_quality" -> qualityOracle,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" -> rollingFpOracle,
+
+    "q_mm_decode" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS INT) AS byte_len FROM documents""".stripMargin
+  )
 }

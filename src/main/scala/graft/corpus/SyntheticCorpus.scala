@@ -60,7 +60,7 @@ object SyntheticCorpus {
 
   def rngFor(seed: Long, i: Long): Random = new Random(mix64(seed * 1000003L + i))
 
-  private def pickZipf(cdf: Array[Double], r: Random): Int = {
+  def pickZipf(cdf: Array[Double], r: Random): Int = {
     val u = r.nextDouble()
     val idx = java.util.Arrays.binarySearch(cdf, u)
     val pos = if (idx >= 0) idx else -idx - 1

@@ -41,7 +41,10 @@ final class CrawlSession(
     workDir: String,
     clock: () => Timestamp = () => new Timestamp(1700000000000L),
     // collect per-round claim order for oracle parity tests; disable for bench
-    recordOrder: Boolean = true) {
+    recordOrder: Boolean = true,
+    // X3 lifecycle hooks: driver-side callbacks around the round loop
+    // (reference "execute"/"finish" scripts, RiverWeb.java:248-256,473-479)
+    hooks: CrawlHooks = CrawlHooks()) {
 
   import CrawlSession._
 
@@ -185,9 +188,12 @@ final class CrawlSession(
     val sitemapChildren = fetched.filter(isSitemap)
       .select(explode(Extractor.spanRefs(col("spans"), "sitemap-loc")).as("child"),
         col("depth"), col("url").as("parentUrl"))
+    // persist: the seen-filter's bloom routing scans candidates twice
+    // (definitely-new branch ∪ maybe-seen anti-join branch)
     val cand = toCandidates(
       scrapedChildren.unionByName(sitemapChildren),
       col("depth") + 1, col("parentUrl"), applyIncludeExclude = true)
+      .persist()
 
     val newEntries =
       (if (seen == null) cand else SeenSet.filterNew(cand, seen, seenCount))
@@ -217,7 +223,7 @@ final class CrawlSession(
         .select("url", "depth").collect()
         .map(r => (r.getString(0), r.getInt(1)))
 
-    claimed.unpersist(); fetched.unpersist(); newEntries.unpersist()
+    claimed.unpersist(); fetched.unpersist(); cand.unpersist(); newEntries.unpersist()
     log(s"round ${round + 1}: claimed=$claimedCount docs=$docsWritten " +
       s"new=$newUrls frontier=$frontierLeft seen=$seenTotal processed=$newProcessed")
     Some(RoundResult(round + 1, claimedCount, docsWritten, newUrls,
@@ -263,6 +269,7 @@ final class CrawlSession(
 
   /** Run to completion (budget hit or frontier drained). */
   def run(maxRounds: Int = 1000): CrawlResult = {
+    hooks.onExecute(this)
     init()
     val rounds = Seq.newBuilder[RoundResult]
     var r = runRound()
@@ -273,7 +280,18 @@ final class CrawlSession(
       r = if (i < maxRounds) runRound() else None
     }
     val rs = rounds.result()
-    CrawlResult(rs, rs.map(_.claimed).sum)
+    val result = CrawlResult(rs, rs.map(_.claimed).sum)
+    hooks.onFinish(this, result)
+    result
+  }
+
+  /** F14: extracted documents as one JSON string per row — the reference's
+    * `jsonBuilder().value(dataMap)` ES sink payload
+    * (ScrapingTransformer.java:614).
+    */
+  def docsAsJson(): DataFrame = {
+    val docs = docsTable.read()
+    docs.select(to_json(struct(docs.columns.map(col): _*)).as("json"))
   }
 
   def cleanup(): Unit = { // S9
@@ -283,6 +301,13 @@ final class CrawlSession(
   private def log(msg: String): Unit =
     if (sys.env.get("GRAFT_QUIET").isEmpty) println(s"[crawl ${config.sessionId}] $msg")
 }
+
+/** X3 driver-side lifecycle hooks (no executor involvement — the reference
+  * runs these scripts on its single node around the crawl).
+  */
+final case class CrawlHooks(
+    onExecute: CrawlSession => Unit = _ => (),
+    onFinish: (CrawlSession, CrawlSession.CrawlResult) => Unit = (_, _) => ())
 
 object CrawlSession {
   final case class RoundResult(

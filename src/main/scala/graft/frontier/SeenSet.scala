@@ -37,7 +37,14 @@ object SeenSet {
 
     if (seenCount == 0) return candidates
 
-    if (seenCount <= maxBloomItems) {
+    // The two bloom branches (definitely-new ∪ maybe-seen⋈seen) each scan
+    // `candidates`; routing only pays when that input is materialized
+    // (persisted by the caller, or a table scan). Otherwise the recompute
+    // costs more than the anti-join saves — fall through to the plain join.
+    val materialized =
+      candidates.storageLevel.useMemory || candidates.storageLevel.useDisk
+
+    if (materialized && seenCount <= maxBloomItems) {
       val bloom: BloomFilter =
         seen.stat.bloomFilter("urlHash", math.max(seenCount, 1000L), fpp)
       val bc = candidates.sparkSession.sparkContext.broadcast(bloom)

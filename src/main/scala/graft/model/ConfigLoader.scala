@@ -1,0 +1,146 @@
+package graft.model
+
+import org.json4s.{Extraction => _, _} // json4s.Extraction would shadow ours
+import org.json4s.jackson.JsonMethods
+
+/** JSON crawl-config loader (S1) — parses the reference's "river" config
+  * document shape (README.md:90-141, RiverWebTest.java:86-94):
+  *
+  * ```json
+  * { "index": "webindex", "url": ["http://..."],
+  *   "include_urls": [".*"], "exclude_urls": [".*\\.png"],
+  *   "max_depth": 3, "max_access_count": 100, "num_of_thread": 5,
+  *   "interval": 1000, "overwrite": true, "incremental": false,
+  *   "robots_txt": true,
+  *   "target": [ { "pattern": { "url": ".*", "mimeType": "text/html" },
+  *     "properties": { "title": { "text": "title" },
+  *       "nav.menus": { "text": "nav-li", "is_array": true,
+  *                      "trim_spaces": true, "is_distinct": true },
+  *       "img": { "attr": "img" }, "label": { "value": "x" },
+  *       "body": { "text": "p", "eq": 0 } } } ] }
+  * ```
+  *
+  * Selector strings are span kinds (the corpus is pre-parsed into spans —
+  * SURVEY.md F3/F4); `eq`/`lt`/`gt` map the reference's positional
+  * pseudo-selectors (ScrapingTransformer.java:467-499). Scalar coercion is
+  * lenient like the reference's ConversionUtil (F12: strings/numbers/bools
+  * cross-cast; the intValue-truncation bug at ConversionUtil.java:33 is
+  * deliberately NOT reproduced).
+  */
+object ConfigLoader {
+
+  def fromJson(json: String, sessionId: String): CrawlConfig = {
+    val j = JsonMethods.parse(json)
+
+    def strs(v: JValue): Seq[String] = v match {
+      case JString(s) => Seq(s)
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    // F12 lenient scalar coercion (config plane only)
+    def asLong(v: JValue, dflt: Long): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(i) => i
+      case JDouble(d) => d.toLong
+      case JString(s) => s.trim.toLongOption.getOrElse(dflt)
+      case _ => dflt
+    }
+    def asBool(v: JValue, dflt: Boolean): Boolean = v match {
+      case JBool(b) => b
+      case JString(s) => s.trim.equalsIgnoreCase("true")
+      case JInt(i) => i != 0
+      case _ => dflt
+    }
+    def asStr(v: JValue, dflt: String): String = v match {
+      case JString(s) => s
+      case JInt(i) => i.toString
+      case JBool(b) => b.toString
+      case _ => dflt
+    }
+
+    def property(name: String, spec: JValue): PropertyRule = {
+      val eq = spec \ "eq" match { case JNothing => None; case v => Some(Positional.Eq(asLong(v, 0).toInt)) }
+      val ltv = spec \ "lt" match { case JNothing => None; case v => Some(Positional.Lt(asLong(v, 0).toInt)) }
+      val gt = spec \ "gt" match { case JNothing => None; case v => Some(Positional.Gt(asLong(v, 0).toInt)) }
+      val pos = eq.orElse(ltv).orElse(gt)
+      val extraction: Extraction =
+        (spec \ "text", spec \ "attr", spec \ "value", spec \ "source", spec \ "data") match {
+          case (t, _, _, _, _) if t != JNothing => Extraction.SpanText(asStr(t, ""), pos)
+          case (_, a, _, _, _) if a != JNothing => Extraction.SpanRef(asStr(a, ""), pos)
+          case (_, _, v, _, _) if v != JNothing => Extraction.Value(strs(v))
+          case (_, _, _, s, _) if s != JNothing => Extraction.Source
+          case (_, _, _, _, d) if d != JNothing =>
+            Extraction.Base64Data(asLong(spec \ "max_file_size", 1000000L))
+          case _ => Extraction.SpanText(name.stripPrefix("[]"), pos)
+        }
+      // X1/X2: whitelisted named transform instead of arbitrary JS scripts
+      val transform = spec \ "script" match {
+        case JObject(fields) =>
+          val m = fields.toMap
+          m.get("name").map(n => asStr(n, "")).collect {
+            case "lower" => NamedTransform.Lower
+            case "upper" => NamedTransform.Upper
+            case "regex_extract" => NamedTransform.RegexExtract(
+              asStr(m.getOrElse("pattern", JString("")), ""), asLong(m.getOrElse("group", JInt(1)), 1).toInt)
+            case "regex_replace" => NamedTransform.RegexReplace(
+              asStr(m.getOrElse("pattern", JString("")), ""), asStr(m.getOrElse("replacement", JString("")), ""))
+            case "prepend" => NamedTransform.Prepend(asStr(m.getOrElse("arg", JString("")), ""))
+            case "append" => NamedTransform.Append(asStr(m.getOrElse("arg", JString("")), ""))
+            case "contains_flag" => NamedTransform.ContainsFlag(asStr(m.getOrElse("arg", JString("")), ""))
+          }
+        case _ => None
+      }
+      PropertyRule(
+        name = name,
+        extraction = extraction,
+        isArray = asBool(spec \ "is_array", dflt = false),
+        isDistinct = asBool(spec \ "is_distinct", dflt = false),
+        isChild = asBool(spec \ "is_child", dflt = false),
+        trimSpaces = asBool(spec \ "trim_spaces", dflt = false),
+        transform = transform)
+    }
+
+    def rule(v: JValue): ScrapingRule = {
+      val props = v \ "properties" match {
+        case JObject(fields) => fields.map { case (n, spec) => property(n, spec) }
+        case _ => Seq.empty
+      }
+      ScrapingRule(
+        urlPattern = asStr(v \ "pattern" \ "url", ".*"),
+        mimeTypePattern = asStr(v \ "pattern" \ "mimeType", ".*"),
+        properties = props)
+    }
+
+    val rules = j \ "target" match {
+      case JArray(xs) => xs.map(rule)
+      case o: JObject => Seq(rule(o))
+      case _ => Seq.empty
+    }
+
+    val overwrite = asBool(j \ "overwrite", dflt = false)
+    val incremental = asBool(j \ "incremental", dflt = false)
+    val mode =
+      if (overwrite) WriteMode.Overwrite
+      else if (incremental) WriteMode.Incremental
+      else WriteMode.Default
+
+    // Z1→W2: interval (ms between fetches per thread) × threads per round
+    // window ⇒ per-host budget; defaults interval=1000, threads=5
+    // (RiverWeb.java:434-439) give the reference's ~5 urls/sec shape.
+    val threads = asLong(j \ "num_of_thread", 5L)
+    val interval = math.max(asLong(j \ "interval", 1000L), 1L)
+    val hostBudget = math.max((threads * 1000L / interval).toInt, 1)
+
+    CrawlConfig(
+      sessionId = sessionId,
+      seeds = strs(j \ "url") ++ strs(j \ "urls"),
+      includeUrls = strs(j \ "include_urls"),
+      excludeUrls = strs(j \ "exclude_urls"),
+      maxDepth = asLong(j \ "max_depth", -1L).toInt,
+      maxAccessCount = asLong(j \ "max_access_count", 100L),
+      hostBudgetPerRound = hostBudget,
+      robotsTxt = asBool(j \ "robots_txt", dflt = true),
+      mode = mode,
+      rules = rules)
+  }
+}

@@ -22,24 +22,60 @@ import org.apache.spark.unsafe.Platform
   */
 object UrlOps {
 
-  /** Pure-Scala canonicalization (Oracle twin of [[canonicalizeCol]]). */
+  /** Pure-Scala canonicalization — single pass, no regex (the hot-path
+    * profile showed the regex formulation dominating the frontier round's
+    * CPU). This ONE implementation serves the driver, the parity Oracle and
+    * the Catalyst expression ([[CanonicalizeUrl]]), so the twins agree by
+    * construction.
+    */
   def canonicalize(raw: String): String = {
     var u = raw.trim
     val frag = u.indexOf('#')
     if (frag >= 0) u = u.substring(0, frag)
-    // lowercase scheme://authority prefix only (path/query are case-sensitive)
-    val m = SchemeHost.findFirstMatchIn(u)
-    u = m match {
-      case Some(mm) => mm.group(1).toLowerCase + u.substring(mm.group(1).length)
-      case None     => u
+    // locate scheme://authority; lowercase only that prefix
+    val schemeEnd = u.indexOf("://")
+    if (schemeEnd > 0 && isScheme(u, schemeEnd)) {
+      var authEnd = u.indexOf('/', schemeEnd + 3)
+      if (authEnd < 0) authEnd = u.length
+      var needsLower = false
+      var i = 0
+      while (i < authEnd && !needsLower) {
+        val c = u.charAt(i)
+        if (c >= 'A' && c <= 'Z') needsLower = true
+        i += 1
+      }
+      if (needsLower)
+        u = u.substring(0, authEnd).toLowerCase + u.substring(authEnd)
+      // strip default port (:80 http, :443 https)
+      val isHttp = u.startsWith("http://")
+      val isHttps = u.startsWith("https://")
+      if (isHttp || isHttps) {
+        var ae = u.indexOf('/', schemeEnd + 3)
+        if (ae < 0) ae = u.length
+        val port = if (isHttp) ":80" else ":443"
+        if (u.regionMatches(ae - port.length, port, 0, port.length) &&
+            u.lastIndexOf(':', ae - port.length - 1) <= schemeEnd) // scheme ':' sits AT schemeEnd
+          u = u.substring(0, ae - port.length) + u.substring(ae)
+      }
     }
-    u = u.replaceFirst("^(http://[^/:]+):80(/|$)", "$1$2")
-    u = u.replaceFirst("^(https://[^/:]+):443(/|$)", "$1$2")
-    while (u.length > 1 && u.endsWith("/")) u = u.dropRight(1)
-    u
+    var end = u.length
+    while (end > 1 && u.charAt(end - 1) == '/') end -= 1
+    if (end < u.length) u.substring(0, end) else u
   }
 
-  private val SchemeHost = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)".r
+  private def isScheme(u: String, schemeEnd: Int): Boolean = {
+    val c0 = u.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < schemeEnd) {
+      val c = u.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
 
   /** Host of a canonical URL ("" if unparseable). */
   def host(canonicalUrl: String): String = {
@@ -62,22 +98,17 @@ object UrlOps {
 
   // --- Column twins (codegen'd built-ins only) -----------------------------
 
-  /** Column form of [[canonicalize]]. */
-  def canonicalizeCol(url: Column): Column = {
-    val noFrag = regexp_replace(trim(url), "#.*$", "")
-    val prefix = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
-    val suffix = noFrag.substr(length(prefix) + 1, lit(Int.MaxValue))
-    val schemed = when(prefix =!= "", concat(lower(prefix), suffix)).otherwise(noFrag)
-    val noPort = regexp_replace(
-      regexp_replace(schemed, "^(http://[^/:]+):80(/|$)", "$1$2"),
-      "^(https://[^/:]+):443(/|$)", "$1$2")
-    // strip trailing slashes (but keep a bare "/" alone)
-    when(noPort.rlike("^/+$"), lit("/")).otherwise(regexp_replace(noPort, "/+$", ""))
-  }
+  /** Column form of [[canonicalize]] — a codegen'd single-pass Catalyst
+    * expression (graft.functions.CanonicalizeUrl) calling the same static
+    * function, replacing the original six-regexp composition that dominated
+    * the frontier round's CPU.
+    */
+  def canonicalizeCol(url: Column): Column =
+    graft.functions.UrlExpressions.canonicalizeUrl(url)
 
-  /** Host of a canonical URL, Column form. */
+  /** Host of a canonical URL, Column form (codegen'd expression). */
   def hostCol(canonicalUrl: Column): Column =
-    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:]+)", 1)
+    graft.functions.UrlExpressions.urlHost(canonicalUrl)
 
   /** xxhash64 Column (same function as [[urlHash]]). */
   def urlHashCol(canonicalUrl: Column): Column = xxhash64(canonicalUrl)

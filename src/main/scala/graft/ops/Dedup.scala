@@ -48,8 +48,10 @@ object Dedup {
 
   /** deterministic (a, b) coefficients for hash family j. */
   def minhashCoef(j: Int): (Long, Long) = {
-    val a = math.abs(graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 1)) % (MinhashP - 1) + 1
-    val b = math.abs(graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 2)) % MinhashP
+    // & Long.MaxValue (not abs — abs(MinValue) is negative) keeps the
+    // coefficients nonnegative so `%` and `pmod` agree across engines
+    val a = (graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 1) & Long.MaxValue) % (MinhashP - 1) + 1
+    val b = (graft.corpus.SyntheticCorpus.mix64(j.toLong * 2 + 2) & Long.MaxValue) % MinhashP
     (a, b)
   }
 

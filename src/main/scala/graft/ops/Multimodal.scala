@@ -115,8 +115,11 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       .map { case (id, text) =>
-        val t = (id.hashCode & Int.MaxValue) % 3 match {
-          case 0 => "image"; case 1 => "audio"; case 2 => "video"
+        // type from the numeric id (deterministic + SQL-expressible);
+        // non-numeric ids fall back to a length round-robin
+        val n = id.toLongOption.getOrElse(id.length.toLong)
+        val t = math.floorMod(n, 3L) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
         MediaRow(id, s"media://$id", t, text.getBytes("UTF-8"))
       }

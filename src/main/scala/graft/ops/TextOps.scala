@@ -78,10 +78,14 @@ object TextOps {
           greatest(length(text), lit(1)), 4))
       .withColumn("stopword_ratio",
         round(stopHits.cast("double") / greatest(nTok, lit(1)), 4))
+      // floor-quantized, not round()ed: the rounded inputs × decimal weights
+      // structurally land on .5 boundaries where Spark's BigDecimal-valueOf
+      // rounding and DuckDB's double rounding disagree; floor over identical
+      // doubles is engine-invariant
       .withColumn("quality_score",
-        round(least(nTok.cast("double") / 64.0, lit(1.0)) * 0.5 +
+        floor((least(nTok.cast("double") / 64.0, lit(1.0)) * 0.5 +
           col("stopword_ratio") * 0.3 +
-          (lit(1.0) - col("punct_ratio")) * 0.2, 4))
+          (lit(1.0) - col("punct_ratio")) * 0.2) * 10000) / 10000.0)
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —

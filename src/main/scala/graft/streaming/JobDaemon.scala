@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.crawl.{CrawlHooks, CrawlSession}
+import graft.model.ConfigLoader
+
+/** Z8: continuous queue-daemon mode — the reference's thread-pool poll loop
+  * over a job index (RiverWeb.java:163-223) re-expressed as Structured
+  * Streaming over a job-queue directory:
+  *
+  *   - one JSON file = one enqueued job `{config_id, session_id,
+  *     config_json}` (the ES `.river_web` queue doc analog);
+  *   - the file source's checkpointed offsets ARE the exactly-once claim
+  *     (S3): a job file is processed in exactly one micro-batch, the
+  *     streaming analog of the reference's delete-by-id claim
+  *     (RiverWeb.java:183-195);
+  *   - within a micro-batch jobs run in randomized order with a
+  *     deterministic seed (S2/T1: `functionScore(random(...))` poll order,
+  *     RiverWeb.java:175-182), `queue.parsing.size` chunking preserved as
+  *     processing order;
+  *   - each job is a full [[CrawlSession]] crawl (§3.2: job → crawl()).
+  *
+  * Idle shutdown (Z5, `--queue-timeout`) maps to the caller stopping the
+  * query (tests use Trigger.AvailableNow + awaitTermination).
+  */
+final class JobDaemon(
+    spark: SparkSession,
+    corpus: DataFrame,
+    robots: DataFrame,
+    workDir: String,
+    queueDir: String,
+    checkpointDir: String,
+    queueParsingSize: Int = 20,
+    hooks: CrawlHooks = CrawlHooks()) {
+
+  val jobSchema: StructType = new StructType()
+    .add("config_id", StringType)
+    .add("session_id", StringType)
+    .add("config_json", StringType)
+
+  @volatile private var completedJobs: List[(String, Long)] = Nil
+
+  /** (config_id, totalClaimed) per completed job, in processing order. */
+  def completed: Seq[(String, Long)] = completedJobs.reverse
+
+  def start(availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream.schema(jobSchema).json(queueDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val jobs = batch
+          .orderBy(rand(42), col("config_id")) // S2 randomized poll order
+          .collect()
+        jobs.grouped(queueParsingSize).foreach { chunk => // poll batch of 20
+          chunk.foreach { row =>
+            // a malformed job must not kill the daemon — the reference
+            // catches per job and keeps polling (RiverWeb.java:196-203)
+            try {
+              val configId = row.getAs[String]("config_id")
+              val configJson = row.getAs[String]("config_json")
+              require(configJson != null && configJson.nonEmpty, "missing config_json")
+              val sessionId = Option(row.getAs[String]("session_id"))
+                .filter(_.nonEmpty)
+                .getOrElse(java.util.UUID.randomUUID().toString)
+              val cfg = ConfigLoader.fromJson(configJson, sessionId)
+              val session = new CrawlSession(spark, cfg, corpus, robots, workDir,
+                recordOrder = false, hooks = hooks)
+              val result = session.run()
+              completedJobs = (configId, result.totalClaimed) :: completedJobs
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[daemon] skipping bad job ${row}: ${e.getMessage}")
+            }
+          }
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

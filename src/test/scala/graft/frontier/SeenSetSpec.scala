@@ -19,7 +19,7 @@ class SeenSetSpec extends AnyFunSuite {
 
   test("bloom path never drops a truly-new URL and equals the exact anti-join") {
     val seen = urlsDf(seenUrls)
-    val cand = urlsDf(candUrls)
+    val cand = urlsDf(candUrls).persist() // bloom routing requires materialized input
     val viaBloom = SeenSet.filterNew(cand, seen, seenUrls.size.toLong,
       maxBloomItems = 1000000L, fpp = 0.3) // high fpp to force exact-join fallbacks
     val got = viaBloom.select("url").collect().map(_.getString(0)).toSet
@@ -27,6 +27,15 @@ class SeenSetSpec extends AnyFunSuite {
 
     val viaExact = SeenSet.filterNew(cand, seen, seenUrls.size.toLong, maxBloomItems = 0L)
     assert(viaExact.select("url").collect().map(_.getString(0)).toSet == trulyNew)
+    cand.unpersist()
+  }
+
+  test("unpersisted candidates fall back to the plain anti-join (no recompute)") {
+    val seen = urlsDf(seenUrls)
+    val cand = urlsDf(candUrls) // not persisted → plain path
+    val got = SeenSet.filterNew(cand, seen, seenUrls.size.toLong)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(got == trulyNew)
   }
 
   test("hash collisions do not conflate distinct urls (url participates in the join)") {

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact dup of 1 mod case/ws
+    (4L, "completely different text about spark engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy dog")     // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates (keep min id)") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // {1,3,5} collapse to keep_id 1, count 3
+    assert(out == Set((1L, 3L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("minhash signature: identical texts identical, near-dups mostly agree") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree >= 8, s"near-dup signature agreement too low: $agree/16")
+    val agreeFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agreeFar <= 4, s"far pair agreement too high: $agreeFar/16")
+  }
+
+  test("minhash LSH surfaces the near-dup pair and verifies similarity") {
+    val pairs = Dedup.minhashNearDups(docs, minSignatureSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: hamming 0 for identical, small for near-dup, large for far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(5L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: dup pair ~1.0, near-dup high, far pair absent") {
+    val j = Dedup.ngramJaccard(docs, k = 3, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 5L)) == 1.0)
+    assert(j((1L, 2L)) > 0.5)
+    assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dups find the planted pair") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),
+      (2L, Seq(0.9f, 0.05f, 0.0f, 0.21f)), // ~parallel to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: self is rank 1 with cosine 1.0; k rows out") {
+    val q = embs.filter($"vec_id" === 7)
+      .select(transform($"embedding", x => x.cast("double"))).head().getSeq[Double](0)
+    val top = Similarity.bruteForceTopK(embs, q, 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 1.0)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH buckets are deterministic and lshTopK keeps exact distances") {
+    val dim = embs.select(size($"embedding")).head().getInt(0)
+    val b1 = Similarity.lshBuckets(embs, 8, dim).select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Similarity.lshBuckets(embs, 8, dim).select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 == b2)
+    val q = embs.filter($"vec_id" === 0)
+      .select(transform($"embedding", x => x.cast("double"))).head().getSeq[Double](0)
+    val ann = Similarity.lshTopK(Similarity.lshBuckets(embs, 8, dim), q, 5, 8).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 0L) // query always in own bucket
+    // exact re-rank: every reported cosine matches brute force for that id
+    val brute = Similarity.bruteForceTopK(embs, q, embs.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the dominant lexicon, und for no hits, tie→first") {
+    val df = Seq(
+      "the cat is in the house and it is fine",   // en
+      "der hund ist nicht zu haus und das ist ok", // de
+      "xyzzy qwerty asdf",                         // und
+      "the der"                                    // tie en/de → en (first)
+    ).toDF("text").select(TextOps.langId($"text").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und", "en"))
+  }
+
+  test("quality features are bounded and deterministic") {
+    val out = TextOps.qualityFeatures(
+      Seq((1L, "the quick, brown fox! is very lazy today")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 8)
+    assert(out.getAs[Double]("punct_ratio") > 0 && out.getAs[Double]("punct_ratio") < 0.2)
+    assert(out.getAs[Double]("stopword_ratio") == 0.25) // the, is
+    val q = out.getAs[Double]("quality_score")
+    assert(q > 0 && q <= 1)
+  }
+
+  test("fingerprints: whitespace/case-invariant md5; rolling is order-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "world hello")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.fingerprint($"text").as("fp"),
+        TextOps.rollingFingerprint($"text").as("rfp"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == rows(2L)._1) // md5 normalizes case+ws
+    assert(rows(2L)._1 != rows(3L)._1)
+    assert(rows(2L)._2 != rows(3L)._2) // rolling hash sees order
+  }
+
+  test("token counts: bpe-ish splits punctuation, whitespace does not") {
+    val out = Seq((1L, "don't stop, believing 123!")).toDF("doc_id", "text")
+      .select(size(split($"text", "\\s+")).as("ws"),
+        TextOps.bpeishTokenCount($"text").as("bpe")).collect()(0)
+    assert(out.getInt(0) == 4)
+    assert(out.getInt(1) == 8) // don ' t | stop , | believing | 123 ! => 8
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  lazy val media = Multimodal.syntheticMedia(spark, docs)
+
+  test("decode: schema + deterministic metadata, balanced repartition") {
+    val out = Multimodal.decode(media, partitions = 4)
+    assert(out.rdd.getNumPartitions == 4)
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.media_type))
+      assert(r.byte_len > 0 && r.checksum != 0L)
+      if (r.media_type == "audio") assert(r.width == 0)
+      if (r.media_type == "image") assert(r.duration_ms == 0L)
+    }
+    // determinism
+    val again = Multimodal.decode(media, partitions = 2).collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("features: fixed-dim embedding feeds Similarity directly") {
+    val f = Multimodal.features(media, dim = 16)
+    assert(f.select(size($"embedding")).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    val planes = Similarity.lshBuckets(f, 4, 16, vecCol = "embedding")
+    assert(planes.select("bucket").distinct().count() > 1)
+  }
+
+  test("frameSample: n rows per non-image blob, offsets monotonic") {
+    val frames = Multimodal.frameSample(media, nFrames = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.length == 4)
+      val offs = fs.sortBy(_.frame_idx).map(_.frame_offset_ms)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    }
+    assert(byDoc.nonEmpty)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.corpus.SyntheticCorpus
+import graft.model.{ConfigLoader, UrlOps, WriteMode}
+
+class ConfigLoaderSpec extends AnyFunSuite {
+  test("parses the reference config shape (S1/F12) with lenient coercion") {
+    val json =
+      """{ "index": "webindex", "url": ["http://h1.example.com/page/1"],
+        |  "include_urls": [".*example.*"], "exclude_urls": [".*\\.png"],
+        |  "max_depth": "3", "max_access_count": 50, "num_of_thread": 4,
+        |  "interval": 500, "overwrite": "true", "robots_txt": false,
+        |  "target": [ { "pattern": { "url": ".*/page/.*" },
+        |    "properties": {
+        |      "title": { "text": "title", "trim_spaces": true },
+        |      "nav.menus": { "text": "nav-li", "is_array": true, "is_distinct": true },
+        |      "img": { "attr": "img" },
+        |      "label": { "value": "x" },
+        |      "first_h2": { "text": "h2", "eq": 0 },
+        |      "up": { "text": "h2", "script": { "name": "upper" } } } } ] }""".stripMargin
+    val cfg = ConfigLoader.fromJson(json, "s1")
+    assert(cfg.seeds == Seq("http://h1.example.com/page/1"))
+    assert(cfg.maxDepth == 3) // string "3" coerced (F12)
+    assert(cfg.maxAccessCount == 50)
+    assert(cfg.mode == WriteMode.Overwrite) // string "true" coerced
+    assert(!cfg.robotsTxt)
+    assert(cfg.hostBudgetPerRound == 8) // 4 threads / 500ms = 8 per second-window
+    val props = cfg.rules.head.properties.map(p => p.name -> p).toMap
+    assert(props("title").trimSpaces)
+    assert(props("nav.menus").isArray && props("nav.menus").isDistinct)
+    assert(props("img").extraction == graft.model.Extraction.SpanRef("img", None))
+    assert(props("label").extraction == graft.model.Extraction.Value(Seq("x")))
+    assert(props("first_h2").extraction ==
+      graft.model.Extraction.SpanText("h2", Some(graft.model.Positional.Eq(0))))
+    assert(props("up").transform.contains(graft.model.NamedTransform.Upper))
+  }
+}
+
+/** Z8 daemon: streaming job-queue claims each job exactly once (checkpointed
+  * offsets = the reference's delete-on-claim, RiverWeb.java:183-195) and
+  * runs a full crawl per job (RiverWeb.java:163-223).
+  */
+class JobDaemonSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("daemon claims queued jobs exactly once and crawls each") {
+    val b = SyntheticCorpus.Builder(n = 60, hostCount = 5)
+    val corpus = b.corpus(spark).toDF()
+    val robots = b.robots(spark).toDF()
+    val base = TestSpark.tmpDir("daemon")
+    val queueDir = s"$base/queue"; Files.createDirectories(Paths.get(queueDir))
+    val cdf = SyntheticCorpus.zipfCdf(5, 1.1)
+    def seedOf(i: Long) = UrlOps.canonicalize(
+      SyntheticCorpus.urlOf(i, SyntheticCorpus.hostOfDoc(i, 42L, cdf)))
+    def job(id: String, seedIdx: Long, budget: Int): String =
+      s"""{"config_id":"$id","session_id":"$id","config_json":
+         |"{\\"url\\":[\\"${seedOf(seedIdx)}\\"],\\"max_depth\\":1,
+         |\\"max_access_count\\":$budget,\\"robots_txt\\":false,
+         |\\"target\\":[{\\"pattern\\":{\\"url\\":\\".*/page/.*\\"},
+         |\\"properties\\":{\\"title\\":{\\"text\\":\\"title\\"}}}]}"}"""
+        .stripMargin.replace("\n", "")
+
+    Files.writeString(Paths.get(s"$queueDir/j1.json"), job("jobA", 0L, 5))
+    Files.writeString(Paths.get(s"$queueDir/j2.json"), job("jobB", 3L, 4))
+
+    val daemon = new JobDaemon(spark, corpus, robots, s"$base/work", queueDir,
+      s"$base/ckpt")
+    val q = daemon.start(availableNow = true)
+    q.awaitTermination(120000)
+    assert(daemon.completed.map(_._1).sorted == Seq("jobA", "jobB"))
+    assert(daemon.completed.forall(_._2 > 0))
+
+    // exactly-once claim: restarting over the same checkpoint reprocesses nothing
+    val daemon2 = new JobDaemon(spark, corpus, robots, s"$base/work", queueDir,
+      s"$base/ckpt")
+    val q2 = daemon2.start(availableNow = true)
+    q2.awaitTermination(120000)
+    assert(daemon2.completed.isEmpty)
+
+    // a newly enqueued job is picked up by the next run
+    Files.writeString(Paths.get(s"$queueDir/j3.json"), job("jobC", 7L, 3))
+    val daemon3 = new JobDaemon(spark, corpus, robots, s"$base/work", queueDir,
+      s"$base/ckpt")
+    val q3 = daemon3.start(availableNow = true)
+    q3.awaitTermination(120000)
+    assert(daemon3.completed.map(_._1) == Seq("jobC"))
+  }
+}
