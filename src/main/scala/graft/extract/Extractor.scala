@@ -42,17 +42,17 @@ object Extractor {
     "httpStatusCode", "contentLength", "executionTime", "lastModified")
 
   /** ordered texts of spans of `kind` — the CSS-select analog (F3/F4).
-    * Spans are stored in document order (offset dense asc), so `filter`
+    * Spans are stored in document order (offset dense asc), so selection
     * preserves the reference's jsoup DOM order (ScrapingTransformer.java:408-423).
+    * Implemented as the fused codegen expression [[graft.functions.SpanField]]
+    * (HOF lambdas would break the whole-stage-codegen span).
     */
   def spanTexts(spans: Column, kind: String): Column =
-    transform(filter(spans, s => s.getField("kind") === lit(kind)),
-      s => s.getField("text"))
+    graft.functions.SpanField.spanField(spans, kind, "text", trimSpaces = false)
 
   /** ordered media refs of spans of `kind` — attr(src/href)/absUrl analog (F5). */
   def spanRefs(spans: Column, kind: String): Column =
-    transform(filter(spans, s => s.getField("kind") === lit(kind)),
-      s => s.getField("media_ref"))
+    graft.functions.SpanField.spanField(spans, kind, "media_ref", trimSpaces = false)
 
   /** :eq/:lt/:gt positional selection over an ordered array (T4;
     * ScrapingTransformer.java:467-499). `slice` is out-of-bounds-safe, so
@@ -91,21 +91,36 @@ object Extractor {
     array_join(
       filter(transform(spans, s => s.getField("text")), x => x.isNotNull), " ")
 
-  /** The array value of one property rule, before array/scalar shaping. */
+  /** The array value of one property rule, before array/scalar shaping.
+    * trim_spaces fuses into the SpanField expression when there is no
+    * positional selector; with one, trimming must happen AFTER positional
+    * selection (the reference trims element text post-select, so blank-drop
+    * must not shift :eq/:lt/:gt indices).
+    */
   private def rawArray(spans: Column, pr: PropertyRule): Column = {
-    val base = pr.extraction match {
-      case Extraction.SpanText(kind, pos) =>
-        pos.foldLeft(spanTexts(spans, kind))((a, p) => positional(a, p))
-      case Extraction.SpanRef(kind, pos) =>
-        pos.foldLeft(spanRefs(spans, kind))((a, p) => positional(a, p))
-      case Extraction.Value(vs) => array(vs.map(lit): _*)
-      case Extraction.Source => array(sourceText(spans))
+    def spanSide(kind: String, field: String, pos: Option[Positional]): Column =
+      pos match {
+        case None =>
+          graft.functions.SpanField.spanField(spans, kind, field, pr.trimSpaces)
+        case Some(p) =>
+          val selected = positional(
+            graft.functions.SpanField.spanField(spans, kind, field, trimSpaces = false), p)
+          if (pr.trimSpaces) trimSpacesArr(selected) else selected
+      }
+    val trimmed = pr.extraction match {
+      case Extraction.SpanText(kind, pos) => spanSide(kind, "text", pos)
+      case Extraction.SpanRef(kind, pos) => spanSide(kind, "media_ref", pos)
+      case Extraction.Value(vs) =>
+        val base = array(vs.map(lit): _*)
+        if (pr.trimSpaces) trimSpacesArr(base) else base
+      case Extraction.Source =>
+        val base = array(sourceText(spans))
+        if (pr.trimSpaces) trimSpacesArr(base) else base
       case Extraction.Base64Data(maxSize) =>
         // attachment: base64 of the page text bytes, size-gated (P7/F6)
         val src = sourceText(spans)
         array(when(length(src) <= maxSize, base64(src.cast("binary"))))
     }
-    val trimmed = if (pr.trimSpaces) trimSpacesArr(base) else base
     val distinct = if (pr.isDistinct) array_distinct(trimmed) else trimmed
     pr.transform.fold(distinct)(t => transform(distinct, x => applyTransform(x, t)))
   }
