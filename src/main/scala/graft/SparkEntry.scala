@@ -55,6 +55,46 @@ object SparkEntry {
     session.docsTable.read().select("url", "parentUrl", "title", "headings", "@timestamp")
   }
 
+  // --- interleaved spans view of the driver's documents table ---------------
+  //
+  // Deterministic token→span synthesis shared with the DuckDB oracles: token
+  // at 0-based position p becomes a span of kind (title,h2,p,a,img)[p%5];
+  // `a`/`img` spans carry a derived media_ref. This puts the driver-verified
+  // extraction queries on exactly the input_hint shape
+  // (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+
+  private def spanified(s: SparkSession, dir: String): DataFrame = {
+    val kinds = typedLit(Seq("title", "h2", "p", "a", "img"))
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").filter(length(col("text")) > 0).select(
+      concat(lit("http://d/"), col("doc_id")).as("url"),
+      lit("seed").as("parentUrl"), lit(0).as("depth"),
+      lit("GET").as("method"), lit("text/html").as("mimeType"),
+      lit("UTF-8").as("charSet"), lit(200).as("httpStatusCode"),
+      lit(0L).as("contentLength"), lit(0L).as("executionTime"),
+      lit(0L).as("lastModified"),
+      transform(toks, (x, i) => struct(
+        element_at(kinds, pmod(i, lit(5)).cast("int") + 1).as("kind"),
+        x.as("text"),
+        when(pmod(i, lit(5)) >= 3,
+          concat(lit("http://m/"), x, lit("/"), i.cast("string")))
+          .cast("string").as("media_ref"),
+        i.cast("int").as("offset"))).as("spans"))
+  }
+
+  /** shared oracle CTEs for the spanified view (token lists per kind). */
+  private val spanCtes =
+    """toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |  unnest(range(0, len(string_split(text,' ')))) AS pos
+      |  FROM documents WHERE length(text) > 0),
+      |lists AS (SELECT doc_id,
+      |  list(tok ORDER BY pos) FILTER (pos%5=0) AS title,
+      |  list(tok ORDER BY pos) FILTER (pos%5=1) AS h2,
+      |  list(tok ORDER BY pos) FILTER (pos%5=2) AS p,
+      |  list('http://m/'||tok||'/'||pos ORDER BY pos) FILTER (pos%5=3) AS a,
+      |  list('http://m/'||tok||'/'||pos ORDER BY pos) FILTER (pos%5=4) AS img
+      |  FROM toks GROUP BY doc_id)""".stripMargin
+
   // --- the queries map -------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,7 +105,7 @@ object SparkEntry {
 
     // P1: include-URL regex filter
     "q_p1_include" -> ((s, d) => t(s, d, "documents")
-      .filter(col("text").rlike("crawl .*bloom") && col("lang").isin("en", "de"))
+      .filter(col("text").rlike("merge .*batch") && col("lang").isin("en", "de"))
       .select("doc_id", "lang")),
 
     // P2: exclude filter
@@ -82,9 +122,10 @@ object SparkEntry {
       .filter(col("rule_id").isNotNull)
       .groupBy("rule_id").agg(count(lit(1)).as("n"))),
 
-    // J1: URL-seen anti-join analog
+    // J1: URL-seen anti-join analog (seen = high-value orders so the
+    // survivor set is non-trivial at every SF)
     "q_j1_seen_antijoin" -> ((s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"),
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")),
 
@@ -316,6 +357,141 @@ object SparkEntry {
         .select(col("doc_id"), col("media_ref"), size(col("embedding")).as("dim"))
     }),
 
+    // --- extraction pipeline over the interleaved spans shape ----------------
+    // F3 span-kind dispatch + F7 literal value + F8 source + F9 dotted-key
+    // nesting + A1 order-preserving distinct + F2 join + P6 metadata — all
+    // through the REAL config-compiled Extractor.
+    "q_extract_pipeline" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("title", SpanText("title"), trimSpaces = true),
+          PropertyRule("meta.words", SpanText("h2"), isArray = true, isDistinct = true),
+          PropertyRule("meta.tag", Value(Seq("graft", "v1"))),
+          PropertyRule("src", Source)))))
+      graft.extract.Extractor.extract(spanified(s, d), cfg).select(
+        col("url"), col("mimeType"), col("httpStatusCode").cast("int").as("status"),
+        col("title"),
+        array_join(col("meta.words"), " ").as("meta_words"),
+        col("meta.tag").as("meta_tag"), col("src"))
+    }),
+
+    // F4/T4 positional pseudo-selectors + F5 attr/media_ref extraction
+    "q_extract_positional" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("h2_eq1", SpanText("h2", Some(Positional.Eq(1)))),
+          PropertyRule("p_lt2", SpanText("p", Some(Positional.Lt(2))), isArray = true),
+          PropertyRule("img_gt0", SpanRef("img", Some(Positional.Gt(0))), isArray = true)))))
+      graft.extract.Extractor.extract(spanified(s, d), cfg).select(
+        col("url"), col("h2_eq1"),
+        array_join(col("p_lt2"), " ").as("p_lt2"),
+        array_join(col("img_gt0"), " ").as("img_gt0"))
+    }),
+
+    // X1: whitelisted per-element value-rewrite transforms (script analog)
+    "q_x1_transform" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("up", SpanText("p"), isArray = true,
+            transform = Some(NamedTransform.Upper)),
+          PropertyRule("flag", SpanText("title"),
+            transform = Some(NamedTransform.ContainsFlag("a"))),
+          PropertyRule("ext", SpanText("h2"),
+            transform = Some(NamedTransform.RegexExtract("^(.).*", 1)))))))
+      graft.extract.Extractor.extract(spanified(s, d), cfg).select(
+        col("url"), array_join(col("up"), " ").as("up"), col("flag"), col("ext"))
+    }),
+
+    // X4: []-group zip-explode through the real Extractor (list member +
+    // scalar member only on position 0) + F9 nesting of the group name
+    "q_x4_group_explode" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("[]g.t", SpanText("p"), isArray = true),
+          PropertyRule("[]g.n", SpanText("title"))))))
+      graft.extract.Extractor.extract(spanified(s, d), cfg).select(
+        col("url"), col("position").cast("long").as("position"),
+        col("g.t").as("g_t"), col("g.n").as("g_n"))
+    }),
+
+    // X5/U2/U3: child-link emission — explicit is_child properties REPLACE
+    // default anchor extraction; per-page distinct + blank/self removal
+    "q_u3_children" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(
+          ScrapingRule(".*[02468]", properties = Seq(
+            PropertyRule("c", SpanRef("img"), isArray = true, isChild = true))),
+          ScrapingRule(".*")))
+      graft.extract.Extractor.childLinks(spanified(s, d), cfg)
+        .select("parentUrl", "child")
+    }),
+
+    // A3: zip-explode width = max list size across array properties
+    "q_a3_max_width" -> ((s, d) => {
+      val sp = col("spans")
+      spanified(s, d).select(col("url"),
+        greatest(
+          size(graft.extract.Extractor.spanTexts(sp, "p")),
+          size(graft.extract.Extractor.spanRefs(sp, "img")),
+          lit(1)).cast("long").as("width"))
+    }),
+
+    // S4/F13: seed insert — messy seeds ∪ discovered candidates,
+    // canonicalize → hash → dedup
+    "q_s4_seed_insert" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Seq(
+        "HTTP://Seed.example.com:80/s/1#f",
+        "http://seed.example.com/s/1/",
+        "http://seed.example.com/s/2").toDF("raw")
+      val cand = t(s, d, "events").select(concat(
+        lit("HTTP://E"), pmod(col("user_id"), lit(7)).cast("string"),
+        lit(".com:80/e/"), pmod(col("event_id"), lit(500)).cast("string"),
+        lit("#x")).as("raw"))
+      seeds.unionByName(cand)
+        .select(UrlOps.canonicalizeCol(col("raw")).as("url"))
+        .withColumn("urlHash", UrlOps.urlHashCol(col("url")))
+        .dropDuplicates("urlHash")
+        .select("url")
+    }),
+
+    // J4: fetch = broadcast join of a small claim batch into the corpus
+    "q_j4_fetch_broadcast" -> ((s, d) => {
+      val claim = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(17)) === 0 && length(col("text")) > 0)
+        .select(concat(lit("http://d/"), col("doc_id")).as("url"))
+      spanified(s, d).join(broadcast(claim), Seq("url"))
+        .select(col("url"), size(col("spans")).cast("long").as("n_spans"))
+    }),
+
+    // IVF coarse-quantizer ANN: assign to nearest of 8 centroids, probe the
+    // query's 2 nearest cells, exact re-rank
+    "q_sim_ivf_ann" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val cents = Similarity.ivfCentroids(embs, 8)
+      val q = embs.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), q, cents, 10, 2)
+    }),
+
+    // S6: sitemap pages bypass extraction; their sitemap-loc refs become
+    // children (rows-only: the corpus is engine-synthesized, not a driver table)
+    "q_s6_sitemap" -> ((s, _) => {
+      val corpus = SyntheticCorpus.Builder(n = 2000, hostCount = 20).corpus(s).toDF()
+      corpus.filter(col("doc_id").rlike(".*/sitemap/.*"))
+        .select(col("doc_id").as("url"),
+          explode(graft.extract.Extractor.spanRefs(col("spans"), "sitemap-loc")).as("child"))
+    }),
+
+    // multimodal frame sampling plumbing (rows-only: fake codec)
+    "q_mm_frames" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, t(s, d, "documents").filter(col("doc_id") < 60))
+      Multimodal.frameSample(media, nFrames = 4).toDF()
+        .select(col("doc_id"), col("media_ref"), col("frame_idx"),
+          col("frame_offset_ms"), length(col("frame_bytes")).as("frame_len"))
+    }),
+
     // full engine crawl (rows-only; parity is asserted against the oracle in sbt test)
     "q_crawl_e2e" -> ((s, _) => runCrawl(s, n = 300, budget = 80)
       .select("url", "parentUrl", "title"))
@@ -404,7 +580,7 @@ object SparkEntry {
       "SELECT event_id, user_id FROM events ORDER BY (event_id*2654435761)%4294967296, event_id LIMIT 20",
 
     "q_p1_include" ->
-      "SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'crawl .*bloom') AND lang IN ('en','de')",
+      "SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'merge .*batch') AND lang IN ('en','de')",
 
     "q_p2_exclude" ->
       "SELECT doc_id, source FROM documents WHERE NOT regexp_matches(text, 'spark|window')",
@@ -417,7 +593,7 @@ object SparkEntry {
         |  FROM documents) WHERE rule_id IS NOT NULL GROUP BY rule_id""".stripMargin,
 
     "q_j1_seen_antijoin" ->
-      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)",
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)",
 
     "q_j2_incremental" ->
       """SELECT o_orderkey FROM orders o
@@ -560,6 +736,88 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_fingerprint" -> rollingFpOracle,
+
+    "q_extract_pipeline" ->
+      s"""WITH $spanCtes,
+        |aggs AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title FROM toks GROUP BY doc_id),
+        |dw AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY fp) AS mw FROM (
+        |  SELECT doc_id, tok, min(pos) AS fp FROM toks WHERE pos%5=1 GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT 'http://d/'||b.doc_id AS url, 'text/html' AS "mimeType",
+        |  CAST(200 AS INT) AS status,
+        |  coalesce(aggs.title, '') AS title,
+        |  coalesce(dw.mw, '') AS meta_words,
+        |  'graft v1' AS meta_tag, b.text AS src
+        |FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) b
+        |LEFT JOIN aggs ON aggs.doc_id = b.doc_id
+        |LEFT JOIN dw ON dw.doc_id = b.doc_id""".stripMargin,
+
+    "q_extract_positional" ->
+      s"""WITH $spanCtes
+        |SELECT 'http://d/'||doc_id AS url,
+        |  coalesce(h2[2], '') AS h2_eq1,
+        |  coalesce(array_to_string(p[1:2], ' '), '') AS p_lt2,
+        |  coalesce(array_to_string(img[2:len(img)], ' '), '') AS img_gt0
+        |FROM lists""".stripMargin,
+
+    "q_x1_transform" ->
+      s"""WITH $spanCtes
+        |SELECT 'http://d/'||doc_id AS url,
+        |  coalesce(array_to_string(list_transform(p, x -> upper(x)), ' '), '') AS up,
+        |  coalesce(array_to_string(list_transform(title,
+        |    x -> CASE WHEN contains(x, 'a') THEN 'true' ELSE 'false' END), ' '), '') AS flag,
+        |  coalesce(array_to_string(list_transform(h2,
+        |    x -> regexp_extract(x, '^(.).*', 1)), ' '), '') AS ext
+        |FROM lists""".stripMargin,
+
+    "q_x4_group_explode" ->
+      s"""WITH $spanCtes
+        |SELECT 'http://d/'||doc_id AS url, CAST(pos2 AS BIGINT) AS position,
+        |  p[pos2+1] AS g_t,
+        |  CASE WHEN pos2 = 0 THEN coalesce(array_to_string(title, ' '), '') END AS g_n
+        |FROM (SELECT doc_id, p, title,
+        |  unnest(range(0, greatest(coalesce(len(p), 0), 1))) AS pos2 FROM lists)""".stripMargin,
+
+    "q_u3_children" ->
+      s"""WITH $spanCtes
+        |SELECT 'http://d/'||doc_id AS parentUrl, unnest(img) AS child FROM lists WHERE doc_id%2 = 0
+        |UNION ALL
+        |SELECT 'http://d/'||doc_id AS parentUrl, unnest(a) AS child FROM lists WHERE doc_id%2 = 1""".stripMargin,
+
+    "q_a3_max_width" ->
+      s"""WITH $spanCtes
+        |SELECT 'http://d/'||doc_id AS url,
+        |  CAST(greatest(coalesce(len(p), 0), coalesce(len(img), 0), 1) AS BIGINT) AS width
+        |FROM lists""".stripMargin,
+
+    "q_s4_seed_insert" ->
+      """SELECT DISTINCT 'http://e'||CAST(user_id%7 AS VARCHAR)||'.com/e/'||CAST(event_id%500 AS VARCHAR) AS url FROM events
+        |UNION SELECT 'http://seed.example.com/s/1' UNION SELECT 'http://seed.example.com/s/2'""".stripMargin,
+
+    "q_j4_fetch_broadcast" ->
+      """SELECT 'http://d/'||doc_id AS url,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_spans
+        |FROM documents WHERE doc_id%17 = 0 AND length(text) > 0""".stripMargin,
+
+    "q_sim_ivf_ann" ->
+      s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+        |cdots AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
+        |    round(sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE))/(na.nrm*nb.nrm), 6) AS cos
+        |  FROM v a JOIN v b ON a.i = b.i AND b.vec_id < 8
+        |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |assign AS (SELECT vec_id, c_id FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+        |  FROM cdots) WHERE rn = 1),
+        |probes AS (SELECT c_id FROM cdots WHERE vec_id = 0 ORDER BY cos DESC, c_id LIMIT 2),
+        |cand AS (SELECT vec_id FROM assign WHERE c_id IN (SELECT c_id FROM probes)),
+        |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(q.e AS DOUBLE)) AS d
+        |  FROM v JOIN v q ON v.i = q.i AND q.vec_id = 0
+        |  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id)
+        |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
+        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -48,7 +48,7 @@ case class SpanField(
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val out = SpanField.collect(arr, UTF8String.fromString(kind),
+    val out = SpanField.collectSpans(arr, UTF8String.fromString(kind),
       kindIdx, fieldIdx, numFields, trimSpaces)
     new GenericArrayData(out)
   }
@@ -58,7 +58,7 @@ case class SpanField(
       classOf[UTF8String].getName)
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.SpanField.collect($c, $kindRef, $kindIdx, $fieldIdx, " +
+        s"graft.functions.SpanField.collectSpans($c, $kindRef, $kindIdx, $fieldIdx, " +
         s"$numFields, $trimSpaces))")
   }
 
@@ -72,7 +72,7 @@ object SpanField {
   /** single-pass select+project(+normalize) over a spans array; shared by
     * interpreted eval and generated code.
     */
-  def collect(arr: ArrayData, kind: UTF8String, kindIdx: Int, fieldIdx: Int,
+  def collectSpans(arr: ArrayData, kind: UTF8String, kindIdx: Int, fieldIdx: Int,
       numFields: Int, trimSpaces: Boolean): Array[AnyRef] = {
     val n = arr.numElements()
     val buf = new java.util.ArrayList[AnyRef](8)

@@ -96,4 +96,74 @@ object Similarity {
     val cand = bucketed.filter(col("bucket").isInCollection(probes))
     bruteForceTopK(cand, query, k, idCol, vecCol)
   }
+
+  // --- IVF (inverted-file) coarse quantizer --------------------------------
+  //
+  // The second scale path: partition the corpus into `nCentroids` cells by
+  // nearest centroid; a query probes only the `nProbe` cells nearest to it
+  // and re-ranks exactly. At 100 TB the assignment is a one-time map-side
+  // pass (centroids broadcast — they are always tiny), the assigned table is
+  // written partitioned by `centroid`, and each query becomes a
+  // partition-pruned scan of nProbe/nCentroids of the data.
+  //
+  // Centroid "training" is a deterministic stand-in (the first nCentroids
+  // vectors by id) — a k-means step would slot in without changing the
+  // assignment/probe plan, which is what this exercises.
+
+  /** driver-side centroid set: (centroid_id, unit-direction vector). */
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** nearest-centroid id for a vector column: argmax of rounded cosine,
+    * smallest centroid id on ties (deterministic; the rounding keeps the
+    * tie-break portable across evaluation orders). Pure map-side expression —
+    * centroids ride into the plan as literals (broadcast analog).
+    */
+  def ivfAssignCol(v: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    val vd = asDouble(v)
+    val scored = centroids.map { case (id, c) =>
+      struct(
+        round(cosine(vd, typedLit(c)), 6).as("cos"),
+        lit(-id).as("negId"))
+    }
+    -array_max(array(scored: _*)).getField("negId")
+  }
+
+  /** corpus → (…, centroid) — the write-once side of the IVF path. */
+  def ivfAssign(embeddings: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn("centroid", ivfAssignCol(col(vecCol), centroids))
+
+  /** the nProbe centroid ids nearest to `query` (rounded cosine desc, id asc). */
+  def ivfProbes(query: Seq[Double], centroids: Seq[(Long, Seq[Double])],
+      nProbe: Int): Seq[Long] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    centroids.map { case (id, c) =>
+      (BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+    }.sortBy { case (c, id) => (-c, id) }.take(nProbe).map(_._2)
+  }
+
+  /** IVF-accelerated top-k: probe nProbe cells, re-rank exactly. */
+  def ivfTopK(
+      assigned: DataFrame,
+      query: Seq[Double],
+      centroids: Seq[(Long, Seq[Double])],
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probes = ivfProbes(query, centroids, nProbe)
+    bruteForceTopK(assigned.filter(col("centroid").isInCollection(probes)),
+      query, k, idCol, vecCol)
+  }
 }

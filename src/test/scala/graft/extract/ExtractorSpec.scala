@@ -145,4 +145,29 @@ class ExtractorSpec extends AnyFunSuite {
     val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
     assert(r.getAs[String]("which") == "first")
   }
+
+  test("custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // regression: a companion helper shadowed by an inherited TreeNode method
+    // loses its static forwarder, janino fails, and Spark silently drops the
+    // whole extraction to interpreted eval — correctness survives, the
+    // codegen hot path doesn't.
+    // generate + janino-compile the projection code directly — the query
+    // path masks compile failures with interpreted fallback regardless of
+    // spark.sql.codegen.fallback / factoryMode
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    val spanType = ArrayType(StructType(Seq(
+      StructField("kind", StringType), StructField("text", StringType),
+      StructField("media_ref", StringType), StructField("offset", IntegerType))))
+    val exprs = Seq(
+      graft.functions.SpanField(BoundReference(0, spanType, nullable = true),
+        "p", "text", trimSpaces = true),
+      graft.functions.CanonicalizeUrl(BoundReference(1, StringType, nullable = true)),
+      graft.functions.HostOf(BoundReference(1, StringType, nullable = true)))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws on janino failure
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      null, org.apache.spark.unsafe.types.UTF8String.fromString("HTTP://X.com:80/a/")))
+    assert(proj(row).getUTF8String(1).toString == "http://x.com/a")
+  }
 }

@@ -103,6 +103,29 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
   }
+
+  test("IVF: deterministic assignment, self in probed cell, exact re-rank") {
+    val cents = Similarity.ivfCentroids(embs, 8)
+    assert(cents.map(_._1) == (0L until 8L))
+    val assigned = Similarity.ivfAssign(embs, cents)
+    // every vector lands in exactly one existing cell; assignment is stable
+    val a1 = assigned.select("vec_id", "centroid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a2 = Similarity.ivfAssign(embs, cents).select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a1 == a2)
+    assert(a1.values.toSet.subsetOf(cents.map(_._1).toSet))
+    // a centroid vector is assigned to itself (cosine 1.0 with itself)
+    assert(a1(3L) == 3L)
+    val q = embs.filter($"vec_id" === 5)
+      .select(transform($"embedding", x => x.cast("double"))).head().getSeq[Double](0)
+    val ann = Similarity.ivfTopK(assigned, q, cents, 5, 2).collect()
+    // q = vec 5 = centroid 5, so its own cell is probed first and contains it
+    assert(ann.nonEmpty && ann.head.getLong(0) == 5L && ann.head.getDouble(1) == 1.0)
+    val brute = Similarity.bruteForceTopK(embs, q, embs.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite {
