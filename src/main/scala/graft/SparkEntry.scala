@@ -512,6 +512,36 @@ object SparkEntry {
        |${branches.mkString(" UNION ALL ")}""".stripMargin
   }
 
+  /** DuckDB twin of [[Dedup.minhashNearDups]] defaults (k=3, 4 bands × 4
+    * rows, minSig 0.5) on doc_id < 150: band the 16-hash signature, bucket
+    * candidate pairs on identical band signatures, verify by exact
+    * signature agreement.
+    */
+  private def minhashLshOracle: String = {
+    val sigBranches = (0 until 16).map { j =>
+      val (a, b) = Dedup.minhashCoef(j)
+      s"SELECT doc_id, $j AS j, min((hh*$a+$b)%2147483647) AS mh FROM h GROUP BY doc_id"
+    }
+    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 150),
+       |shing AS (
+       |  SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS s
+       |  FROM (SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM base WHERE len(l) >= 3)
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(l, ' ') AS s FROM base WHERE len(l) < 3),
+       |h AS (SELECT doc_id, ${sqlHash("s")}%2147483647 AS hh FROM shing),
+       |sig AS (${sigBranches.mkString(" UNION ALL ")}),
+       |bands AS (SELECT doc_id, (j//4) AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bsig
+       |  FROM sig GROUP BY doc_id, (j//4)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |sims AS (SELECT p.id_a, p.id_b,
+       |    count(CASE WHEN sa.mh = sb.mh THEN 1 END)/16.0 AS sig_sim
+       |  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a
+       |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+       |  GROUP BY p.id_a, p.id_b)
+       |SELECT id_a, id_b, sig_sim FROM sims WHERE sig_sim >= 0.5""".stripMargin
+  }
+
   private def simhashOracle: String = {
     val sums = (0 until 16).map(b => s"sum(((h>>$b)&1)*2-1) AS s$b").mkString(", ")
     val comb = (0 until 16).map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)").mkString("+")
@@ -691,6 +721,8 @@ object SparkEntry {
 
     "q_dedup_minhash_sig" -> minhashOracle,
 
+    "q_dedup_minhash_lsh" -> minhashLshOracle,
+
     "q_dedup_simhash" -> simhashOracle,
 
     "q_dedup_jaccard" ->
@@ -818,6 +850,11 @@ object SparkEntry {
         |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
         |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
         |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  'media://'||CAST(doc_id AS VARCHAR) AS media_ref,
+        |  CAST(16 AS INT) AS dim FROM documents""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
