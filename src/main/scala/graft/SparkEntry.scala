@@ -36,15 +36,17 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = runCrawl(spark, n = 150, budget = 40)
 
-  private def runCrawl(spark: SparkSession, n: Long, budget: Long): DataFrame = {
+  private def runCrawl(spark: SparkSession, n: Long, budget: Long,
+      hostBudget: Int = 3): DataFrame = {
     val b = SyntheticCorpus.Builder(n = n, hostCount = 20)
-    val corpus = b.corpus(spark).toDF()
+    // the round loop scans the corpus every round — cache it once
+    val corpus = b.corpus(spark).toDF().persist()
     val cdf = SyntheticCorpus.zipfCdf(20, 1.1)
     val seed = UrlOps.canonicalize(
       SyntheticCorpus.urlOf(0L, SyntheticCorpus.hostOfDoc(0L, 42L, cdf)))
     val cfg = CrawlConfig(
       sessionId = "entry", seeds = Seq(seed),
-      maxDepth = 3, maxAccessCount = budget, hostBudgetPerRound = 3,
+      maxDepth = 3, maxAccessCount = budget, hostBudgetPerRound = hostBudget,
       rules = Seq(ScrapingRule(".*/page/.*", properties = Seq(
         PropertyRule("title", SpanText("title"), trimSpaces = true),
         PropertyRule("headings", SpanText("h2"), isArray = true, trimSpaces = true)))))
@@ -52,6 +54,7 @@ object SparkEntry {
     val session = new CrawlSession(spark, cfg, corpus, b.robots(spark).toDF(),
       work, recordOrder = false)
     session.run()
+    corpus.unpersist() // docs are read back from the snapshot table, not the corpus
     session.docsTable.read().select("url", "parentUrl", "title", "headings", "@timestamp")
   }
 
@@ -296,6 +299,11 @@ object SparkEntry {
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))),
 
+    // SimHash LSH near-dup pairs: block on bit-halves, verify exact Hamming
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents").filter(col("doc_id") < 200))
+        .withColumn("hamming", col("hamming").cast("long"))),
+
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
         k = 3, threshold = 0.2)),
@@ -493,7 +501,7 @@ object SparkEntry {
     }),
 
     // full engine crawl (rows-only; parity is asserted against the oracle in sbt test)
-    "q_crawl_e2e" -> ((s, _) => runCrawl(s, n = 300, budget = 80)
+    "q_crawl_e2e" -> ((s, _) => runCrawl(s, n = 300, budget = 80, hostBudget = 8)
       .select("url", "parentUrl", "title"))
   )
 
@@ -542,15 +550,36 @@ object SparkEntry {
        |SELECT id_a, id_b, sig_sim FROM sims WHERE sig_sim >= 0.5""".stripMargin
   }
 
-  private def simhashOracle: String = {
+  /** shared CTE chain computing (doc_id, sh) 16-bit simhash values —
+    * DuckDB twin of [[Dedup.simhash]] on doc_id < 200.
+    */
+  private def simhashCtes: String = {
     val sums = (0 until 16).map(b => s"sum(((h>>$b)&1)*2-1) AS s$b").mkString(", ")
     val comb = (0 until 16).map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)").mkString("+")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok
+    s"""toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok
        |  FROM documents WHERE doc_id < 200),
        |h AS (SELECT doc_id, CAST(${sqlHash("tok")} AS BIGINT) AS h FROM toks),
-       |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($comb AS BIGINT) AS sh FROM sums""".stripMargin
+       |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |shv AS (SELECT doc_id, CAST($comb AS BIGINT) AS sh FROM sums)""".stripMargin
   }
+
+  private def simhashOracle: String =
+    s"WITH $simhashCtes SELECT doc_id, sh FROM shv"
+
+  /** DuckDB twin of [[Dedup.simhashNearDups]] (bits=16, maxHamming=3):
+    * block on the two 8-bit halves, pair within blocks, verify by exact
+    * Hamming distance.
+    */
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCtes,
+       |blocks AS (
+       |  SELECT doc_id, sh, 0 AS blk, sh & 255 AS key FROM shv
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1 AS blk, sh >> 8 AS key FROM shv),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
   private def langidOracle: String = {
     def inList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("(", ",", ")")
@@ -724,6 +753,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> minhashLshOracle,
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_dedup_simhash_pairs" -> simhashPairsOracle,
 
     "q_dedup_jaccard" ->
       """WITH sh AS (SELECT DISTINCT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS shingle FROM (

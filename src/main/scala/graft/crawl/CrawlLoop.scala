@@ -211,9 +211,10 @@ final class CrawlSession(
       "processed" -> newProcessed.toString,
       "claimed" -> claimedCount.toString,
       "docsWritten" -> docsWritten.toString))
-    val (_, seenTotal) = seenTable.commitAppend(
+    val (seenV, seenTotal) = seenTable.commitAppend(
       newEntries.select("urlHash", "url"), Map("round" -> (round + 1).toString))
-    val newUrls = newEntries.count()
+    // new-URL count comes free from the seen-commit's segment metric
+    val newUrls = seenTable.metric(seenV, "segmentRows").map(_.toLong).getOrElse(0L)
 
     // round claim order for parity tests (small: ≤ claim batch)
     val order =

@@ -88,12 +88,14 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     val seg = v.toString
     val segDir = s"$root/segments/$seg"
     df.write.mode("overwrite").parquet(segDir)
-    // segment row count from parquet footers only — no data scan
-    val segRows = spark.read.parquet(segDir).count()
-    val prevRows = if (appendTo.isEmpty || isEmpty) 0L else rowsOf(currentVersion)
-    val rows = if (appendTo.isEmpty) segRows else prevRows + segRows
     val files = Files.list(Paths.get(segDir)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    // segment row count straight from the parquet footers on the driver —
+    // no Spark job (a count() per commit was ~3 driver round-trips per
+    // crawl round of pure scheduling overhead)
+    val segRows = files.map(f => footerRowCount(s"$segDir/$f")).sum
+    val prevRows = if (appendTo.isEmpty || isEmpty) 0L else rowsOf(currentVersion)
+    val rows = if (appendTo.isEmpty) segRows else prevRows + segRows
     val segs = appendTo :+ seg
     val metricsJson = (metrics ++ Map(
       "parentVersion" -> currentVersion.toString,
@@ -112,6 +114,14 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     (v, rows)
+  }
+
+  private def footerRowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Drop the whole table (S9 cleanup sink, RiverWeb.java:482-508). */

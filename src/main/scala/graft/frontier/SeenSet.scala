@@ -1,8 +1,12 @@
 package graft.frontier
 
-import org.apache.spark.sql.DataFrame
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
+
+import graft.model.FrontierEntry
 
 /** URL-seen filtering (J1) — the rebuild of fess-crawler's ES-backed
   * `EsUrlFilterService`/duplicate-id queue insert (RiverWeb.java:392-398).
@@ -57,5 +61,72 @@ object SeenSet {
     } else {
       candidates.join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
     }
+  }
+
+  /** The 10^10 upgrade path (SURVEY.md §7.5.3, DESIGN.md): hash-range-
+    * partitioned bloom routing. A single broadcast bloom caps at ~1e9 items
+    * (~1.2 GB at 3% fpp); beyond that, partition the seen set into
+    * `nRanges` ranges by `pmod(urlHash, nRanges)`, build one bloom PER
+    * RANGE in parallel (one shuffle of seen hashes), and `cogroup`
+    * candidates with their range's bloom — each task deserializes the
+    * blooms for its ranges once, never per row, and nothing is broadcast
+    * through the driver.
+    *
+    * Routing contract is identical to [[filterNew]]: `mightContain=false`
+    * proves newness (skips the exact join); `true` falls through to the
+    * exact `(urlHash, url)` anti-join. A false positive costs a probe,
+    * never a URL. When the crawl is in expansion phase (most candidates
+    * genuinely new) the exact join shrinks to the fpp + true-dup fraction;
+    * in a mature crawl (most candidates already seen) routing cannot help —
+    * a bloom can only prove absence — so the caller picks the path per
+    * round from the new-URL ratio of the previous round.
+    *
+    * Candidates must be materialized (persisted) by the caller: the routed
+    * set feeds two branches, exactly like [[filterNew]].
+    */
+  def filterNewRangePartitioned(
+      candidates: Dataset[FrontierEntry],
+      seen: DataFrame,
+      seenCount: Long,
+      nRanges: Int,
+      fpp: Double = 0.03): Dataset[FrontierEntry] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    def rangeOf(h: Long): Int = (((h % nRanges) + nRanges) % nRanges).toInt
+    val perRange = math.max(seenCount / nRanges * 2, 1000L)
+
+    // one bloom per hash range, built where the data lives
+    val blooms: Dataset[(Int, Array[Byte])] = seen
+      .select(col("urlHash")).as[Long]
+      .groupByKey(rangeOf)
+      .mapGroups { (r, hashes) =>
+        val bf = BloomFilter.create(perRange, fpp)
+        hashes.foreach(bf.putLong)
+        val out = new ByteArrayOutputStream()
+        bf.writeTo(out)
+        (r, out.toByteArray)
+      }
+
+    // route candidates against their range's bloom (co-grouped shuffle —
+    // bloom bytes deserialize once per range per task)
+    val routed: Dataset[(FrontierEntry, Boolean)] = candidates
+      .groupByKey(c => rangeOf(c.urlHash))
+      .cogroup(blooms.groupByKey(_._1)) { (_, candIt, bloomIt) =>
+        bloomIt.toSeq.headOption match {
+          case None => candIt.map(c => (c, false)) // empty range: all new
+          case Some((_, bytes)) =>
+            val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+            candIt.map(c => (c, bf.mightContainLong(c.urlHash)))
+        }
+      }
+
+    val definitelyNew = routed.filter(!_._2).map(_._1)
+    val maybeSeen = routed.filter(_._2).map(_._1)
+    val maybeNew = maybeSeen.toDF()
+      .join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+      .select("url", "urlHash", "host", "depth", "parentUrl")
+      .as[FrontierEntry]
+    definitelyNew.union(maybeNew)
   }
 }

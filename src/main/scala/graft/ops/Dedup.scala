@@ -58,9 +58,18 @@ object Dedup {
   /** MinHash signature: array of `numHashes` values, h_j = min over shingle
     * hashes s of (a_j·s + b_j) mod P. Computed per row over the shingle
     * array — no explode, no shuffle; one pass per document.
+    *
+    * NOTE for pipelines: this embeds the shingle-hash subtree once per hash
+    * function. Project the hashes first ([[shingleHashes]] in its own select)
+    * and call [[minhashSignatureFromHashes]] so the tokenize+shingle work is
+    * planned once — Catalyst keeps the projection boundary because the
+    * producer expression is non-cheap and referenced `numHashes` times.
     */
-  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16): Column = {
-    val hashes = shingleHashes(text, k)
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16): Column =
+    minhashSignatureFromHashes(shingleHashes(text, k), numHashes)
+
+  /** signature from a precomputed shingle-hash array column. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
     val sigs = (0 until numHashes).map { j =>
       val (a, b) = minhashCoef(j)
       aggregate(hashes, lit(MinhashP),
@@ -85,8 +94,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       minSignatureSim: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigd = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val sigd = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("__h"))
+      .select(col("id"), minhashSignatureFromHashes(col("__h"), numHashes).as("sig"))
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))

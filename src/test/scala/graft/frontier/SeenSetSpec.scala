@@ -38,6 +38,26 @@ class SeenSetSpec extends AnyFunSuite {
     assert(got == trulyNew)
   }
 
+  test("range-partitioned bloom path equals the exact anti-join (10^10 route)") {
+    import graft.model.FrontierEntry
+    def entries(urls: Seq[String]) = urls.map(u =>
+      FrontierEntry(u, UrlOps.urlHash(u), UrlOps.host(u), 1, "p"))
+    val seen = urlsDf(seenUrls)
+    val cand = spark.createDataset(entries(candUrls))(
+      org.apache.spark.sql.Encoders.product[FrontierEntry]).persist()
+    // urlsDf hashes with xxhash64(col) == UrlOps.urlHash — same function
+    val got = SeenSet.filterNewRangePartitioned(cand, seen, seenUrls.size.toLong,
+      nRanges = 8, fpp = 0.2) // high fpp: force plenty of exact-join fallthrough
+      .collect().map(_.url).toSet
+    assert(got == trulyNew)
+    // ranges with no seen rows must still pass candidates through
+    val gotManyRanges = SeenSet.filterNewRangePartitioned(cand, seen,
+      seenUrls.size.toLong, nRanges = 512)
+      .collect().map(_.url).toSet
+    assert(gotManyRanges == trulyNew)
+    cand.unpersist()
+  }
+
   test("hash collisions do not conflate distinct urls (url participates in the join)") {
     // two distinct urls forced onto the same hash value
     val seen = Seq(("http://a/1", 99L)).toDF("url", "urlHash")

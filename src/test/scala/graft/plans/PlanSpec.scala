@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.frontier.Politeness
+import graft.model._
+import graft.model.Extraction._
+
+/** Physical-plan contracts the 100 TB scale design depends on (DESIGN.md):
+  * these lock the *plan shape*, not just results, so a regression that keeps
+  * answers correct but silently changes the execution strategy still fails.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fetch join (J4) plans as broadcast hash join, never sort-merge") {
+    val corpus = graft.corpus.SyntheticCorpus.Builder(n = 200, hostCount = 10)
+      .corpus(spark).toDF()
+    val claimed = Seq("http://h0.example.com/page/1").toDF("url")
+    val plan = planOf(corpus.join(broadcast(claimed),
+      corpus("doc_id") === claimed("url")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val dir = TestSpark.tmpDir("pushdown")
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("id") < 2).select("id", "s")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(id,2)"), scan)
+    // column pruning: the value column never leaves the scan
+    assert(scan.contains("ReadSchema") && !scan.contains("struct<id:bigint,s:string,v:int>"), scan)
+  }
+
+  test("extraction pipeline stays inside whole-stage codegen (no UDF breaks)") {
+    val dir = TestSpark.tmpDir("plan-corpus")
+    graft.corpus.SyntheticCorpus.Builder(n = 50, hostCount = 5)
+      .corpus(spark).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val fetched = corpus.select(
+      col("doc_id").as("url"), lit("p").as("parentUrl"), lit(0).as("depth"),
+      xxhash64(col("doc_id")).as("urlHash"), lit("GET").as("method"),
+      lit("text/html").as("mimeType"), lit("UTF-8").as("charSet"),
+      lit(200).as("httpStatusCode"), lit(0L).as("contentLength"),
+      lit(0L).as("executionTime"), col("lastModified"), col("spans"))
+    val cfg = CrawlConfig(sessionId = "plan", seeds = Seq(),
+      rules = Seq(ScrapingRule(".*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true),
+        PropertyRule("body", SpanText("p"), isArray = true, trimSpaces = true)))))
+    val plan = planOf(graft.extract.Extractor.extract(fetched, cfg))
+    assert(plan.contains("*("), plan) // codegen'd nodes print as *(n)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("canonicalize+hash pipeline is codegen'd (no ScalaUDF in dedup path)") {
+    val df = spark.range(100)
+      .select(concat(lit("HTTP://A.example.com:80/x/"), col("id")).as("child"))
+      .select(UrlOps.canonicalizeCol(col("child")).as("url"))
+      .withColumn("urlHash", UrlOps.urlHashCol(col("url")))
+      .withColumn("host", UrlOps.hostCol(col("url")))
+    val plan = planOf(df)
+    assert(plan.contains("*("), plan) // codegen'd nodes print as *(n)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("global budget cap plans as TakeOrderedAndProject, not a full sort") {
+    val frontier = (0 until 100).map { i =>
+      val url = s"http://h${i % 5}.example.com/page/$i"
+      (url, UrlOps.urlHash(url), s"h${i % 5}.example.com", i % 3, "p")
+    }.toDF("url", "urlHash", "host", "depth", "parentUrl")
+    val plan = planOf(Politeness.claim(frontier, hostBudget = 4, remaining = 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
