@@ -50,13 +50,14 @@ object TextOps {
     val toks = tokens(text)
     def score(lex: Seq[String]): Column =
       size(filter(toks, t => t.isInCollection(lex)))
-    val scored = Lexicons.map { case (lang, lex) => (lang, score(lex)) }
-    // argmax with first-wins tie-break: fold keeping (bestLang, bestScore)
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl),
-        when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    // argmax with first-wins tie-break via array_position-of-max: each score
+    // subtree appears ONCE (a when-fold duplicates score trees exponentially
+    // in lexicon count — measurable in codegen size and compile time)
+    val scores = array(Lexicons.map { case (_, lex) => score(lex) }: _*)
+    val langs = typedLit(Lexicons.map(_._1))
+    val top = array_max(scores)
+    when(top > 0, element_at(langs, array_position(scores, top).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Quality-score features + a composite score (length, punctuation ratio,

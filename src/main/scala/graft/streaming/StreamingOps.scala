@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.extract.Extractor
+import graft.model.{CrawlConfig, FrontierEntry}
+
+/** Structured-Streaming forms of the engine's data-plane operators — the
+  * continuous analog of the batch round loop for deployments where pages
+  * arrive as a stream (the reference's daemon mode, RiverWeb.java:163-223,
+  * generalized from job polling to record streams).
+  *
+  * Everything here reuses the SAME config-compiled expressions as the batch
+  * path ([[Extractor]]), so batch/streaming parity is structural: one plan
+  * compiler, two execution modes. Tests assert streaming output equality
+  * with the batch pipeline on identical input.
+  */
+object StreamingOps {
+
+  /** the corpus/pages schema (input_hint shape + fetch metadata). */
+  val pageSchema: StructType = new StructType()
+    .add("doc_id", StringType)
+    .add("host", StringType)
+    .add("lastModified", LongType)
+    .add("spans", ArrayType(new StructType()
+      .add("kind", StringType)
+      .add("text", StringType)
+      .add("media_ref", StringType)
+      .add("offset", IntegerType, nullable = false)))
+
+  /** Pages-on-arrival → extracted documents: `readStream` over a pages
+    * directory through the config-compiled extraction (stateless — plans
+    * identically to the batch hot path, whole-stage codegen included).
+    */
+  def extractStream(spark: SparkSession, pagesDir: String,
+      config: CrawlConfig): DataFrame = {
+    val pages = spark.readStream.schema(pageSchema).parquet(pagesDir)
+    Extractor.extract(fetchShape(pages), config)
+  }
+
+  /** PageDoc-shaped stream/frame → FetchResult shape (synthetic fetch,
+    * same projection the batch round uses).
+    */
+  def fetchShape(pages: DataFrame): DataFrame = pages.select(
+    col("doc_id").as("url"),
+    lit(null).cast("string").as("parentUrl"),
+    lit(0).as("depth"),
+    xxhash64(col("doc_id")).as("urlHash"),
+    lit("GET").as("method"),
+    lit("text/html").as("mimeType"),
+    lit("UTF-8").as("charSet"),
+    lit(200).as("httpStatusCode"),
+    lit(0L).as("contentLength"),
+    lit(0L).as("executionTime"),
+    col("lastModified"),
+    col("spans"))
+
+  /** Streaming URL-seen dedup (J1's continuous form): exact, stateful
+    * `dropDuplicates` on (urlHash, url) — the state store IS the seen set,
+    * hash-partitioned by key exactly like the batch anti-join's shuffle.
+    * State grows without bound by design (a crawl never forgets a URL);
+    * bound it with a watermarked variant when the domain allows re-crawl
+    * after an event-time horizon.
+    */
+  def dedupStream(candidates: DataFrame): DataFrame =
+    candidates.dropDuplicates("urlHash", "url")
+
+  /** Watermarked tumbling-window fetch metrics per host (the crawl-rate
+    * dashboards the reference keeps in ES): event-time windows + watermark
+    * so state for closed windows is evicted.
+    */
+  def hostWindowCounts(
+      fetches: DataFrame,
+      windowLen: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    fetches
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("fetches"))
+      .select(col("window.start").as("window_start"), col("host"), col("fetches"))
+
+  /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
+    * most `hostBudget` URLs per host over the stream's lifetime, tracked in
+    * keyed state across micro-batches via flatMapGroupsWithState. Within a
+    * micro-batch, admission follows the canonical order (depth, urlHash,
+    * url) — the group iterator is sorted in-memory per host, which is
+    * bounded by the per-batch per-host candidate count.
+    */
+  def politenessGate(candidates: Dataset[FrontierEntry],
+      hostBudget: Int): Dataset[FrontierEntry] = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, FrontierEntry](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[FrontierEntry], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(hostBudget - used, 0L).toInt
+          val admitted = it.toSeq
+            .sortBy(e => (e.depth, e.urlHash, e.url))
+            .take(room)
+          state.update(used + admitted.size)
+          admitted.iterator
+      }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.corpus.SyntheticCorpus
+import graft.model._
+import graft.model.Extraction._
+
+/** Streaming forms equal their batch twins on identical input, and keyed
+  * state survives across micro-batches (maxFilesPerTrigger=1 forces multiple
+  * batches per run).
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg = CrawlConfig(sessionId = "stream", seeds = Seq(),
+    rules = Seq(ScrapingRule(".*/page/.*", properties = Seq(
+      PropertyRule("title", SpanText("title"), trimSpaces = true),
+      PropertyRule("body", SpanText("p"), isArray = true, trimSpaces = true)))))
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append", maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", TestSpark.tmpDir(s"ck-$name"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming extraction equals the batch pipeline on the same pages") {
+    val pagesDir = TestSpark.tmpDir("stream-pages")
+    val corpus = SyntheticCorpus.Builder(n = 80, hostCount = 8).corpus(spark).toDF()
+    corpus.write.mode("overwrite").parquet(pagesDir)
+
+    val stream = spark.readStream.schema(StreamingOps.pageSchema).parquet(pagesDir)
+    runAvailableNow(
+      graft.extract.Extractor.extract(StreamingOps.fetchShape(stream), cfg)
+        .drop("children"),
+      "sx")
+    val streamed = spark.table("sx")
+      .select("url", "title").collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val batch = graft.extract.Extractor
+      .extract(StreamingOps.fetchShape(spark.read.parquet(pagesDir)), cfg)
+      .select("url", "title").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stateful dedup holds across micro-batches (continuous J1)") {
+    val dir = TestSpark.tmpDir("stream-dedup")
+    // two files = two micro-batches under maxFilesPerTrigger=1; the second
+    // repeats urls from the first
+    Seq(("http://a/1", 1L), ("http://a/2", 2L)).toDF("url", "urlHash")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq(("http://a/2", 2L), ("http://a/3", 3L)).toDF("url", "urlHash")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("url", org.apache.spark.sql.types.StringType)
+      .add("urlHash", org.apache.spark.sql.types.LongType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    runAvailableNow(StreamingOps.dedupStream(stream), "sdedup")
+    val urls = spark.table("sdedup").select("url").collect().map(_.getString(0))
+    assert(urls.sorted.toSeq == Seq("http://a/1", "http://a/2", "http://a/3"))
+  }
+
+  test("watermarked windowed host metrics (event-time aggregation)") {
+    val dir = TestSpark.tmpDir("stream-win")
+    val base = 1700000000000L
+    def events(r: Range) = r.map(i => (new Timestamp(base + i * 1000L), s"h${i % 2}"))
+    // two micro-batches: append-mode windows flush only when a LATER batch
+    // advances the watermark past their end
+    events(0 until 20).toDF("ts", "host").coalesce(1).write.parquet(s"$dir/f1")
+    events(20 until 40).toDF("ts", "host").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("host", org.apache.spark.sql.types.StringType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    runAvailableNow(StreamingOps.hostWindowCounts(stream, watermarkDelay = "5 seconds"), "swin")
+    val rows = spark.table("swin").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    // after batch 2 the watermark sits at t=34s: windows [0,10) [10,20)
+    // [20,30) have flushed for both hosts; [30,40) is held back — exactly
+    // the watermark semantics the metric relies on
+    val expected = (for (w <- 0 until 3; h <- 0 until 2)
+      yield (base + w * 10000L, s"h$h", 5L)).toSet
+    assert(rows.toSet == expected, rows.mkString(", "))
+  }
+
+  test("politeness gate caps per-host admissions across micro-batches (W2 streaming)") {
+    val dir = TestSpark.tmpDir("stream-gate")
+    def entries(ids: Range, host: String) = ids.map { i =>
+      val u = s"http://$host/page/$i"
+      FrontierEntry(u, UrlOps.urlHash(u), host, 1, "p")
+    }
+    // batch 1: 3 urls for h0; batch 2: 3 more for h0 + 2 for h1
+    entries(0 until 3, "h0").toDF().coalesce(1).write.parquet(s"$dir/f1")
+    (entries(10 until 13, "h0") ++ entries(0 until 2, "h1")).toDF()
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[FrontierEntry].schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+      .as[FrontierEntry]
+    runAvailableNow(StreamingOps.politenessGate(stream, hostBudget = 4).toDF(),
+      "sgate")
+    val byHost = spark.table("sgate").collect()
+      .map(_.getString(2)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(byHost("h0") == 4, s"h0 admissions: $byHost") // 3 in batch 1 + 1 in batch 2
+    assert(byHost("h1") == 2)
+  }
+}
