@@ -196,8 +196,19 @@ final class CrawlSession(
       .persist()
 
     val newEntries =
-      (if (seen == null) cand else SeenSet.filterNew(cand, seen, seenCount))
-        .persist()
+      (if (seen == null) cand
+       else config.seenRoute match {
+         case SeenRoute.Auto => SeenSet.filterNew(cand, seen, seenCount)
+         case SeenRoute.Exact =>
+           SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
+         case SeenRoute.RangePartitioned(nRanges) =>
+           import spark.implicits._
+           SeenSet.filterNewRangePartitioned(
+             cand.select("url", "urlHash", "host", "depth", "parentUrl")
+               .as[FrontierEntry],
+             seen, seenCount, nRanges).toDF()
+             .select(cand.columns.map(col): _*)
+       }).persist()
 
     // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
     val unclaimed = frontier.join(

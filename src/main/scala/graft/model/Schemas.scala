@@ -129,6 +129,23 @@ object WriteMode {
   case object Incremental extends WriteMode
 }
 
+/** Which J1 seen-filter route the crawl loop uses. All routes return the
+  * EXACT same row set (the bloom variants only route around the anti-join,
+  * never decide a drop — SeenSet scaladoc), so this is a pure physical
+  * choice; parity tests run the same crawl under every route.
+  */
+sealed trait SeenRoute
+object SeenRoute {
+  /** broadcast bloom prefilter when the seen set fits, else exact (default). */
+  case object Auto extends SeenRoute
+  /** plain co-partitioned anti-join, no prefilter. */
+  case object Exact extends SeenRoute
+  /** hash-range-partitioned blooms cogrouped with candidates — the route
+    * for seen sets too large for one broadcast bloom (10^10 path).
+    */
+  final case class RangePartitioned(nRanges: Int = 64) extends SeenRoute
+}
+
 /** The crawl config ("river", RiverWeb.java:226-465). */
 final case class CrawlConfig(
     sessionId: String,
@@ -144,4 +161,5 @@ final case class CrawlConfig(
     // their sitemap-loc refs are enqueued, no document is stored
     // (SitemapsRule, crawler/rule+.xml:18-30)
     sitemapPattern: String = ".*sitemap.*",
+    seenRoute: SeenRoute = SeenRoute.Auto,
     rules: Seq[ScrapingRule] = Seq.empty)

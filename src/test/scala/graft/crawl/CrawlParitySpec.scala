@@ -88,6 +88,21 @@ class CrawlParitySpec extends AnyFunSuite {
     session.cleanup()
   }
 
+  test("seen-route invariance: exact / broadcast / range-partitioned routes " +
+      "give identical crawl order + seen set") {
+    val oracle = Oracle.crawl(pagesMap, robotsMap, baseConfig("route-oracle"))
+    Seq(
+      "exact" -> SeenRoute.Exact,
+      "range" -> SeenRoute.RangePartitioned(nRanges = 7)).foreach {
+      case (name, route) =>
+        val cfg = baseConfig(s"route-$name").copy(seenRoute = route)
+        val (engine, engineSeen, session) = runEngine(cfg)
+        assert(engine.crawlOrder == oracle.crawlOrder, s"route $name order")
+        assert(engineSeen == oracle.seen, s"route $name seen set")
+        session.cleanup()
+    }
+  }
+
   test("politeness budget: ≤ hostBudget claims per host per round (W2/Z1)") {
     val cfg = baseConfig("parity4").copy(hostBudgetPerRound = 2, maxAccessCount = 100)
     val dir = TestSpark.tmpDir("crawl-budget")
