@@ -131,6 +131,16 @@ object ConfigLoader {
     val interval = math.max(asLong(j \ "interval", 1000L), 1L)
     val hostBudget = math.max((threads * 1000L / interval).toInt, 1)
 
+    // physical seen-route selection (engine extension, not in the reference):
+    // "seen_route": "auto" | "exact" | {"range": 64}
+    val seenRoute = j \ "seen_route" match {
+      case JString("exact") => SeenRoute.Exact
+      case JObject(fields) =>
+        fields.toMap.get("range").map(v => SeenRoute.RangePartitioned(asLong(v, 64L).toInt))
+          .getOrElse(SeenRoute.Auto)
+      case _ => SeenRoute.Auto
+    }
+
     CrawlConfig(
       sessionId = sessionId,
       seeds = strs(j \ "url") ++ strs(j \ "urls"),
@@ -141,6 +151,7 @@ object ConfigLoader {
       hostBudgetPerRound = hostBudget,
       robotsTxt = asBool(j \ "robots_txt", dflt = true),
       mode = mode,
+      seenRoute = seenRoute,
       rules = rules)
   }
 }

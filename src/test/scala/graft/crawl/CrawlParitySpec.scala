@@ -117,6 +117,34 @@ class CrawlParitySpec extends AnyFunSuite {
     session.cleanup()
   }
 
+  test("parity holds at larger scale (2000-page corpus, deeper BFS, more skew)") {
+    val bigBuilder = SyntheticCorpus.Builder(n = 2000, hostCount = 40)
+    val bigCorpus = bigBuilder.corpus(spark)
+    val bigPages = bigCorpus.collect().map(p => p.doc_id -> p).toMap
+    val bigRobots = bigBuilder.robots(spark)
+    val bigRobotsMap = bigRobots.collect().map(r => r.host -> r.disallow_prefixes).toMap
+    val bigCdf = SyntheticCorpus.zipfCdf(40, 1.1)
+    def bigSeed(i: Long) = UrlOps.canonicalize(
+      SyntheticCorpus.urlOf(i, SyntheticCorpus.hostOfDoc(i, 42L, bigCdf)))
+    val cfg = CrawlConfig(
+      sessionId = "parity-big",
+      seeds = Seq(bigSeed(0L), bigSeed(11L), bigSeed(500L)),
+      maxDepth = 4, maxAccessCount = 250, hostBudgetPerRound = 4,
+      rules = Seq(ScrapingRule(".*/page/.*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    val dir = TestSpark.tmpDir("crawl-big")
+    val session = new CrawlSession(spark, cfg, bigCorpus.toDF(), bigRobots.toDF(), dir)
+    val engine = session.run()
+    val engineSeen = session.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    val oracle = Oracle.crawl(bigPages, bigRobotsMap, cfg)
+    assert(engine.crawlOrder == oracle.crawlOrder,
+      s"order diverged at ${engine.crawlOrder.zip(oracle.crawlOrder).indexWhere(p => p._1 != p._2)}")
+    assert(engineSeen == oracle.seen)
+    assert(engine.totalClaimed == oracle.processed)
+    session.cleanup()
+  }
+
   test("resume from checkpoint: interrupted crawl equals uninterrupted (Z6)") {
     val cfg = baseConfig("resume")
     val dir = TestSpark.tmpDir("crawl-resume")

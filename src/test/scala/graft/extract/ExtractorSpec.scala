@@ -127,6 +127,37 @@ class ExtractorSpec extends AnyFunSuite {
     assert(r.getAs[String]("joined") == "b a b null c")
   }
 
+  test("property: zip-explode rows = max(list sizes, 1) with aligned elements (X4)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tok = Gen.choose('a', 'z').map(c => s"w$c")
+    val listGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, tok))
+    val pagesGen = Gen.listOfN(120, Gen.zip(listGen, listGen))
+    val cases = pagesGen.apply(Gen.Parameters.default, Seed(7L)).get
+    val pages = cases.zipWithIndex.map { case ((a, b), i) =>
+      PageDoc(s"http://t/p$i", "t", 0L,
+        a.zipWithIndex.map { case (t, o) => Span("p", t, null, o) } ++
+          b.zipWithIndex.map { case (t, o) => Span("li", t, null, a.size + o) })
+    }
+    val cfg = CrawlConfig(sessionId = "prop", seeds = Seq(), rules = Seq(ScrapingRule(
+      urlPattern = ".*",
+      properties = Seq(
+        PropertyRule("[]g.a", SpanText("p"), isArray = true),
+        PropertyRule("[]g.b", SpanText("li"), isArray = true)))))
+    val byUrl = Extractor.extract(fetchedOf(pages), cfg)
+      .select(col("url"), col("position"), col("g.a").as("ga"), col("g.b").as("gb"))
+      .collect().groupBy(_.getString(0))
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val rows = byUrl(s"http://t/p$i").sortBy(_.getInt(1))
+      assert(rows.length == math.max(math.max(a.size, b.size), 1),
+        s"case $i: |a|=${a.size} |b|=${b.size}")
+      rows.zipWithIndex.foreach { case (r, p) =>
+        assert(r.getString(2) == a.lift(p).orNull, s"case $i a[$p]")
+        assert(r.getString(3) == b.lift(p).orNull, s"case $i b[$p]")
+      }
+    }
+  }
+
   test("named transforms (X1) apply per element") {
     val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
       PropertyRule("flags", SpanText("p"), isArray = true,

@@ -38,6 +38,15 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(props("first_h2").extraction ==
       graft.model.Extraction.SpanText("h2", Some(graft.model.Positional.Eq(0))))
     assert(props("up").transform.contains(graft.model.NamedTransform.Upper))
+    assert(cfg.seenRoute == graft.model.SeenRoute.Auto) // unset → Auto
+  }
+
+  test("parses seen_route variants") {
+    def route(v: String) =
+      ConfigLoader.fromJson(s"""{ "url": [], "seen_route": $v }""", "s").seenRoute
+    assert(route("\"exact\"") == graft.model.SeenRoute.Exact)
+    assert(route("{\"range\": 128}") == graft.model.SeenRoute.RangePartitioned(128))
+    assert(route("\"auto\"") == graft.model.SeenRoute.Auto)
   }
 }
 
