@@ -311,7 +311,7 @@ object SparkEntry {
     "q_dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings").filter(col("vec_id") < 120), 0.3)),
 
-    // LSH-banded minhash candidate pairs (rows-only: banding isn't SQL-portable)
+    // LSH-banded minhash candidate pairs (oracle: banding reproduced in SQL)
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150))),
 
@@ -512,8 +512,8 @@ object SparkEntry {
       val (a, b) = Dedup.minhashCoef(j)
       s"SELECT doc_id, $j AS j, CAST(min((h*$a+$b)%2147483647) AS BIGINT) AS minhash FROM sh GROUP BY doc_id"
     }
-    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
-       |  WHERE doc_id < 100 AND len(string_split(text,' ')) >= 3),
+    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM documents
+       |  WHERE doc_id < 100 AND len(string_split_regex(lower(text),'\\s+')) >= 3),
        |idx AS (SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM base),
        |sh AS (SELECT doc_id, ${sqlHash("s")}%2147483647 AS h
        |  FROM (SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS s FROM idx))
@@ -530,7 +530,7 @@ object SparkEntry {
       val (a, b) = Dedup.minhashCoef(j)
       s"SELECT doc_id, $j AS j, min((hh*$a+$b)%2147483647) AS mh FROM h GROUP BY doc_id"
     }
-    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 150),
+    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM documents WHERE doc_id < 150),
        |shing AS (
        |  SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS s
        |  FROM (SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM base WHERE len(l) >= 3)
@@ -567,19 +567,21 @@ object SparkEntry {
     s"WITH $simhashCtes SELECT doc_id, sh FROM shv"
 
   /** DuckDB twin of [[Dedup.simhashNearDups]] (bits=16, maxHamming=3):
-    * block on the two 8-bit halves, pair within blocks, verify by exact
-    * Hamming distance.
+    * same maxHamming+1 disjoint bit blocks (pigeonhole-exact recall), pair
+    * within blocks, verify by exact Hamming distance.
     */
-  private def simhashPairsOracle: String =
+  private def simhashPairsOracle: String = {
+    val blockSelects = Dedup.simhashBlocks(16, 3).map { case (b, shift, mask) =>
+      s"SELECT doc_id, sh, $b AS blk, (sh >> $shift) & $mask AS key FROM shv"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH $simhashCtes,
        |blocks AS (
-       |  SELECT doc_id, sh, 0 AS blk, sh & 255 AS key FROM shv
-       |  UNION ALL
-       |  SELECT doc_id, sh, 1 AS blk, sh >> 8 AS key FROM shv),
+       |  $blockSelects),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
 
   private def langidOracle: String = {
     def inList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("(", ",", ")")
@@ -757,10 +759,13 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
 
     "q_dedup_jaccard" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS shingle FROM (
-        |    SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM (
-        |      SELECT doc_id, string_split(text,' ') AS l FROM documents
-        |      WHERE doc_id < 150 AND len(string_split(text,' ')) >= 3))),
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3] AS shingle FROM (
+        |      SELECT doc_id, l, unnest(range(0, len(l)-2)) AS i FROM base WHERE len(l) >= 3)
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(l, ' ') AS shingle FROM base WHERE len(l) < 3)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

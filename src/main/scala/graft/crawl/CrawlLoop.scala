@@ -54,6 +54,37 @@ final class CrawlSession(
   val seenTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/seen", spark)
   val docsTable = new SnapshotTable(s"$workDir/docs", spark)
 
+  // --- round checkpoint: the ATOMIC commit point of a round ----------------
+  // A round writes two snapshots (frontier transition + seen growth); the
+  // round only "happens" when this pointer flips (atomic rename), exactly
+  // like an Iceberg multi-table transaction commit. A crash between the two
+  // table commits leaves orphan snapshots that resume IGNORES, because all
+  // reads and appends anchor on the checkpointed versions, never on the
+  // tables' own heads. (Docs are the one at-least-once surface: a crash
+  // after the docs append but before the pointer flip re-runs the round,
+  // duplicating Default-mode docs — the same semantics as re-running the
+  // reference, whose ES sink has no idempotence key in default mode;
+  // Incremental re-runs are naturally deduped by the lastModified skip.)
+  private val checkpointPath =
+    java.nio.file.Paths.get(s"$workDir/sessions/${config.sessionId}/round.json")
+
+  private def readCheckpoint(): Option[(Long, Long)] =
+    if (!java.nio.file.Files.exists(checkpointPath)) None
+    else {
+      val json = java.nio.file.Files.readString(checkpointPath)
+      def num(k: String) =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+      for (f <- num("frontier"); s <- num("seen")) yield (f, s)
+    }
+
+  private def writeCheckpoint(frontierV: Long, seenV: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$checkpointPath.tmp")
+    java.nio.file.Files.writeString(tmp, s"""{"frontier": $frontierV, "seen": $seenV}""")
+    java.nio.file.Files.move(tmp, checkpointPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private val sitemapRe = RuleCompiler.anchored(config.sitemapPattern)
 
   /** robots predicate (Z2): URL's path must not start with any disallowed
@@ -116,17 +147,21 @@ final class CrawlSession(
       .select("url", "urlHash", "host", "depth", "parentUrl")
   }
 
-  /** Seed the frontier + seen set (round 0). Idempotent: no-op on resume. */
+  /** Seed the frontier + seen set (round 0). Idempotent: no-op on resume
+    * (checkpoint present); orphan snapshots from a crash mid-init are
+    * ignored because the checkpoint never pointed at them.
+    */
   def init(): Unit = {
-    if (!frontierTable.isEmpty) return
+    if (readCheckpoint().isDefined) return
     import spark.implicits._
     val seedsDf = config.seeds.toDF("child")
     val cand = toCandidates(seedsDf, lit(0), lit(null).cast("string"),
       applyIncludeExclude = false)
-    val (_, n) = frontierTable.commitFull(cand,
+    val (fv, n) = frontierTable.commitFull(cand,
       Map("round" -> "0", "processed" -> "0", "kind" -> "seed"))
-    seenTable.commitAppend(cand.select("urlHash", "url"),
+    val (sv, _) = seenTable.commitAppendTo(cand.select("urlHash", "url"), -1L,
       Map("round" -> "0"))
+    writeCheckpoint(fv, sv)
     log(s"seeded frontier: $n urls")
   }
 
@@ -134,16 +169,16 @@ final class CrawlSession(
     * complete (empty frontier or access budget exhausted, Z4/Z5).
     */
   def runRound(): Option[RoundResult] = {
-    val v = frontierTable.currentVersion
+    val (v, seenV) = readCheckpoint().getOrElse(return None)
     val round = frontierTable.metric(v, "round").map(_.toInt).getOrElse(0)
     val processed = frontierTable.metric(v, "processed").map(_.toLong).getOrElse(0L)
     val frontierRows = frontierTable.rowsOf(v)
     val remaining = config.maxAccessCount - processed
     if (frontierRows == 0 || remaining <= 0) return None
 
-    val frontier = frontierTable.read()
-    val seenCount = if (seenTable.isEmpty) 0L else seenTable.rowsOf(seenTable.currentVersion)
-    val seen = if (seenCount == 0) null else seenTable.read()
+    val frontier = frontierTable.readVersion(v)
+    val seenCount = if (seenV < 0) 0L else seenTable.rowsOf(seenV)
+    val seen = if (seenCount == 0) null else seenTable.readVersion(seenV)
 
     // --- claim (W1/W2/A2) --------------------------------------------------
     val claimed = Politeness
@@ -176,9 +211,13 @@ final class CrawlSession(
     val isSitemap = col("url").rlike(sitemapRe)
 
     // --- extract + store docs (P3-F9, X4, S8, J2/J3) ------------------------
+    // persisted: Overwrite/Incremental modes reference the extraction twice
+    // (merge/skip join + count) — without it the whole fetch-join + extract
+    // DAG re-executes per reference
     val docs = Extractor.extract(fetched.filter(!isSitemap), config)
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
+      .persist()
     val docsWritten = writeDocs(docs)
 
     // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
@@ -217,15 +256,18 @@ final class CrawlSession(
       newEntries.select(unclaimed.columns.map(col): _*))
 
     val newProcessed = processed + claimedCount
-    val (_, frontierLeft) = frontierTable.commitFull(nextFrontier, Map(
+    val (newFv, frontierLeft) = frontierTable.commitFull(nextFrontier, Map(
       "round" -> (round + 1).toString,
       "processed" -> newProcessed.toString,
       "claimed" -> claimedCount.toString,
       "docsWritten" -> docsWritten.toString))
-    val (seenV, seenTotal) = seenTable.commitAppend(
-      newEntries.select("urlHash", "url"), Map("round" -> (round + 1).toString))
+    val (newSv, seenTotal) = seenTable.commitAppendTo(
+      newEntries.select("urlHash", "url"), seenV,
+      Map("round" -> (round + 1).toString))
+    // the round becomes visible HERE — one atomic rename for both tables
+    writeCheckpoint(newFv, newSv)
     // new-URL count comes free from the seen-commit's segment metric
-    val newUrls = seenTable.metric(seenV, "segmentRows").map(_.toLong).getOrElse(0L)
+    val newUrls = seenTable.metric(newSv, "segmentRows").map(_.toLong).getOrElse(0L)
 
     // round claim order for parity tests (small: ≤ claim batch)
     val order =
@@ -235,7 +277,8 @@ final class CrawlSession(
         .select("url", "depth").collect()
         .map(r => (r.getString(0), r.getInt(1)))
 
-    claimed.unpersist(); fetched.unpersist(); cand.unpersist(); newEntries.unpersist()
+    claimed.unpersist(); fetched.unpersist(); cand.unpersist()
+    newEntries.unpersist(); docs.unpersist()
     log(s"round ${round + 1}: claimed=$claimedCount docs=$docsWritten " +
       s"new=$newUrls frontier=$frontierLeft seen=$seenTotal processed=$newProcessed")
     Some(RoundResult(round + 1, claimedCount, docsWritten, newUrls,

@@ -60,8 +60,9 @@ object Oracle {
     var rounds = 0
 
     // seeds: canonicalized, robots-filtered, no include/exclude (engine parity)
+    // (no depth gate here: seeds are depth 0, which passes every maxDepth —
+    // the engine's toCandidates filter is likewise vacuous for seeds)
     config.seeds.map(UrlOps.canonicalize).filter(_.nonEmpty).distinct
-      .filter(u => config.maxDepth < 0 || 0 <= config.maxDepth)
       .filter(allowedByRobots)
       .foreach { u => frontier(u) = 0; seen += u }
 

@@ -148,9 +148,13 @@ object Extractor {
               else concat(childProps.map(pr => rawArray(spans, pr)): _*)
       (col("ruleId") === i) -> v
     }
-    val chained = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
-      case (acc, (c, v)) => acc.when(c, v)
-    }
+    // rule-less config: no page matches (P4 filters everything anyway), but
+    // the plan must still build — emit the default anchors, not a crash
+    val chained =
+      if (branches.isEmpty) defaultChildren
+      else branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
     // U2: per-page HashSet dedup + blank (P9) + self/dup-variant removal
     filter(array_distinct(chained),
       u => u.isNotNull && trim(u) =!= lit("") &&

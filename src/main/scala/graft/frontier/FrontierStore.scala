@@ -75,27 +75,37 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
   }
 
   def commitFull(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) =
-    commit(df, metrics, appendTo = Seq.empty)
+    commit(df, metrics, appendTo = Seq.empty, prevRows = 0L)
 
-  def commitAppend(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) = {
-    val prev = if (isEmpty) Seq.empty else segmentsOf(currentVersion)
-    commit(df, metrics, appendTo = prev)
+  def commitAppend(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) =
+    commitAppendTo(df, currentVersion, metrics)
+
+  /** Append anchored at an EXPLICIT parent snapshot rather than the table's
+    * own head — the caller (CrawlSession) tracks the committed version in
+    * its round checkpoint, so an orphan snapshot left by a crash between a
+    * round's two table commits is ignored on resume instead of silently
+    * folded into the next append.
+    */
+  def commitAppendTo(df: DataFrame, parentVersion: Long,
+      metrics: Map[String, String] = Map.empty): (Long, Long) = {
+    val prev = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
+    val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
+    commit(df, metrics, appendTo = prev, prevRows = prevRows)
   }
 
   private def commit(df: DataFrame, metrics: Map[String, String],
-      appendTo: Seq[String]): (Long, Long) = {
+      appendTo: Seq[String], prevRows: Long): (Long, Long) = {
     val v = currentVersion + 1
     val seg = v.toString
     val segDir = s"$root/segments/$seg"
     df.write.mode("overwrite").parquet(segDir)
-    val files = Files.list(Paths.get(segDir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = listDir(Paths.get(segDir))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
     // segment row count straight from the parquet footers on the driver —
     // no Spark job (a count() per commit was ~3 driver round-trips per
     // crawl round of pure scheduling overhead)
     val segRows = files.map(f => footerRowCount(s"$segDir/$f")).sum
-    val prevRows = if (appendTo.isEmpty || isEmpty) 0L else rowsOf(currentVersion)
-    val rows = if (appendTo.isEmpty) segRows else prevRows + segRows
+    val rows = prevRows + segRows
     val segs = appendTo :+ seg
     val metricsJson = (metrics ++ Map(
       "parentVersion" -> currentVersion.toString,
@@ -116,6 +126,14 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     (v, rows)
   }
 
+  /** Files.list with the stream closed (it holds a directory fd open —
+    * leaking one per commit starves a long-running daemon of fds).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def footerRowCount(file: String): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file),
@@ -127,7 +145,7 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
   /** Drop the whole table (S9 cleanup sink, RiverWeb.java:482-508). */
   def drop(): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(Paths.get(root))

@@ -48,10 +48,14 @@ object Politeness {
       .drop("__r2")
 
     // global budget cap in canonical order — planned as
-    // TakeOrderedAndProject (no full global sort materialization)
-    if (remaining == Long.MaxValue) perHost
-    else if (remaining <= Int.MaxValue.toLong)
-      perHost.orderBy(order: _*).limit(remaining.toInt)
-    else perHost
+    // TakeOrderedAndProject (no full global sort materialization). When
+    // `remaining` exceeds Int.MaxValue the cap is skipped: a single round
+    // cannot claim 2^31 rows through per-host budgets, and limit()/
+    // TakeOrderedAndProject are Int-bounded anyway — overshoot is bounded
+    // by one round and the loop's budget check ends the crawl at the next
+    // round boundary (same at-most-one-overshoot the reference's
+    // CrawlerContext counter gives its threads).
+    if (remaining > Int.MaxValue.toLong) perHost
+    else perHost.orderBy(order: _*).limit(remaining.toInt)
   }
 }

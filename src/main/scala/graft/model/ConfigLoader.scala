@@ -136,7 +136,8 @@ object ConfigLoader {
     val seenRoute = j \ "seen_route" match {
       case JString("exact") => SeenRoute.Exact
       case JObject(fields) =>
-        fields.toMap.get("range").map(v => SeenRoute.RangePartitioned(asLong(v, 64L).toInt))
+        fields.toMap.get("range")
+          .map(v => SeenRoute.RangePartitioned(math.max(asLong(v, 64L).toInt, 1)))
           .getOrElse(SeenRoute.Auto)
       case _ => SeenRoute.Auto
     }

@@ -134,20 +134,30 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`: block on rotated bit-halves
-    * (two blocks ⇒ any pair within Hamming ≤ bits/2−1 of block width shares
-    * one), verify exactly. For small corpora where blocks collide heavily
-    * this degrades toward all-pairs within identical halves — bounded by
-    * construction.
+  /** block partition for the simhash LSH: `maxHamming + 1` disjoint bit
+    * blocks. Pigeonhole: a pair within Hamming ≤ maxHamming has at most
+    * maxHamming differing bits spread over maxHamming+1 blocks, so at least
+    * one block is identical — recall is exact, not probabilistic.
+    */
+  private[graft] def simhashBlocks(bits: Int, maxHamming: Int): Seq[(Int, Int, Long)] = {
+    val nBlocks = math.min(maxHamming + 1, bits)
+    val width = (bits + nBlocks - 1) / nBlocks
+    (0 until nBlocks).map(b => (b, b * width, (1L << width) - 1))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`: block on maxHamming+1
+    * disjoint bit ranges (any qualifying pair shares ≥1 block — see
+    * [[simhashBlocks]]), then verify by exact Hamming distance, so both
+    * recall and precision are exact.
     */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bits: Int = 16, maxHamming: Int = 3): DataFrame = {
     val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sh"))
-    val lowMask = (1L << (bits / 2)) - 1
     val blocked = sigd.select(col("id"), col("sh"),
-      explode(array(
-        struct(lit(0).as("blk"), (col("sh").bitwiseAND(lowMask)).as("key")),
-        struct(lit(1).as("blk"), shiftright(col("sh"), bits / 2).as("key")))).as("b"))
+      explode(array(simhashBlocks(bits, maxHamming).map { case (b, shift, mask) =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sh"), shift).bitwiseAND(mask).as("key"))
+      }: _*)).as("b"))
       .select(col("id"), col("sh"), col("b.blk"), col("b.key"))
     val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -103,6 +103,30 @@ class CrawlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("crash between a round's two table commits: resume ignores orphan snapshots") {
+    val cfg = baseConfig("crash")
+    val dir = TestSpark.tmpDir("crawl-crash")
+    val s1 = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    s1.init()
+    val r1 = s1.runRound().get
+    // simulate a crash AFTER the next round's frontier commit but BEFORE the
+    // seen commit / checkpoint flip: orphan snapshots exist on both tables'
+    // heads, the round checkpoint still points at round 1's versions
+    import spark.implicits._
+    s1.frontierTable.commitFull(Seq(("http://orphan/x", 1L, "orphan", 0, "p"))
+      .toDF("url", "urlHash", "host", "depth", "parentUrl"), Map("round" -> "99"))
+    s1.seenTable.commitAppend(Seq(("http://orphan/x", 1L)).toDF("url", "urlHash"))
+    // resume: a fresh session over the same workDir must reproduce the
+    // uninterrupted crawl exactly (orphans invisible)
+    val s2 = new CrawlSession(spark, cfg, corpusDf, robotsDf.toDF(), dir)
+    val rest = s2.run()
+    val fullOrder = r1.claimOrder ++ rest.crawlOrder
+    val oracle = Oracle.crawl(pagesMap, robotsMap, cfg)
+    assert(fullOrder == oracle.crawlOrder)
+    assert(!rest.crawlOrder.exists(_._1.contains("orphan")))
+    s2.cleanup()
+  }
+
   test("politeness budget: ≤ hostBudget claims per host per round (W2/Z1)") {
     val cfg = baseConfig("parity4").copy(hostBudgetPerRound = 2, maxAccessCount = 100)
     val dir = TestSpark.tmpDir("crawl-budget")

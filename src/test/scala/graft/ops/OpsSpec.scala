@@ -41,6 +41,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash near-dups return EXACTLY the pairs within maxHamming (pigeonhole recall)") {
+    // 40 varied docs; ground truth = exhaustive hamming over collected signatures
+    val corpus = (0 until 40).map { i =>
+      val words = (0 until 6).map(j => s"w${(i * 7 + j * 3) % 15}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test corpus must contain close pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large for far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
