@@ -194,8 +194,8 @@ object Bench {
     val hostCount = 2000
 
     // --- scaling evidence: same job, same input, N vs 4N cores --------------
-    // JIT warmup at 32 threads takes 2+ full-shape executions (C2
-    // compilation contention); warm twice at 1/4 size, then best-of-3.
+    // JIT warmup at high thread counts takes 2+ full-shape executions (C2
+    // compilation contention); each session warms before measuring.
     // stable input dir: corpus/candidates/seen are materialized once and
     // reused across bench invocations (they are seed-deterministic)
     val benchDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-inputs"
@@ -209,9 +209,11 @@ object Bench {
     // still reported as peak throughput.
     val scale = Seq(32, 8, 4, 2, 1).map { c =>
       val s = session(c)
+      // warm twice at 1/8 size (JIT/codegen), then best-of-3 full-size runs
+      // (best-of-2 at 2 cores — the 2v8 pair is secondary evidence)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
-      val reps = if (c <= 2) 2 else 3
+      val reps = if (c == 2) 2 else 3
       val runs = (1 to reps).map(_ => frontierRound(s, frontierN, hostCount, benchDir))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -243,7 +245,7 @@ object Bench {
     // driver contract shape + BASELINE-metric extras (urls fetched+deduped/sec
     // at two parallelism levels + scaling efficiency)
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline N=1,4N=4 cores (longest runs, least neighbor-noise on a shared VM); 2v8 also reported; 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline N=1,4N=4 cores (longest runs, least neighbor-noise on a shared VM); 2v8 also reported; 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}""")
     spark.stop()
   }
 }

@@ -311,10 +311,15 @@ object SparkEntry {
     "q_dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings").filter(col("vec_id") < 120), 0.3)),
 
-    // embedding near-dups via sign-LSH buckets (rows-only: precision exact,
-    // recall probabilistic — asserted vs brute force in DedupSpec)
+    // embedding near-dups via banded sign-LSH (rows-only: precision exact,
+    // recall probabilistic — asserted vs brute force in DedupSpec). The
+    // synthetic embeddings have no true near-dups (max pairwise cosine
+    // ≈0.49), so the demo threshold sits at 0.35 with a recall-over-pruning
+    // parameterization (few bits, many bands) — see the scaladoc's tuning
+    // note; real near-dup corpora use the pruning defaults.
     "q_dedup_embed_lsh" -> ((s, d) =>
-      Dedup.embeddingNearDupsLsh(t(s, d, "embeddings").filter(col("vec_id") < 400), 0.35)),
+      Dedup.embeddingNearDupsLsh(t(s, d, "embeddings").filter(col("vec_id") < 400),
+        threshold = 0.35, bands = 12, bitsPerBand = 3)),
 
     // LSH-banded minhash candidate pairs (oracle: banding reproduced in SQL)
     "q_dedup_minhash_lsh" -> ((s, d) =>

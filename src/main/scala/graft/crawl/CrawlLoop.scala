@@ -141,10 +141,14 @@ final class CrawlSession(
     // at different depths in one batch — keep the minimum (canonical claim
     // order processes shallower parents first, so the oracle's
     // first-occurrence rule is exactly min-depth).
+    // min over (depth, parentUrl) AS A PAIR: aggregating them independently
+    // could stitch the min depth to a parent from a deeper occurrence —
+    // a provenance pair that never existed
     applyRobots(depthOk)
       .groupBy("url", "urlHash", "host")
-      .agg(min(col("depth")).as("depth"), min(col("parentUrl")).as("parentUrl"))
-      .select("url", "urlHash", "host", "depth", "parentUrl")
+      .agg(min(struct(col("depth"), col("parentUrl"))).as("dp"))
+      .select(col("url"), col("urlHash"), col("host"),
+        col("dp.depth").as("depth"), col("dp.parentUrl").as("parentUrl"))
   }
 
   /** Seed the frontier + seen set (round 0). Idempotent: no-op on resume
@@ -327,7 +331,7 @@ final class CrawlSession(
     hooks.onExecute(this)
     init()
     val rounds = Seq.newBuilder[RoundResult]
-    var r = runRound()
+    var r = if (maxRounds > 0) runRound() else None
     var i = 0
     while (r.isDefined && i < maxRounds) {
       rounds += r.get

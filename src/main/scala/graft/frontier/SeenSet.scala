@@ -109,7 +109,11 @@ object SeenSet {
       }
 
     // route candidates against their range's bloom (co-grouped shuffle —
-    // bloom bytes deserialize once per range per task)
+    // bloom bytes deserialize once per range per task). Persisted: the
+    // routed set feeds both output branches, and without it the cogroup
+    // (bloom build shuffle included) would execute twice; the cache idles
+    // after the caller materializes the result and is reclaimed by Spark's
+    // LRU under memory pressure.
     val routed: Dataset[(FrontierEntry, Boolean)] = candidates
       .groupByKey(c => rangeOf(c.urlHash))
       .cogroup(blooms.groupByKey(_._1)) { (_, candIt, bloomIt) =>
@@ -120,6 +124,7 @@ object SeenSet {
             candIt.map(c => (c, bf.mightContainLong(c.urlHash)))
         }
       }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val definitelyNew = routed.filter(!_._2).map(_._1)
     val maybeSeen = routed.filter(_._2).map(_._1)

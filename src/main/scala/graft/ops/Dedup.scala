@@ -205,40 +205,42 @@ object Dedup {
 
   // --- embedding near-dup --------------------------------------------------------
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, exact within
-    * an id subset (brute force is quadratic — gate the subset; the scale
-    * path is [[Similarity.lshBuckets]] + verify).
-    */
   /** Embedding near-dup pairs via banded sign-LSH — the scale path:
     * `bands` independent hash tables of `bitsPerBand` hyperplane signs each
     * (OR-amplification, exactly the minhash-banding construction). A pair is
     * a candidate if it collides in ANY band; verification recomputes cosine
     * exactly, so precision is exact. Per-pair recall at angle θ is
-    * 1 − (1 − p^bitsPerBand)^bands with p = 1 − θ/π — defaults give ~0.96
-    * at cosine 0.35 and ≈1 for true near-dups (cosine ≥ 0.8). One shuffle
-    * on the (band, key) pair; no cross-product across buckets; candidate
-    * volume is tuned by bitsPerBand (more bits = fewer, purer buckets).
+    * 1 − (1 − p^bitsPerBand)^bands with p = 1 − θ/π.
+    *
+    * Tuning: bucket pruning is (1/2)^bitsPerBand per band for unrelated
+    * (near-orthogonal) pairs, so bitsPerBand must be LARGE for the
+    * candidate volume to beat brute force — the defaults (20 bands × 10
+    * bits) prune unrelated pairs ~50× while keeping recall ≈0.99 at cosine
+    * 0.9 and ≈0.88 at 0.8. Low thresholds (< ~0.6) are not a near-dup
+    * regime: no banded parameterization prunes and recalls there — use
+    * fewer bits/more bands explicitly (recall over pruning) or brute force.
     */
   def embeddingNearDupsLsh(
       embeddings: DataFrame,
       threshold: Double,
-      bands: Int = 12,
-      bitsPerBand: Int = 3,
+      bands: Int = 20,
+      bitsPerBand: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val first = embeddings.select(size(col(vecCol))).take(1)
+    if (first.isEmpty) // empty input: empty pairs, not a head() crash
+      return embeddings.limit(0).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cosine"))
+    val dim = first(0).getInt(0)
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
-    val vd = transform(col(vecCol), x => x.cast("double"))
     val withKeys = embeddings
-      .select(col(idCol).as("id"), vd.as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
       .withColumn("b", explode(array((0 until bands).map { band =>
-        val key = (0 until bitsPerBand).map { j =>
-          val p = planes(band * bitsPerBand + j)
-          when(Similarity.dot(col("v"), typedLit(p.toSeq)) > 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce((a: Column, b: Column) => a + b)
-        struct(lit(band).as("band"), key.as("key"))
+        val bandPlanes = planes.slice(band * bitsPerBand, (band + 1) * bitsPerBand)
+        struct(lit(band).as("band"),
+          Similarity.lshBucket(col("v"), bandPlanes).as("key"))
       }: _*)))
       .select(col("id"), col("v"), col("norm"), col("b.band"), col("b.key"))
     val l = withKeys.select(col("band"), col("key"), col("id").as("id_a"),
@@ -248,12 +250,16 @@ object Dedup {
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+        round(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold) // verify BEFORE the distinct shuffle
       .distinct() // a pair may collide in several bands
-      .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs above `threshold`, exact within
+    * an id subset (brute force is quadratic — gate the subset; the scale
+    * path is [[embeddingNearDupsLsh]]).
+    */
   def embeddingNearDups(
       embeddings: DataFrame,
       threshold: Double,
