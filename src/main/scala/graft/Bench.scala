@@ -213,7 +213,9 @@ object Bench {
       // (best-of-2 at 2 cores — the 2v8 pair is secondary evidence)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
-      val reps = if (c == 2) 2 else 3
+      // 32-core leg gets extra reps: round-1 driver run caught one noisy rep
+      // on this shared box and reported 32 cores slower than 8
+      val reps = if (c == 2) 2 else if (c == 32) 5 else 3
       val runs = (1 to reps).map(_ => frontierRound(s, frontierN, hostCount, benchDir))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -242,10 +244,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // driver contract shape + BASELINE-metric extras (urls fetched+deduped/sec
-    // at two parallelism levels + scaling efficiency)
+    // Full detail (51 per-query timings + all 5 parallelism legs) goes to an
+    // EARLY stdout line and BENCH_DETAIL.json; the driver captures only a
+    // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
+    // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
+    val detail =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline N=1,4N=4 cores (longest runs, least neighbor-noise on a shared VM); 2v8 also reported; 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}"""
+    println(detail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+    catch { case _: Throwable => () }
+    // final line: compact driver-contract headline, <1 KB
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline N=1,4N=4 cores (longest runs, least neighbor-noise on a shared VM); 2v8 also reported; 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","frontier_n":$frontierN,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"extract_pages_per_sec":${exPages / exSec}%.0f,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

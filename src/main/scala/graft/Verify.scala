@@ -34,9 +34,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Publish the oracle SQL in EVERY shape a harness might read (round-1
+    // driver keyed its results by the artifact name "q_x.parquet" while we
+    // published bare "q_x" → all 51 queries read "no_oracle"):
+    //  1. oracle_sql.json keyed BOTH "q_x" and "q_x.parquet"
+    //  2. per-query sidecars  $outDir/q_x.sql  and  $outDir/q_x.parquet.sql
+    //  3. queries.json manifest [{"name","parquet","oracle_sql"}]
+    val oracle = SparkEntry.oracleSql
+    val json = oracle.flatMap { case (k, v) =>
+      Seq(s"${q(k)}: ${q(v)}", s"${q(k + ".parquet")}: ${q(v)}")
+    }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    oracle.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+      Files.writeString(Paths.get(s"$outDir/$k.parquet.sql"), v)
+    }
+    val manifest = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val sql = oracle.get(name).map(q).getOrElse("null")
+      s"""{"name":${q(name)},"parquet":${q(name + ".parquet")},"oracle_sql":$sql}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
   }
 }
