@@ -149,7 +149,9 @@ object Bench {
     val claimed = Politeness.claim(fresh, hostBudget = 500,
       remaining = Long.MaxValue, saltBuckets = 32)
     val cl = claimed.drop("host")
-    val fetched = corpus.join(broadcast(cl), corpus("doc_id") === cl("url"))
+    // size-gated broadcast, same gate as the crawl loop (claim ≤ hosts×budget)
+    val fetched = graft.crawl.CrawlSession
+      .fetchJoin(corpus, cl, hostCount.toLong * 500L)
       .select(col("url"), col("parentUrl"), col("depth"),
         col("urlHash"), lit("GET").as("method"), lit("text/html").as("mimeType"),
         lit("UTF-8").as("charSet"), lit(200).as("httpStatusCode"),

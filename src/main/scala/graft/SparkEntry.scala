@@ -291,17 +291,18 @@ object SparkEntry {
 
     "q_dedup_minhash_sig" -> ((s, d) => t(s, d, "documents")
       .filter(col("doc_id") < 100 && size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), 3, 8)))
+      .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), 3, 8, TextOps.portableHash)))
       .withColumnRenamed("pos", "j")
       .withColumnRenamed("col", "minhash")),
 
     "q_dedup_simhash" -> ((s, d) => t(s, d, "documents")
       .filter(col("doc_id") < 200)
-      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))),
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16, TextOps.portableHash).as("sh"))),
 
     // SimHash LSH near-dup pairs: block on bit-halves, verify exact Hamming
     "q_dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents").filter(col("doc_id") < 200))
+      Dedup.simhashNearDups(t(s, d, "documents").filter(col("doc_id") < 200),
+        hash = TextOps.portableHash)
         .withColumn("hamming", col("hamming").cast("long"))),
 
     "q_dedup_jaccard" -> ((s, d) =>
@@ -323,7 +324,8 @@ object SparkEntry {
 
     // LSH-banded minhash candidate pairs (oracle: banding reproduced in SQL)
     "q_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150))),
+      Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150),
+        hash = TextOps.portableHash)),
 
     // --- similarity search -----------------------------------------------------
     "q_sim_topk" -> ((s, d) => {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extract.{Extractor, RuleCompiler}
-import graft.frontier.{Politeness, SeenSet, SnapshotTable}
+import graft.frontier.{IncrementalSeenBloom, Politeness, SeenSet, SnapshotTable}
 import graft.model._
 
 /** One crawl session: the rebuild of `RiverWeb.crawl()`
@@ -53,6 +53,13 @@ final class CrawlSession(
   val frontierTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/frontier", spark)
   val seenTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/seen", spark)
   val docsTable = new SnapshotTable(s"$workDir/docs", spark)
+  // narrow (url, lastModified) side index of docsTable, maintained by the
+  // Incremental/Overwrite writers so the J2 skip join reads 2 columns
+  // instead of rescanning the full (wide) docs history every round
+  private val docsIndexTable = new SnapshotTable(s"$workDir/docsidx", spark)
+  // incrementally merged seen-set bloom router (O(new URLs) per round
+  // instead of an O(|seen|) stat.bloomFilter rebuild)
+  private val seenBloom = new IncrementalSeenBloom(seenTable)
 
   // --- round checkpoint: the ATOMIC commit point of a round ----------------
   // A round writes two snapshots (frontier transition + seen growth); the
@@ -192,11 +199,12 @@ final class CrawlSession(
     if (claimedCount == 0) { claimed.unpersist(); return None }
 
     // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
-    // The claim batch is orders of magnitude smaller than the corpus
-    // (≤ hosts·budget rows), so it broadcasts as the build side; the corpus
-    // scan prunes to the joined columns only.
-    val fetched = corpus
-      .join(broadcast(claimed), corpus("doc_id") === claimed("url"), "inner")
+    // The claim batch is usually orders of magnitude smaller than the corpus
+    // (≤ hosts·budget rows) and broadcasts as the build side; the hint is
+    // size-GATED on the known claimedCount — an unconditional broadcast OOMs
+    // once hosts×budget reaches 10^7+ rows (see fetchJoin) — falling through
+    // to an AQE-planned shuffle join above the cap.
+    val fetched = fetchJoin(corpus, claimed, claimedCount)
       .select(
         claimed("url"), claimed("parentUrl"), claimed("depth"),
         claimed("urlHash"), claimed("host").as("claimHost"),
@@ -238,33 +246,41 @@ final class CrawlSession(
       col("depth") + 1, col("parentUrl"), applyIncludeExclude = true)
       .persist()
 
+    var releaseRoute: () => Unit = () => ()
     val newEntries =
       (if (seen == null) cand
        else config.seenRoute match {
-         case SeenRoute.Auto => SeenSet.filterNew(cand, seen, seenCount)
+         case SeenRoute.Auto =>
+           // incrementally merged bloom: O(new URLs last round), not O(seen)
+           val bloom =
+             if (seenCount <= AutoBloomMaxItems)
+               Some(seenBloom.forVersion(seenV, seenCount))
+             else None
+           SeenSet.filterNew(cand, seen, seenCount, prebuiltBloom = bloom)
          case SeenRoute.Exact =>
            SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
          case SeenRoute.RangePartitioned(nRanges) =>
            import spark.implicits._
-           SeenSet.filterNewRangePartitioned(
+           val (out, release) = SeenSet.filterNewRangePartitioned(
              cand.select("url", "urlHash", "host", "depth", "parentUrl")
                .as[FrontierEntry],
-             seen, seenCount, nRanges).toDF()
-             .select(cand.columns.map(col): _*)
+             seen, seenCount, nRanges)
+           releaseRoute = release
+           out.toDF().select(cand.columns.map(col): _*)
        }).persist()
 
     // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
-    val unclaimed = frontier.join(
-      claimed.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
-    val nextFrontier = unclaimed.unionByName(
-      newEntries.select(unclaimed.columns.map(col): _*))
-
+    // delta commit: append the new entries, tombstone the claimed rows —
+    // O(claim + new) write instead of rewriting the whole frontier
+    // (SnapshotTable compacts copy-on-write once tombstones accumulate)
     val newProcessed = processed + claimedCount
-    val (newFv, frontierLeft) = frontierTable.commitFull(nextFrontier, Map(
-      "round" -> (round + 1).toString,
-      "processed" -> newProcessed.toString,
-      "claimed" -> claimedCount.toString,
-      "docsWritten" -> docsWritten.toString))
+    val (newFv, frontierLeft) = frontierTable.commitDeltaTo(
+      newEntries.select(frontier.columns.map(col): _*),
+      claimed.select("urlHash", "url"), v, Map(
+        "round" -> (round + 1).toString,
+        "processed" -> newProcessed.toString,
+        "claimed" -> claimedCount.toString,
+        "docsWritten" -> docsWritten.toString))
     val (newSv, seenTotal) = seenTable.commitAppendTo(
       newEntries.select("urlHash", "url"), seenV,
       Map("round" -> (round + 1).toString))
@@ -282,7 +298,7 @@ final class CrawlSession(
         .map(r => (r.getString(0), r.getInt(1)))
 
     claimed.unpersist(); fetched.unpersist(); cand.unpersist()
-    newEntries.unpersist(); docs.unpersist()
+    newEntries.unpersist(); docs.unpersist(); releaseRoute()
     log(s"round ${round + 1}: claimed=$claimedCount docs=$docsWritten " +
       s"new=$newUrls frontier=$frontierLeft seen=$seenTotal processed=$newProcessed")
     Some(RoundResult(round + 1, claimedCount, docsWritten, newUrls,
@@ -296,24 +312,32 @@ final class CrawlSession(
     val hasExisting = !docsTable.isEmpty && docsTable.rowsOf(docsTable.currentVersion) > 0
     config.mode match {
       case WriteMode.Default =>
+        // Default mode never reads history — no index maintenance (a later
+        // Incremental session detects the stale index and rebuilds once)
         val (_, _) = docsTable.commitAppend(docs)
         docsTable.metric(docsTable.currentVersion, "segmentRows").map(_.toLong).getOrElse(0L)
       case WriteMode.Overwrite =>
         // J3: delete-by-url then insert = copy-on-write MERGE
-        if (!hasExisting) { docsTable.commitFull(docs); docs.count() }
-        else {
-          val existing = docsTable.read()
-          val kept = existing.join(docs.select("url").distinct(), Seq("url"), "left_anti")
-          val merged = kept.unionByName(docs.select(kept.columns.map(col): _*))
-          docsTable.commitFull(merged)
-          docs.count()
-        }
+        val written =
+          if (!hasExisting) { docsTable.commitFull(docs); docs.count() }
+          else {
+            val existing = docsTable.read()
+            val kept = existing.join(docs.select("url").distinct(), Seq("url"), "left_anti")
+            val merged = kept.unionByName(docs.select(kept.columns.map(col): _*))
+            docsTable.commitFull(merged)
+            docs.count()
+          }
+        refreshDocsIndexFull()
+        written
       case WriteMode.Incremental =>
-        // J2: skip docs whose lastModified is not newer than what's indexed
+        // J2: skip docs whose lastModified is not newer than what's indexed.
+        // The skip join reads the narrow (url, lastModified) side index when
+        // it is consistent with the docs head — rescanning the full wide
+        // docs history every round is O(history) per round
         val fresh =
           if (!hasExisting) docs
           else {
-            val indexed = docsTable.read()
+            val indexed = docsIndexSource()
               .groupBy(col("url").as("i_url"))
               .agg(max("lastModified").as("i_lastModified"))
             docs.join(indexed, docs("url") === col("i_url"), "left")
@@ -322,9 +346,44 @@ final class CrawlSession(
               .drop("i_url", "i_lastModified")
           }
         docsTable.commitAppend(fresh)
-        docsTable.metric(docsTable.currentVersion, "segmentRows").map(_.toLong).getOrElse(0L)
+        val written = docsTable.metric(docsTable.currentVersion, "segmentRows")
+          .map(_.toLong).getOrElse(0L)
+        appendDocsIndex()
+        written
     }
   }
+
+  /** index rows for the J2 skip join: the side index when consistent with
+    * the docs head (metric check), else the docs table itself (index behind
+    * — e.g. Default-mode appends — heals on the next index write).
+    */
+  private def docsIndexSource(): DataFrame = {
+    val consistent = !docsIndexTable.isEmpty &&
+      docsIndexTable.metric(docsIndexTable.currentVersion, "docsVersion")
+        .contains(docsTable.currentVersion.toString)
+    if (consistent) docsIndexTable.read() else docsTable.read()
+  }
+
+  private def indexConsistentBefore(prevDocsVersion: Long): Boolean =
+    !docsIndexTable.isEmpty &&
+      docsIndexTable.metric(docsIndexTable.currentVersion, "docsVersion")
+        .contains(prevDocsVersion.toString)
+
+  /** append the fresh segment's (url, lastModified) to the index, or rebuild
+    * it from the full docs table if it had fallen behind.
+    */
+  private def appendDocsIndex(): Unit = {
+    val docsV = docsTable.currentVersion
+    val newSeg = docsTable.readSegment(docsV.toString).select("url", "lastModified")
+    if (indexConsistentBefore(docsV - 1))
+      docsIndexTable.commitAppend(newSeg, Map("docsVersion" -> docsV.toString))
+    else refreshDocsIndexFull()
+  }
+
+  private def refreshDocsIndexFull(): Unit =
+    docsIndexTable.commitFull(
+      docsTable.read().select("url", "lastModified"),
+      Map("docsVersion" -> docsTable.currentVersion.toString))
 
   /** Run to completion (budget hit or frontier drained). */
   def run(maxRounds: Int = 1000): CrawlResult = {
@@ -354,7 +413,7 @@ final class CrawlSession(
   }
 
   def cleanup(): Unit = { // S9
-    frontierTable.drop(); seenTable.drop(); docsTable.drop()
+    frontierTable.drop(); seenTable.drop(); docsTable.drop(); docsIndexTable.drop()
   }
 
   private def log(msg: String): Unit =
@@ -369,6 +428,30 @@ final case class CrawlHooks(
     onFinish: (CrawlSession, CrawlSession.CrawlResult) => Unit = (_, _) => ())
 
 object CrawlSession {
+  /** build-side row cap for broadcasting the claim batch into the fetch
+    * join: ~150 B/row ⇒ ~300 MB at the cap, the practical ceiling before
+    * the driver/executor broadcast OOMs. Above it AQE plans the join.
+    */
+  private[graft] val FetchBroadcastMaxRows = 2000000L
+
+  /** single-bloom ceiling for the Auto seen route (matches
+    * [[graft.frontier.SeenSet.filterNew]]'s default `maxBloomItems`; beyond
+    * it the route falls back to the plain shuffled anti-join, and the
+    * range-partitioned route is the explicit upgrade path).
+    */
+  private[graft] val AutoBloomMaxItems = 50000000L
+
+  /** fetch join with a size-gated broadcast hint on the claim batch. */
+  private[graft] def fetchJoin(corpus: DataFrame, claimed: DataFrame,
+      claimedRows: Long,
+      maxBroadcastRows: Long = FetchBroadcastMaxRows): DataFrame = {
+    val build =
+      if (claimedRows <= maxBroadcastRows)
+        org.apache.spark.sql.functions.broadcast(claimed)
+      else claimed
+    corpus.join(build, corpus("doc_id") === claimed("url"), "inner")
+  }
+
   final case class RoundResult(
       round: Int,
       claimed: Long,

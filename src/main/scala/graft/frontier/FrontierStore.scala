@@ -17,9 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     always see a complete table (the reference's delete-on-claim
   *     exactly-once discipline, RiverWeb.java:183-195, becomes
   *     snapshot-transition atomicity);
-  *   - `commitFull` = copy-on-write replace (frontier round transition),
-  *     `commitAppend` = delta segment (seen-set growth, doc appends) —
-  *     merge-on-read via multi-dir parquet scan;
+  *   - `commitFull` = copy-on-write replace, `commitAppend` = delta segment
+  *     (seen-set growth, doc appends) — merge-on-read via multi-dir parquet
+  *     scan; `commitDeltaTo` = delta segment PLUS a tombstone segment
+  *     (frontier round transition: the claimed rows become tombstones
+  *     anti-joined out on read, so a round writes O(claim batch + new URLs)
+  *     instead of rewriting a 10^10-row frontier to remove 10^5 claimed
+  *     rows), with automatic copy-on-write compaction once tombstones
+  *     outgrow the broadcast-anti-join budget;
   *   - resume = read the current manifest (session isolation + resume,
   *     RiverWeb.java:80-84,238-240); crawl state (round, processed) rides in
   *     the metrics map.
@@ -28,8 +33,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SnapshotTable(val root: String, spark: SparkSession) {
 
+  import SnapshotTable._
+
   private def manifestPath: Path = Paths.get(root, "manifest.json")
   Files.createDirectories(Paths.get(root, "segments"))
+  Files.createDirectories(Paths.get(root, "tombstones"))
   Files.createDirectories(Paths.get(root, "snapshots"))
 
   /** current snapshot version, or -1 if never committed. */
@@ -44,9 +52,14 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     Paths.get(root, "snapshots", v.toString, "meta.json")
 
   /** live segment dirs of snapshot v. */
-  def segmentsOf(v: Long): Seq[String] = {
+  def segmentsOf(v: Long): Seq[String] = listOf(v, "segments")
+
+  /** tombstone segment dirs of snapshot v (rows anti-joined out on read). */
+  def tombstonesOf(v: Long): Seq[String] = listOf(v, "tombstones")
+
+  private def listOf(v: Long, key: String): Seq[String] = {
     val json = Files.readString(metaPath(v))
-    "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json) match {
+    ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json) match {
       case Some(m) =>
         m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
@@ -61,18 +74,39 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
   }
 
+  /** LIVE rows of snapshot v (data rows minus tombstoned rows). */
   def rowsOf(v: Long): Long =
     metric(v, "rows").map(_.toLong).getOrElse(0L)
+
+  /** cumulative tombstone rows carried by snapshot v. */
+  def tombRowsOf(v: Long): Long =
+    metric(v, "tombRows").map(_.toLong).getOrElse(0L)
 
   def isEmpty: Boolean = currentVersion < 0
 
   /** Read the current snapshot (caller guards `isEmpty`). */
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Merge-on-read: union of live data segments, minus tombstoned rows.
+    * The tombstone side is broadcast — the compaction policy caps it at
+    * [[SnapshotTable.MaxTombRows]], so the anti-join stays a map-side
+    * BroadcastHashJoin and never shuffles the (possibly 10^10-row) data.
+    */
   def readVersion(v: Long): DataFrame = {
     val segs = segmentsOf(v)
-    spark.read.parquet(segs.map(s => s"$root/segments/$s"): _*)
+    val data = spark.read.parquet(segs.map(s => s"$root/segments/$s"): _*)
+    val tombs = tombstonesOf(v)
+    if (tombs.isEmpty) data
+    else {
+      val tomb = spark.read.parquet(tombs.map(t => s"$root/tombstones/$t"): _*)
+      data.join(org.apache.spark.sql.functions.broadcast(tomb),
+        tomb.columns.toSeq, "left_anti")
+    }
   }
+
+  /** read one raw data segment (no tombstone application). */
+  def readSegment(seg: String): DataFrame =
+    spark.read.parquet(s"$root/segments/$seg")
 
   def commitFull(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) =
     commit(df, metrics, appendTo = Seq.empty, prevRows = 0L)
@@ -90,12 +124,76 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       metrics: Map[String, String] = Map.empty): (Long, Long) = {
     val prev = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
     val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
-    commit(df, metrics, appendTo = prev, prevRows = prevRows)
+    // carry the parent's tombstones forward — an append must not resurrect
+    // logically deleted rows
+    val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
+    val prevTombRows = if (parentVersion < 0) 0L else tombRowsOf(parentVersion)
+    commit(df, metrics, appendTo = prev, prevRows = prevRows,
+      tombSegs = prevTombs, tombRows = prevTombRows)
   }
 
-  private def commit(df: DataFrame, metrics: Map[String, String],
-      appendTo: Seq[String], prevRows: Long): (Long, Long) = {
+  /** Delta transition anchored at `parentVersion`: append `newRows` as a
+    * data segment and `tombstones` (key columns of rows to logically
+    * delete) as a tombstone segment. Write cost is O(new + tombstones)
+    * regardless of table size — the round-loop fix for the per-round
+    * O(frontier) copy-on-write rewrite.
+    *
+    * Compaction: once accumulated tombstones would exceed
+    * [[SnapshotTable.MaxTombRows]] (the read-side broadcast budget) or a
+    * quarter of the live rows, the transition is applied as a full
+    * copy-on-write rewrite instead and the tombstone list resets —
+    * amortized, a table pays one rewrite per ~MaxTombRows claimed rows.
+    */
+  def commitDeltaTo(newRows: DataFrame, tombstones: DataFrame,
+      parentVersion: Long,
+      metrics: Map[String, String] = Map.empty): (Long, Long) = {
     val v = currentVersion + 1
+    val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
+    val prevTombRows = if (parentVersion < 0) 0L else tombRowsOf(parentVersion)
+    // write the tombstone segment first; its footer count drives the
+    // compaction decision (no Spark count() job, no trusting the caller)
+    val tombDir = s"$root/tombstones/$v"
+    tombstones.write.mode("overwrite").parquet(tombDir)
+    val newTombRows = dirRowCount(tombDir)
+    val totalTomb = prevTombRows + newTombRows
+    if (totalTomb > MaxTombRows || totalTomb > math.max(4096L, prevRows / 4)) {
+      // compact: parent live rows minus the fresh tombstones, plus newRows
+      val tomb = spark.read.parquet(tombDir)
+      val kept = readVersion(parentVersion).join(
+        org.apache.spark.sql.functions.broadcast(tomb),
+        tomb.columns.toSeq, "left_anti")
+      val merged = kept.unionByName(newRows.select(kept.columns.map(c =>
+        org.apache.spark.sql.functions.col(c)): _*))
+      val out = commit(merged, metrics, appendTo = Seq.empty, prevRows = 0L)
+      // the tombstone dir is orphaned by the full rewrite — reclaim it
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(tombDir))
+      out
+    } else {
+      val prevSegs = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
+      val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
+      commit(newRows, metrics, appendTo = prevSegs,
+        prevRows = prevRows - newTombRows,
+        tombSegs = prevTombs :+ v.toString, tombRows = totalTomb,
+        expectVersion = v)
+    }
+  }
+
+  private def dirRowCount(dir: String): Long =
+    listDir(Paths.get(dir))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+      .map(f => footerRowCount(s"$dir/$f")).sum
+
+  private def commit(df: DataFrame, metrics: Map[String, String],
+      appendTo: Seq[String], prevRows: Long,
+      tombSegs: Seq[String] = Seq.empty, tombRows: Long = 0L,
+      expectVersion: Long = -1L): (Long, Long) = {
+    val v = currentVersion + 1
+    require(expectVersion < 0 || expectVersion == v,
+      s"concurrent commit detected: expected $expectVersion, at $v")
     val seg = v.toString
     val segDir = s"$root/segments/$seg"
     df.write.mode("overwrite").parquet(segDir)
@@ -110,15 +208,17 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     val metricsJson = (metrics ++ Map(
       "parentVersion" -> currentVersion.toString,
       "rows" -> rows.toString,
-      "segmentRows" -> segRows.toString))
+      "segmentRows" -> segRows.toString,
+      "tombRows" -> tombRows.toString))
       .toSeq.sortBy(_._1)
       .map { case (k, q) => s""""$k": "${q.replace("\"", "'")}"""" }
       .mkString(",\n  ")
     val segsJson = segs.map(s => s""""$s"""").mkString("[", ",", "]")
+    val tombsJson = tombSegs.map(s => s""""$s"""").mkString("[", ",", "]")
     val filesJson = files.map(f => s""""$f"""").mkString("[", ",", "]")
     Files.createDirectories(metaPath(v).getParent)
     Files.writeString(metaPath(v),
-      s"""{\n  "version": $v,\n  $metricsJson,\n  "segments": $segsJson,\n  "newFiles": $filesJson\n}\n""")
+      s"""{\n  "version": $v,\n  $metricsJson,\n  "segments": $segsJson,\n  "tombstones": $tombsJson,\n  "newFiles": $filesJson\n}\n""")
     val tmp = Paths.get(root, s".manifest.$v.tmp")
     Files.writeString(tmp, s"""{"current": $v}""")
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
@@ -153,6 +253,13 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
 }
 
 object SnapshotTable {
+  /** Read-side broadcast budget for accumulated tombstones (~60 B/row ⇒
+    * ~60 MB of broadcast at the cap). `commitDeltaTo` compacts before the
+    * cap so merge-on-read stays a map-side BroadcastHashJoin — amortized,
+    * one full rewrite per ~MaxTombRows claimed rows.
+    */
+  val MaxTombRows: Long = 1000000L
+
   def apply(root: String)(implicit spark: SparkSession): SnapshotTable =
     new SnapshotTable(root, spark)
 }

@@ -37,7 +37,8 @@ object SeenSet {
       seen: DataFrame,
       seenCount: Long,
       maxBloomItems: Long = 50000000L,
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03,
+      prebuiltBloom: Option[BloomFilter] = None): DataFrame = {
 
     if (seenCount == 0) return candidates
 
@@ -48,9 +49,11 @@ object SeenSet {
     val materialized =
       candidates.storageLevel.useMemory || candidates.storageLevel.useDisk
 
-    if (materialized && seenCount <= maxBloomItems) {
-      val bloom: BloomFilter =
-        seen.stat.bloomFilter("urlHash", math.max(seenCount, 1000L), fpp)
+    if (materialized && (prebuiltBloom.isDefined || seenCount <= maxBloomItems)) {
+      // prebuilt filter (incrementally maintained by the caller — see
+      // [[IncrementalSeenBloom]]) skips the O(|seen|) per-round build scan
+      val bloom: BloomFilter = prebuiltBloom.getOrElse(
+        seen.stat.bloomFilter("urlHash", math.max(seenCount, 1000L), fpp))
       val bc = candidates.sparkSession.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
       val routed = candidates.withColumn("__maybeSeen", mightContain(col("urlHash")))
@@ -83,13 +86,19 @@ object SeenSet {
     *
     * Candidates must be materialized (persisted) by the caller: the routed
     * set feeds two branches, exactly like [[filterNew]].
+    *
+    * Returns the filtered entries plus a `release` handle that unpersists
+    * the internally cached routed set — the CALLER invokes it after
+    * materializing the result (leaving it cached leaks one MEMORY_AND_DISK
+    * dataset per crawl round; disk-spilled blocks are not reclaimed by the
+    * memory LRU, which starves a long-running daemon).
     */
   def filterNewRangePartitioned(
       candidates: Dataset[FrontierEntry],
       seen: DataFrame,
       seenCount: Long,
       nRanges: Int,
-      fpp: Double = 0.03): Dataset[FrontierEntry] = {
+      fpp: Double = 0.03): (Dataset[FrontierEntry], () => Unit) = {
     val spark = candidates.sparkSession
     import spark.implicits._
 
@@ -111,9 +120,8 @@ object SeenSet {
     // route candidates against their range's bloom (co-grouped shuffle —
     // bloom bytes deserialize once per range per task). Persisted: the
     // routed set feeds both output branches, and without it the cogroup
-    // (bloom build shuffle included) would execute twice; the cache idles
-    // after the caller materializes the result and is reclaimed by Spark's
-    // LRU under memory pressure.
+    // (bloom build shuffle included) would execute twice; the returned
+    // release handle unpersists it once the caller has materialized.
     val routed: Dataset[(FrontierEntry, Boolean)] = candidates
       .groupByKey(c => rangeOf(c.urlHash))
       .cogroup(blooms.groupByKey(_._1)) { (_, candIt, bloomIt) =>
@@ -132,6 +140,100 @@ object SeenSet {
       .join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
       .select("url", "urlHash", "host", "depth", "parentUrl")
       .as[FrontierEntry]
-    definitelyNew.union(maybeNew)
+    (definitelyNew.union(maybeNew), () => { routed.unpersist(); () })
   }
+}
+
+/** Incrementally maintained seen-set Bloom router (the fix for the
+  * per-round O(|seen|) `stat.bloomFilter` rebuild — a crawl's cumulative
+  * routing cost was quadratic in rounds).
+  *
+  * The seen table grows by append-only delta segments; this keeps ONE
+  * filter of fixed capacity and merges in a per-NEW-SEGMENT bloom at each
+  * advance (`mergeInPlace` requires identical sizing, hence the fixed
+  * capacity). When the seen count outgrows the capacity the filter is
+  * rebuilt at 4× from a full scan — geometric growth, so total rebuild
+  * cost over a crawl is O(N), not O(N·rounds). Overflow between rebuilds
+  * only degrades fpp (more join probes), never correctness: a bloom OR
+  * has no false negatives, and `mightContain=true` falls through to the
+  * exact anti-join.
+  *
+  * The filter is persisted as a sidecar (`$root/bloom.current`) keyed by
+  * the covered snapshot version, so a resumed crawl reloads it instead of
+  * rescanning the seen table.
+  */
+final class IncrementalSeenBloom(table: SnapshotTable, fpp: Double = 0.03) {
+
+  private var filter: Option[BloomFilter] = None
+  private var capacity: Long = 0L
+  private var coveredVersion: Long = -1L
+  private var coveredSegments: Set[String] = Set.empty
+
+  private def sidecar = java.nio.file.Paths.get(table.root, "bloom.current")
+
+  /** Bloom covering seen snapshot `v` (with `rows` live rows), advancing the
+    * cached filter over only the NEW segments since the last call.
+    */
+  def forVersion(v: Long, rows: Long): BloomFilter = {
+    if (coveredVersion == v && filter.isDefined) return filter.get
+    if (filter.isEmpty) loadSidecar()
+    val segs = table.segmentsOf(v)
+    val canAdvance = filter.isDefined && rows <= capacity &&
+      coveredSegments.subsetOf(segs.toSet)
+    if (canAdvance) {
+      val f = filter.get
+      segs.filterNot(coveredSegments).foreach { seg =>
+        // skip empty segments (a round can add 0 new URLs):
+        // stat.bloomFilter NPEs on zero-row input. Segment name == the
+        // version that wrote it, whose meta records its row count.
+        val segRows = scala.util.Try(seg.toLong).toOption
+          .flatMap(sv => table.metric(sv, "segmentRows")).map(_.toLong)
+        if (!segRows.contains(0L)) f.mergeInPlace(segmentBloom(seg))
+      }
+    } else {
+      capacity = math.max(4 * rows, 1L << 16)
+      filter = Some(table.readVersion(v).stat.bloomFilter("urlHash", capacity, fpp))
+    }
+    coveredVersion = v
+    coveredSegments = segs.toSet
+    saveSidecar()
+    filter.get
+  }
+
+  private def segmentBloom(seg: String): BloomFilter =
+    table.readSegment(seg).stat.bloomFilter("urlHash", capacity, fpp)
+
+  // sidecar layout: version line, capacity line, segment list line, then the
+  // serialized filter. Best-effort on both ends — a missing/corrupt sidecar
+  // just means one rebuild scan.
+  private def saveSidecar(): Unit =
+    try {
+      val tmp = java.nio.file.Paths.get(table.root, ".bloom.tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp)))
+      try {
+        out.writeLong(coveredVersion)
+        out.writeLong(capacity)
+        out.writeUTF(coveredSegments.toSeq.sorted.mkString(","))
+        filter.get.writeTo(out)
+      } finally out.close()
+      java.nio.file.Files.move(tmp, sidecar,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
+
+  private def loadSidecar(): Unit =
+    try {
+      if (!java.nio.file.Files.exists(sidecar)) return
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(sidecar)))
+      try {
+        coveredVersion = in.readLong()
+        capacity = in.readLong()
+        coveredSegments = in.readUTF().split(",").filter(_.nonEmpty).toSet
+        filter = Some(BloomFilter.readFrom(in))
+      } finally in.close()
+    } catch { case _: java.io.IOException =>
+      filter = None; coveredVersion = -1L; coveredSegments = Set.empty
+    }
 }

@@ -38,9 +38,14 @@ object Dedup {
     ).otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** portable numeric shingle hashes in [0, P). */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => pmod(TextOps.portableHash(s), lit(MinhashP)))
+  /** numeric shingle hashes in [0, P). `hash` defaults to xxhash64 (full
+    * 64-bit dispersion — the production choice at 100 TB, where a weak hash
+    * floods LSH buckets with false candidates); pass
+    * [[TextOps.portableHash]] for DuckDB-oracle-checkable runs.
+    */
+  def shingleHashes(text: Column, k: Int,
+      hash: Column => Column = TextOps.fastHash): Column =
+    transform(shingles(text, k), s => pmod(hash(s), lit(MinhashP)))
 
   // --- MinHash + LSH ---------------------------------------------------------
 
@@ -65,8 +70,9 @@ object Dedup {
     * planned once — Catalyst keeps the projection boundary because the
     * producer expression is non-cheap and referenced `numHashes` times.
     */
-  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16): Column =
-    minhashSignatureFromHashes(shingleHashes(text, k), numHashes)
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16,
+      hash: Column => Column = TextOps.fastHash): Column =
+    minhashSignatureFromHashes(shingleHashes(text, k, hash), numHashes)
 
   /** signature from a precomputed shingle-hash array column. */
   def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
@@ -82,8 +88,10 @@ object Dedup {
     * on (band index, band signature), verify with exact signature
     * similarity. `bands · rowsPerBand == numHashes`.
     *
-    * Shuffle profile: explode to bands (rows × bands), one hash shuffle on
-    * the band key, self-join only within buckets.
+    * Shuffle profile: the band explode carries (id, band, bandSig) ONLY —
+    * shipping the full signature on both join sides would multiply the
+    * exchange width by `bands`. Candidate pairs are deduped while still
+    * narrow, then the signatures are re-joined by id for the exact verify.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -92,26 +100,30 @@ object Dedup {
       k: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minSignatureSim: Double = 0.5): DataFrame = {
+      minSignatureSim: Double = 0.5,
+      hash: Column => Column = TextOps.fastHash): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigd = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("__h"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k, hash).as("__h"))
       .select(col("id"), minhashSignatureFromHashes(col("__h"), numHashes).as("sig"))
-    val banded = sigd.select(col("id"), col("sig"),
+    val banded = sigd.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandSig")
-    val l = banded.select(col("band"), col("bandSig"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bandSig"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bandSig"))
+    val candPairs = banded
+      .select(col("band"), col("bandSig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bandSig"), col("id").as("id_b")),
+        Seq("band", "bandSig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candPairs
+      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / numHashes).as("sig_sim"))
-      .distinct()
       .filter(col("sig_sim") >= minSignatureSim)
   }
 
@@ -121,11 +133,14 @@ object Dedup {
     * tokens of (2·bit_b(h(tok)) − 1) is positive. Per-row computation, no
     * shuffle; `bits ≤ 16` keeps the portable hash's entropy honest.
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hashes = transform(TextOps.tokens(text), t => TextOps.portableHash(t))
+  def simhash(text: Column, bits: Int = 16,
+      hash: Column => Column = TextOps.fastHash): Column = {
+    val hashes = transform(TextOps.tokens(text), t => hash(t))
     val bitCols = (0 until bits).map { b =>
+      // bitwiseAND(1), not %2: arithmetic shift of a NEGATIVE 64-bit hash
+      // (xxhash64) makes `%2` yield -1; the AND reads the raw bit either way
       val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)
       when(votes > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce((a: Column, b: Column) => a + b)
@@ -141,8 +156,20 @@ object Dedup {
     */
   private[graft] def simhashBlocks(bits: Int, maxHamming: Int): Seq[(Int, Int, Long)] = {
     val nBlocks = math.min(maxHamming + 1, bits)
-    val width = (bits + nBlocks - 1) / nBlocks
-    (0 until nBlocks).map(b => (b, b * width, (1L << width) - 1))
+    // split the bits EXACTLY (floor width, remainder spread over the first
+    // blocks): a ceil width would push the last block past the signature
+    // when bits % nBlocks != 0 — every doc keys that block to 0, silently
+    // turning it into a quadratic all-pairs self-join
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    var shift = 0
+    (0 until nBlocks).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      val out = (b, shift, mask)
+      shift += width
+      out
+    }
   }
 
   /** SimHash near-dup pairs within `maxHamming`: block on maxHamming+1
@@ -151,8 +178,9 @@ object Dedup {
     * recall and precision are exact.
     */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sh"))
+      textCol: String = "text", bits: Int = 16, maxHamming: Int = 3,
+      hash: Column => Column = TextOps.fastHash): DataFrame = {
+    val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol), bits, hash).as("sh"))
     val blocked = sigd.select(col("id"), col("sh"),
       explode(array(simhashBlocks(bits, maxHamming).map { case (b, shift, mask) =>
         struct(lit(b).as("blk"),
@@ -233,27 +261,34 @@ object Dedup {
         col(idCol).as("id_b"), lit(0.0).as("cosine"))
     val dim = first(0).getInt(0)
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
-    val withKeys = embeddings
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", Similarity.l2norm(col("v")))
-      .withColumn("b", explode(array((0 until bands).map { band =>
+    val base = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // the band explode carries (id, band, key) ONLY — replicating the full
+    // vector per band multiplies the exchange width by `bands` (2 KB × 20
+    // per row at dim 256); vectors re-join by id for the exact verify
+    val keyed = base
+      .select(col("id"), explode(array((0 until bands).map { band =>
         val bandPlanes = planes.slice(band * bitsPerBand, (band + 1) * bitsPerBand)
         struct(lit(band).as("band"),
           Similarity.lshBucket(col("v"), bandPlanes).as("key"))
-      }: _*)))
-      .select(col("id"), col("v"), col("norm"), col("b.band"), col("b.key"))
-    val l = withKeys.select(col("band"), col("key"), col("id").as("id_a"),
-      col("v").as("v_a"), col("norm").as("n_a"))
-    val r = withKeys.select(col("band"), col("key"), col("id").as("id_b"),
-      col("v").as("v_b"), col("norm").as("n_b"))
-    l.join(r, Seq("band", "key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val candPairs = keyed.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(keyed.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair may collide in several bands — dedup while narrow
+    val withNorm = base.withColumn("norm", Similarity.l2norm(col("v")))
+    candPairs
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("norm").as("n_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("norm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
           .as("cosine"))
-      .filter(col("cosine") >= threshold) // verify BEFORE the distinct shuffle
-      .distinct() // a pair may collide in several bands
+      .filter(col("cosine") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, exact within

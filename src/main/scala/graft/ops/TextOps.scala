@@ -24,6 +24,12 @@ object TextOps {
     * can be oracle-checked end to end. Weak on purpose — portability over
     * dispersion; swap for xxhash64 when no oracle is needed.
     */
+  /** Default token hash for minhash/simhash at scale: xxhash64 — full
+    * 64-bit dispersion, codegen'd. Not oracle-checkable (DuckDB has no
+    * xxhash64 twin); oracle-backed queries pass [[portableHash]] instead.
+    */
+  def fastHash(tok: Column): Column = xxhash64(tok)
+
   def portableHash(tok: Column): Column = {
     val padded = concat(tok, lit("xx"))
     (ascii(substring(padded, 1, 1)) * 961 +

@@ -46,14 +46,17 @@ class SeenSetSpec extends AnyFunSuite {
     val cand = spark.createDataset(entries(candUrls))(
       org.apache.spark.sql.Encoders.product[FrontierEntry]).persist()
     // urlsDf hashes with xxhash64(col) == UrlOps.urlHash — same function
-    val got = SeenSet.filterNewRangePartitioned(cand, seen, seenUrls.size.toLong,
+    val (got8, release8) = SeenSet.filterNewRangePartitioned(cand, seen,
+      seenUrls.size.toLong,
       nRanges = 8, fpp = 0.2) // high fpp: force plenty of exact-join fallthrough
-      .collect().map(_.url).toSet
+    val got = got8.collect().map(_.url).toSet
+    release8()
     assert(got == trulyNew)
     // ranges with no seen rows must still pass candidates through
-    val gotManyRanges = SeenSet.filterNewRangePartitioned(cand, seen,
+    val (gotMany, releaseMany) = SeenSet.filterNewRangePartitioned(cand, seen,
       seenUrls.size.toLong, nRanges = 512)
-      .collect().map(_.url).toSet
+    val gotManyRanges = gotMany.collect().map(_.url).toSet
+    releaseMany()
     assert(gotManyRanges == trulyNew)
     cand.unpersist()
   }
@@ -96,6 +99,85 @@ class SeenSetSpec extends AnyFunSuite {
     t.commitFull(Seq(9).toDF("v"), Map("round" -> "3"))
     assert(t.read().count() == 1)
     assert(t.readVersion(1).count() == 5) // time travel to snapshot 1
+    t.drop()
+  }
+
+  test("snapshot table: tombstone delta removes rows without a rewrite; live-row accounting exact") {
+    val dir = TestSpark.tmpDir("snap-tomb")
+    val t = new SnapshotTable(dir, spark)
+    def rows(ids: Range) = ids.map(i => (s"u$i", i.toLong)).toDF("url", "urlHash")
+    val (v0, n0) = t.commitFull(rows(0 until 100))
+    assert(n0 == 100)
+    // delta: add 10 new rows, tombstone 5 claimed ones
+    val (v1, n1) = t.commitDeltaTo(rows(100 until 110), rows(0 until 5), v0)
+    assert(n1 == 105, "live rows = 100 + 10 - 5")
+    assert(t.rowsOf(v1) == 105 && t.tombRowsOf(v1) == 5)
+    val got = t.readVersion(v1).select("url").collect().map(_.getString(0)).toSet
+    assert(got == (5 until 110).map(i => s"u$i").toSet)
+    // the delta appended ONE new data segment — no copy-on-write of the base
+    assert(t.segmentsOf(v1).size == t.segmentsOf(v0).size + 1)
+    assert(t.tombstonesOf(v1).nonEmpty)
+    // parent snapshot unaffected (time travel ignores later tombstones)
+    assert(t.readVersion(v0).count() == 100)
+    // a plain append on top must carry the tombstones forward
+    val (v2, n2) = t.commitAppendTo(rows(110 until 115), v1)
+    assert(n2 == 110)
+    assert(!t.readVersion(v2).select("url").collect().map(_.getString(0)).toSet.contains("u3"))
+    t.drop()
+  }
+
+  test("snapshot table: tombstones past the live-row threshold trigger compaction") {
+    val dir = TestSpark.tmpDir("snap-compact")
+    val t = new SnapshotTable(dir, spark)
+    def rows(ids: Range) = ids.map(i => (s"u$i", i.toLong)).toDF("url", "urlHash")
+    val (v0, _) = t.commitFull(rows(0 until 100))
+    // the policy compacts when cumulative tombstones exceed
+    // max(4096, prevLiveRows/4) or MaxTombRows; 40 of 100 sits under the
+    // 4096 floor → still a delta
+    val (v1, _) = t.commitDeltaTo(rows(100 until 110), rows(0 until 40), v0)
+    assert(t.segmentsOf(v1).size == 2 && t.tombRowsOf(v1) == 40)
+    // cross the floor: 20k-row base, 8k cumulative tombstones over two deltas
+    val (w0, _) = t.commitFull(rows(0 until 20000))
+    val (w1, _) = t.commitDeltaTo(rows(20000 until 20010), rows(0 until 4000), w0)
+    assert(t.tombstonesOf(w1).nonEmpty, "first delta stays a delta")
+    val (w2, liveW2) = t.commitDeltaTo(rows(20010 until 20020), rows(4000 until 8000), w1)
+    // 8000 cumulative tombstones > max(4096, ~16010/4) → compacted
+    assert(t.tombstonesOf(w2).isEmpty, "compaction resets the tombstone list")
+    assert(t.tombRowsOf(w2) == 0)
+    assert(liveW2 == 20020 - 8000)
+    assert(t.readVersion(w2).count() == liveW2)
+    t.drop()
+  }
+
+  test("incremental seen bloom: advances over new segments only, reloads from sidecar, never false-negative") {
+    val dir = TestSpark.tmpDir("snap-bloom")
+    val t = new SnapshotTable(dir, spark)
+    def seenRows(ids: Range) = ids.map { i =>
+      val u = s"http://h/$i"; (u, UrlOps.urlHash(u))
+    }.toDF("url", "urlHash")
+    val (v0, _) = t.commitAppendTo(seenRows(0 until 500), -1L)
+    val bloom0 = new IncrementalSeenBloom(t)
+    val f0 = bloom0.forVersion(v0, 500)
+    assert((0 until 500).forall(i => f0.mightContainLong(UrlOps.urlHash(s"http://h/$i"))))
+    // append a segment; advance must cover the new urls (merge, not rebuild)
+    val (v1, _) = t.commitAppendTo(seenRows(500 until 600), v0)
+    val f1 = bloom0.forVersion(v1, 600)
+    assert((0 until 600).forall(i => f1.mightContainLong(UrlOps.urlHash(s"http://h/$i"))))
+    // a FRESH instance reloads the persisted sidecar instead of rescanning:
+    // same coverage guarantee
+    val bloom1 = new IncrementalSeenBloom(t)
+    val f2 = bloom1.forVersion(v1, 600)
+    assert((0 until 600).forall(i => f2.mightContainLong(UrlOps.urlHash(s"http://h/$i"))))
+    // a round can add ZERO new urls — advancing over the empty segment must
+    // not crash (stat.bloomFilter NPEs on empty input) nor lose coverage
+    val (vEmpty, _) = t.commitAppendTo(seenRows(0 until 0), v1)
+    val fEmpty = bloom1.forVersion(vEmpty, 600)
+    assert((0 until 600).forall(i => fEmpty.mightContainLong(UrlOps.urlHash(s"http://h/$i"))))
+    // growth past the capacity (max(4×rows, 2^16) at build time) rebuilds —
+    // coverage must hold through the rebuild too
+    val (v2, _) = t.commitAppendTo(seenRows(600 until 70000), vEmpty)
+    val f3 = bloom1.forVersion(v2, 70000)
+    assert((0 until 70000 by 7).forall(i => f3.mightContainLong(UrlOps.urlHash(s"http://h/$i"))))
     t.drop()
   }
 }

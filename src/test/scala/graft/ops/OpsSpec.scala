@@ -74,6 +74,38 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.toSet.subsetOf(brute)) // LSH pairs are a subset of brute force
   }
 
+  test("simhash blocks split the signature exactly (no out-of-range block)") {
+    // bits not divisible by nBlocks: ceil widths used to push the last block
+    // past the signature (key 0 for every doc → quadratic self-join)
+    for ((bits, maxHam) <- Seq((16, 3), (16, 4), (16, 5), (13, 3), (64, 3))) {
+      val blocks = Dedup.simhashBlocks(bits, maxHam)
+      assert(blocks.map { case (_, shift, mask) =>
+        java.lang.Long.bitCount(mask << shift)
+      }.sum == bits, s"blocks must cover all $bits bits exactly: $blocks")
+      val covered = blocks.map { case (_, shift, mask) => mask << shift }
+      assert(covered.reduce(_ | _) == (if (bits == 64) -1L else (1L << bits) - 1))
+      assert(covered.combinations(2).forall { case Seq(a, b) => (a & b) == 0L },
+        "blocks must be disjoint")
+    }
+  }
+
+  test("simhash near-dups with the PORTABLE hash keep exact pigeonhole recall (oracle path)") {
+    val corpus = (0 until 40).map { i =>
+      val words = (0 until 6).map(j => s"w${(i * 7 + j * 3) % 15}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+      Dedup.simhash($"text", 16, TextOps.portableHash).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(corpus, hash = TextOps.portableHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large for far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -71,6 +71,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("fetch join broadcast is size-gated: hint below the cap, AQE above") {
+    val corpus = graft.corpus.SyntheticCorpus.Builder(n = 200, hostCount = 10)
+      .corpus(spark).toDF()
+    val claimed = (0 until 50).map(i => s"http://h0.example.com/page/$i").toDF("url")
+    // below the cap: the explicit hint forces a broadcast build side
+    val below = planOf(graft.crawl.CrawlSession
+      .fetchJoin(corpus, claimed, claimedRows = 50, maxBroadcastRows = 100))
+    assert(below.contains("BroadcastHashJoin"), below)
+    // above the cap: no hint — with stats-based broadcast disabled the plan
+    // must fall through to a shuffle join (a 10^7-row claim batch would OOM
+    // the broadcast path at scale)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val above = planOf(graft.crawl.CrawlSession
+        .fetchJoin(corpus, claimed, claimedRows = 50, maxBroadcastRows = 10))
+      assert(!above.contains("BroadcastHashJoin"), above)
+      assert(above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin"), above)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("global budget cap plans as TakeOrderedAndProject, not a full sort") {
     val frontier = (0 until 100).map { i =>
       val url = s"http://h${i % 5}.example.com/page/$i"

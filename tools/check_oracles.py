@@ -19,6 +19,9 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Verify publishes each oracle under BOTH "q_x" and "q_x.parquet" (whatever
+# key shape the driver reads, it finds one); here the bare name is canonical.
+oracle = {k[:-8] if k.endswith(".parquet") else k: v for k, v in oracle.items()}
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
