@@ -267,11 +267,16 @@ object SparkEntry {
         .select("event_id")
     }),
 
-    // W1/J1/U1/Z3 composite: BFS frontier loop vs recursive-CTE oracle
+    // W1/J1/U1/Z3 composite: BFS frontier loop vs recursive-CTE oracle.
+    // Each level localCheckpoints `next` and `visited`: the iterative DAG
+    // otherwise re-executes levels 1..k-1 inside level k (unbounded lineage
+    // growth — the classic iterative-Spark trap; at depth 10+ it reads as
+    // exponential wall time).
     "q_bfs_frontier" -> ((s, d) => {
       val edges = t(s, d, "orders").select(
         pmod(col("o_orderkey"), lit(300)).as("src"),
-        pmod(col("o_custkey") * 7 + col("o_orderkey"), lit(300)).as("dst")).distinct()
+        pmod(col("o_custkey") * 7 + col("o_orderkey"), lit(300)).as("dst"))
+        .distinct().localCheckpoint()
       import s.implicits._
       var visited = Seq((0L, 0), (1L, 0)).toDF("node", "depth")
       var frontier = visited.select("node")
@@ -280,7 +285,8 @@ object SparkEntry {
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .withColumn("depth", lit(depth))
-        visited = visited.unionByName(next)
+          .localCheckpoint() // feeds BOTH the union and the next frontier
+        visited = visited.unionByName(next).localCheckpoint()
         frontier = next.select("node")
       }
       visited.select(col("node").cast("long").as("node"), col("depth").cast("int").as("depth"))
@@ -326,6 +332,20 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150),
         hash = TextOps.portableHash)),
+
+    // embedding LSH at the PRODUCTION parameterization (20 bands × 10 bits,
+    // xxhash-free sign-LSH; rows-only — this is the configuration the bench
+    // times, as opposed to the recall-over-pruning demo above)
+    "q_dedup_embed_lsh_prod" -> ((s, d) =>
+      Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), threshold = 0.35)),
+
+    // F14: document rows serialized to one JSON string each — the
+    // reference's jsonBuilder().value(dataMap) sink payload
+    // (ScrapingTransformer.java:614), oracle-checked against a DuckDB
+    // string-built twin (field order + number formatting must agree)
+    "q_f14_json" -> ((s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 100)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("json"))),
 
     // --- similarity search -----------------------------------------------------
     "q_sim_topk" -> ((s, d) => {
@@ -816,6 +836,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_fingerprint" -> rollingFpOracle,
+
+    // F14: the DuckDB twin string-builds Spark's to_json output exactly
+    // (field order = struct order; longs print without decimals)
+    "q_f14_json" ->
+      """SELECT '{"doc_id":'||doc_id||',"lang":"'||lang||'","n_chars":'||n_chars||'}' AS json
+        |FROM documents WHERE doc_id < 100""".stripMargin,
 
     "q_extract_pipeline" ->
       s"""WITH $spanCtes,

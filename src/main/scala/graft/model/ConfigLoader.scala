@@ -58,6 +58,61 @@ object ConfigLoader {
       case _ => dflt
     }
 
+    // X2 script-source routing (ScrapingTransformer.java:330-340 INLINE/
+    // FILE/INDEXED): the transform SPEC may be written inline (default),
+    // loaded from a JSON file ("script_type": "file", "script" = path), or
+    // looked up by name in the config's script index ("script_type":
+    // "indexed", "script" = key; the index is the top-level "script_index"
+    // — either an inline object of name→spec or a path to a JSON file of
+    // the same shape — the config-table analog of the reference's .scripts
+    // index lookup).
+    lazy val scriptIndex: Map[String, JValue] = j \ "script_index" match {
+      case JString(path) =>
+        scala.util.Try(JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))) match {
+          case scala.util.Success(JObject(fields)) => fields.toMap
+          case _ => Map.empty
+        }
+      case JObject(fields) => fields.toMap
+      case _ => Map.empty
+    }
+
+    def resolveScriptSpec(o: JObject): Option[JValue] = {
+      val m = o.obj.toMap
+      asStr(m.getOrElse("script_type", JString("inline")), "inline")
+        .toLowerCase match {
+        case "file" =>
+          m.get("script").map(p => asStr(p, "")).flatMap { path =>
+            scala.util.Try(JsonMethods.parse(
+              java.nio.file.Files.readString(java.nio.file.Paths.get(path)))).toOption
+          }
+        case "indexed" =>
+          m.get("script").map(p => asStr(p, "")).flatMap(scriptIndex.get)
+        case _ => Some(o)
+      }
+    }
+
+    def namedTransform(spec: JValue): Option[NamedTransform] = spec match {
+      case o: JObject =>
+        resolveScriptSpec(o).collect { case JObject(fields) => fields.toMap }
+          .flatMap { m =>
+            m.get("name").map(n => asStr(n, "")).collect {
+              case "lower" => NamedTransform.Lower
+              case "upper" => NamedTransform.Upper
+              case "regex_extract" => NamedTransform.RegexExtract(
+                asStr(m.getOrElse("pattern", JString("")), ""),
+                asLong(m.getOrElse("group", JInt(1)), 1).toInt)
+              case "regex_replace" => NamedTransform.RegexReplace(
+                asStr(m.getOrElse("pattern", JString("")), ""),
+                asStr(m.getOrElse("replacement", JString("")), ""))
+              case "prepend" => NamedTransform.Prepend(asStr(m.getOrElse("arg", JString("")), ""))
+              case "append" => NamedTransform.Append(asStr(m.getOrElse("arg", JString("")), ""))
+              case "contains_flag" => NamedTransform.ContainsFlag(asStr(m.getOrElse("arg", JString("")), ""))
+            }
+          }
+      case _ => None
+    }
+
     def property(name: String, spec: JValue): PropertyRule = {
       val eq = spec \ "eq" match { case JNothing => None; case v => Some(Positional.Eq(asLong(v, 0).toInt)) }
       val ltv = spec \ "lt" match { case JNothing => None; case v => Some(Positional.Lt(asLong(v, 0).toInt)) }
@@ -73,23 +128,9 @@ object ConfigLoader {
             Extraction.Base64Data(asLong(spec \ "max_file_size", 1000000L))
           case _ => Extraction.SpanText(name.stripPrefix("[]"), pos)
         }
-      // X1/X2: whitelisted named transform instead of arbitrary JS scripts
-      val transform = spec \ "script" match {
-        case JObject(fields) =>
-          val m = fields.toMap
-          m.get("name").map(n => asStr(n, "")).collect {
-            case "lower" => NamedTransform.Lower
-            case "upper" => NamedTransform.Upper
-            case "regex_extract" => NamedTransform.RegexExtract(
-              asStr(m.getOrElse("pattern", JString("")), ""), asLong(m.getOrElse("group", JInt(1)), 1).toInt)
-            case "regex_replace" => NamedTransform.RegexReplace(
-              asStr(m.getOrElse("pattern", JString("")), ""), asStr(m.getOrElse("replacement", JString("")), ""))
-            case "prepend" => NamedTransform.Prepend(asStr(m.getOrElse("arg", JString("")), ""))
-            case "append" => NamedTransform.Append(asStr(m.getOrElse("arg", JString("")), ""))
-            case "contains_flag" => NamedTransform.ContainsFlag(asStr(m.getOrElse("arg", JString("")), ""))
-          }
-        case _ => None
-      }
+      // X1/X2: whitelisted named transform instead of arbitrary JS scripts,
+      // sourced inline / from a file / from the script index
+      val transform = namedTransform(spec \ "script")
       PropertyRule(
         name = name,
         extraction = extraction,
@@ -142,6 +183,67 @@ object ConfigLoader {
       case _ => SeenRoute.Auto
     }
 
+    // HTTP-client surface (RiverWeb.java:268-383): parsed into inert
+    // metadata so a reference river config round-trips without key loss
+    def optLong(v: JValue): Option[Long] = v match {
+      case JNothing | JNull => None
+      case x => Some(asLong(x, 0L))
+    }
+    val proxy = j \ "proxy" match {
+      case o: JObject =>
+        val m = o.obj.toMap
+        m.get("host").map(h => ProxySetting(asStr(h, ""),
+          m.get("port").map(p => asLong(p, 8080L).toInt).getOrElse(8080)))
+      case _ => None
+    }
+    // "authentications":[{"scope":{"scheme","host","port","realm"},
+    //   "credentials":{"username","password","workstation","domain"}}]
+    val auths = j \ "authentications" match {
+      case JArray(xs) => xs.flatMap { a =>
+        val scope = (a \ "scope").toOption.collect { case o: JObject => o.obj.toMap }
+          .getOrElse(Map.empty)
+        val creds = (a \ "credentials").toOption.collect { case o: JObject => o.obj.toMap }
+          .getOrElse(Map.empty)
+        val scheme = asStr(scope.getOrElse("scheme", JNothing), "").toUpperCase
+        val username = asStr(creds.getOrElse("username", JNothing), "")
+        // the reference skips entries missing scheme or username
+        // (RiverWeb.java:330-341)
+        if (scheme.isEmpty || username.isEmpty) None
+        else Some(AuthSetting(
+          scheme = scheme,
+          username = username,
+          password = asStr(creds.getOrElse("password", JNothing), ""),
+          host = asStr(scope.getOrElse("host", JNothing), ""),
+          port = scope.get("port").map(p => asLong(p, -1L).toInt).getOrElse(-1),
+          realm = asStr(scope.getOrElse("realm", JNothing), ""),
+          workstation = asStr(creds.getOrElse("workstation", JNothing), ""),
+          domain = asStr(creds.getOrElse("domain", JNothing), "")))
+      }
+      case _ => Seq.empty
+    }
+    val headers = j \ "headers" match {
+      case JArray(xs) => xs.flatMap { h =>
+        (h \ "name", h \ "value") match {
+          case (JNothing, _) | (_, JNothing) => None
+          case (n, v) => Some((asStr(n, ""), asStr(v, "")))
+        }
+      }
+      case _ => Seq.empty
+    }
+    val http = HttpSettings(
+      connectionTimeout = optLong(j \ "connection_timeout").map(_.toInt),
+      soTimeout = optLong(j \ "so_timeout").map(_.toInt),
+      userAgent = (j \ "user_agent") match {
+        case JString(s) if s.nonEmpty => Some(s); case _ => None
+      },
+      autoRedirect = (j \ "auto_redirect") match {
+        case JNothing | JNull => None; case v => Some(asBool(v, dflt = true))
+      },
+      proxy = proxy,
+      authentications = auths,
+      requestHeaders = headers,
+      webDriverUrls = strs(j \ "web_driver_urls"))
+
     CrawlConfig(
       sessionId = sessionId,
       seeds = strs(j \ "url") ++ strs(j \ "urls"),
@@ -152,7 +254,9 @@ object ConfigLoader {
       hostBudgetPerRound = hostBudget,
       robotsTxt = asBool(j \ "robots_txt", dflt = true),
       mode = mode,
+      sitemapPattern = asStr(j \ "sitemap_pattern", ".*sitemap.*"),
       seenRoute = seenRoute,
-      rules = rules)
+      rules = rules,
+      http = http)
   }
 }

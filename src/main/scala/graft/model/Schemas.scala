@@ -146,6 +146,38 @@ object SeenRoute {
   final case class RangePartitioned(nRanges: Int = 64) extends SeenRoute
 }
 
+/** One HTTP authentication entry (RiverWeb.java:322-373 —
+  * BASIC/DIGEST/NTLM over an AuthScope). Recorded for config round-trip
+  * fidelity; inert in this engine (the corpus join stands in for fetching).
+  */
+final case class AuthSetting(
+    scheme: String,              // BASIC | DIGEST | NTLM
+    username: String,
+    password: String = "",
+    host: String = "",           // empty = any host (AuthScope.ANY_HOST)
+    port: Int = -1,              // -1 = any port
+    realm: String = "",          // empty = any realm
+    workstation: String = "",    // NTLM only
+    domain: String = "")         // NTLM only
+
+/** Proxy host/port (RiverWeb.java:306-319; port defaults to 8080 there). */
+final case class ProxySetting(host: String, port: Int = 8080)
+
+/** The reference's HttpClient parameter surface (RiverWeb.java:268-383).
+  * A migrating river config sets these keys; this engine parses and
+  * carries them so configs round-trip losslessly, but performs no network
+  * I/O — they configure nothing here by design (synthetic fetch join).
+  */
+final case class HttpSettings(
+    connectionTimeout: Option[Int] = None,   // "connection_timeout"
+    soTimeout: Option[Int] = None,           // "so_timeout"
+    userAgent: Option[String] = None,        // "user_agent"
+    autoRedirect: Option[Boolean] = None,    // "auto_redirect"
+    proxy: Option[ProxySetting] = None,      // "proxy": {host, port}
+    authentications: Seq[AuthSetting] = Seq.empty, // "authentications": [...]
+    requestHeaders: Seq[(String, String)] = Seq.empty, // "headers": [{name,value}]
+    webDriverUrls: Seq[String] = Seq.empty)  // "web_driver_urls"
+
 /** The crawl config ("river", RiverWeb.java:226-465). */
 final case class CrawlConfig(
     sessionId: String,
@@ -162,4 +194,5 @@ final case class CrawlConfig(
     // (SitemapsRule, crawler/rule+.xml:18-30)
     sitemapPattern: String = ".*sitemap.*",
     seenRoute: SeenRoute = SeenRoute.Auto,
-    rules: Seq[ScrapingRule] = Seq.empty)
+    rules: Seq[ScrapingRule] = Seq.empty,
+    http: HttpSettings = HttpSettings())

@@ -24,8 +24,10 @@ import graft.model.ConfigLoader
   *     processing order;
   *   - each job is a full [[CrawlSession]] crawl (§3.2: job → crawl()).
   *
-  * Idle shutdown (Z5, `--queue-timeout`) maps to the caller stopping the
-  * query (tests use Trigger.AvailableNow + awaitTermination).
+  * Idle shutdown (Z5): in continuous mode a watchdog thread stops the
+  * query once no job has arrived for `queueTimeoutMs` — the reference's
+  * `--queue-timeout` wall-clock self-termination (RiverWeb.java:68-69,
+  * 171-172, default 5 min). AvailableNow runs terminate on drain anyway.
   */
 final class JobDaemon(
     spark: SparkSession,
@@ -35,6 +37,7 @@ final class JobDaemon(
     queueDir: String,
     checkpointDir: String,
     queueParsingSize: Int = 20,
+    queueTimeoutMs: Long = 300000L, // Z5 --queue-timeout default 5 min
     hooks: CrawlHooks = CrawlHooks()) {
 
   val jobSchema: StructType = new StructType()
@@ -43,6 +46,7 @@ final class JobDaemon(
     .add("config_json", StringType)
 
   @volatile private var completedJobs: List[(String, Long)] = Nil
+  @volatile private var lastActivity: Long = 0L
 
   /** (config_id, totalClaimed) per completed job, in processing order. */
   def completed: Seq[(String, Long)] = completedJobs.reverse
@@ -55,6 +59,7 @@ final class JobDaemon(
         val jobs = batch
           .orderBy(rand(42), col("config_id")) // S2 randomized poll order
           .collect()
+        if (jobs.nonEmpty) lastActivity = System.currentTimeMillis()
         jobs.grouped(queueParsingSize).foreach { chunk => // poll batch of 20
           chunk.foreach { row =>
             // a malformed job must not kill the daemon — the reference
@@ -76,8 +81,28 @@ final class JobDaemon(
                 System.err.println(s"[daemon] skipping bad job ${row}: ${e.getMessage}")
             }
           }
+          // a long job must not count as idle time
+          lastActivity = System.currentTimeMillis()
         }
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    if (!availableNow && queueTimeoutMs > 0) {
+      // Z5 wall-clock idle self-termination (--queue-timeout)
+      lastActivity = System.currentTimeMillis()
+      val watchdog = new Thread(() => {
+        try {
+          while (query.isActive) {
+            Thread.sleep(math.max(math.min(queueTimeoutMs / 4, 1000L), 10L))
+            if (query.isActive &&
+                System.currentTimeMillis() - lastActivity > queueTimeoutMs)
+              query.stop()
+          }
+        } catch { case _: InterruptedException => () }
+      }, "graft-daemon-idle-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+    }
+    query
   }
 }

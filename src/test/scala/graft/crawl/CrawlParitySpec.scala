@@ -241,4 +241,20 @@ class WriteModeSpec extends AnyFunSuite {
     assert(n == 1)
     assert(stamps.head == new Timestamp(1700000001000L))
   }
+
+  test("docsAsJson serializes one JSON object per document, nulls omitted (F14)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("mode-f14")
+    val s = new CrawlSession(spark, cfg("f14", WriteMode.Default), corpusDf, robotsDf, dir)
+    s.docsTable.commitAppend(Seq(
+      ("http://h/1", "t1", 42L),
+      ("http://h/2", null: String, 7L)).toDF("url", "title", "n"))
+    val got = s.docsAsJson().collect().map(_.getString(0)).toSet
+    // field order = column order; null title omitted — the reference's
+    // sparse jsonBuilder().value(dataMap) payload shape
+    assert(got == Set(
+      """{"url":"http://h/1","title":"t1","n":42}""",
+      """{"url":"http://h/2","n":7}"""))
+    s.cleanup()
+  }
 }

@@ -48,6 +48,71 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(route("{\"range\": 128}") == graft.model.SeenRoute.RangePartitioned(128))
     assert(route("\"auto\"") == graft.model.SeenRoute.Auto)
   }
+
+  test("HTTP client surface round-trips (RiverWeb.java:268-383 keys) + sitemap_pattern") {
+    val json =
+      """{ "url": ["http://h/1"],
+        |  "connection_timeout": 5000, "so_timeout": "7000",
+        |  "user_agent": "GraftBot/1.0", "auto_redirect": false,
+        |  "proxy": { "host": "proxy.local", "port": 3128 },
+        |  "authentications": [
+        |    { "scope": { "scheme": "basic", "host": "h1", "port": 8080, "realm": "r" },
+        |      "credentials": { "username": "u", "password": "p" } },
+        |    { "scope": { "scheme": "NTLM" },
+        |      "credentials": { "username": "nu", "password": "np",
+        |        "workstation": "ws", "domain": "dom" } },
+        |    { "scope": { "scheme": "" },
+        |      "credentials": { "username": "dropped" } } ],
+        |  "headers": [ { "name": "X-Custom", "value": "v1" },
+        |               { "name": "incomplete" } ],
+        |  "web_driver_urls": [".*\\.js$"],
+        |  "sitemap_pattern": ".*/robots-sitemap/.*" }""".stripMargin
+    val cfg = ConfigLoader.fromJson(json, "http")
+    val h = cfg.http
+    assert(h.connectionTimeout.contains(5000))
+    assert(h.soTimeout.contains(7000)) // lenient string coercion (F12)
+    assert(h.userAgent.contains("GraftBot/1.0"))
+    assert(h.autoRedirect.contains(false))
+    assert(h.proxy.contains(graft.model.ProxySetting("proxy.local", 3128)))
+    // blank-scheme entry dropped like the reference (RiverWeb.java:330-334)
+    assert(h.authentications.map(_.scheme) == Seq("BASIC", "NTLM"))
+    assert(h.authentications.head ==
+      graft.model.AuthSetting("BASIC", "u", "p", "h1", 8080, "r"))
+    assert(h.authentications(1).workstation == "ws" && h.authentications(1).domain == "dom")
+    assert(h.requestHeaders == Seq(("X-Custom", "v1"))) // incomplete header dropped
+    assert(h.webDriverUrls == Seq(".*\\.js$"))
+    assert(cfg.sitemapPattern == ".*/robots-sitemap/.*")
+    // unset keys stay None/empty (no phantom defaults)
+    val bare = ConfigLoader.fromJson("""{ "url": [] }""", "bare").http
+    assert(bare == graft.model.HttpSettings())
+  }
+
+  test("X2 script sources: inline, FILE, and INDEXED resolve to the same transform") {
+    val dir = TestSpark.tmpDir("script-src")
+    Files.writeString(Paths.get(s"$dir/up.json"), """{"name":"upper"}""")
+    Files.writeString(Paths.get(s"$dir/index.json"),
+      """{"shout":{"name":"upper"},"mask":{"name":"regex_replace","pattern":"\\d","replacement":"#"}}""")
+    def cfgFor(script: String, extra: String = "") = ConfigLoader.fromJson(
+      s"""{ "url": [], $extra
+         |  "target": [ { "pattern": { "url": ".*" },
+         |    "properties": { "t": { "text": "title", "script": $script } } } ] }""".stripMargin,
+      "x2")
+    val inline = cfgFor("""{ "name": "upper" }""")
+    val file = cfgFor(s"""{ "script_type": "file", "script": "$dir/up.json" }""")
+    val indexed = cfgFor("""{ "script_type": "indexed", "script": "shout" }""",
+      extra = s""""script_index": "$dir/index.json",""")
+    val indexedInline = cfgFor("""{ "script_type": "indexed", "script": "mask" }""",
+      extra = """"script_index": {"mask":{"name":"regex_replace","pattern":"\\d","replacement":"#"}},""")
+    def transformOf(c: graft.model.CrawlConfig) = c.rules.head.properties.head.transform
+    assert(transformOf(inline).contains(graft.model.NamedTransform.Upper))
+    assert(transformOf(file) == transformOf(inline))
+    assert(transformOf(indexed) == transformOf(inline))
+    assert(transformOf(indexedInline).contains(
+      graft.model.NamedTransform.RegexReplace("\\d", "#")))
+    // missing file / unknown key degrade to no transform, not a crash
+    assert(transformOf(cfgFor(s"""{ "script_type": "file", "script": "$dir/absent.json" }""")).isEmpty)
+    assert(transformOf(cfgFor("""{ "script_type": "indexed", "script": "nope" }""")).isEmpty)
+  }
 }
 
 /** Z8 daemon: streaming job-queue claims each job exactly once (checkpointed
@@ -98,5 +163,19 @@ class JobDaemonSpec extends AnyFunSuite {
     val q3 = daemon3.start(availableNow = true)
     q3.awaitTermination(120000)
     assert(daemon3.completed.map(_._1) == Seq("jobC"))
+  }
+
+  test("continuous daemon self-terminates after the wall-clock queue timeout (Z5)") {
+    val b = SyntheticCorpus.Builder(n = 30, hostCount = 3)
+    val base = TestSpark.tmpDir("daemon-idle")
+    val queueDir = s"$base/queue"; Files.createDirectories(Paths.get(queueDir))
+    val daemon = new JobDaemon(spark, b.corpus(spark).toDF(), b.robots(spark).toDF(),
+      s"$base/work", queueDir, s"$base/ckpt", queueTimeoutMs = 2000L)
+    val t0 = System.currentTimeMillis()
+    val q = daemon.start(availableNow = false) // continuous mode, empty queue
+    // the watchdog must stop the query on its own — the reference's
+    // --queue-timeout exit (RiverWeb.java:171-172)
+    assert(q.awaitTermination(60000), "daemon did not self-terminate")
+    assert(System.currentTimeMillis() - t0 >= 2000L, "terminated before the timeout")
   }
 }
