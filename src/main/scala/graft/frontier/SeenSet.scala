@@ -54,9 +54,19 @@ object SeenSet {
       // [[IncrementalSeenBloom]]) skips the O(|seen|) per-round build scan
       val bloom: BloomFilter = prebuiltBloom.getOrElse(
         seen.stat.bloomFilter("urlHash", math.max(seenCount, 1000L), fpp))
-      val bc = candidates.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-      val routed = candidates.withColumn("__maybeSeen", mightContain(col("urlHash")))
+      // native codegen probe (Spark's own runtime-row-filtering expression;
+      // same sketch serialization) — keeps the route inside whole-stage
+      // codegen instead of a ScalaUDF break; the literal rides the task
+      // binary, which Spark torrent-broadcasts once per stage
+      val bytes = { val bos = new ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+      val mightContain = {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(col("urlHash"))))
+      }
+      val routed = candidates.withColumn("__maybeSeen", mightContain)
       val definitelyNew = routed.filter(!col("__maybeSeen")).drop("__maybeSeen")
       val maybeSeen = routed.filter(col("__maybeSeen")).drop("__maybeSeen")
       definitelyNew.unionByName(

@@ -97,6 +97,65 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH band exchanges carry keys only — no signature/vector replication") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def bandExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("band") => e
+      }
+    // tiny test inputs auto-broadcast the band join away — force the
+    // at-scale shuffle plan so the exchange width is observable
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val docs = (0 until 20).map(i => (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3}"))
+      .toDF("doc_id", "text")
+    // minhash: the band shuffle may carry the band key array (rowsPerBand
+    // values) but NOT the full signature — i.e. at most ONE array column
+    val mh = bandExchanges(graft.ops.Dedup.minhashNearDups(docs))
+    assert(mh.nonEmpty, "expected a band-keyed exchange in the minhash plan")
+    mh.foreach { e =>
+      val arrays = e.output.count(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays <= 1,
+        s"band exchange replicates the signature (bands× shuffle bytes): ${e.output}")
+    }
+    // embeddings: the bucket key is a long — NO array (vector) may ride the
+    // band shuffle (2 KB × bands per row at dim 256 otherwise)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until 8).map(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 9f)))
+      .toDF("vec_id", "embedding")
+    val el = bandExchanges(graft.ops.Dedup.embeddingNearDupsLsh(vecs, threshold = 0.9))
+    assert(el.nonEmpty, "expected a band-keyed exchange in the embedding LSH plan")
+    el.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"band exchange replicates the vector: ${e.output}")
+    }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("seen-route bloom probe is the native codegen expression, not a ScalaUDF") {
+    val seen = (0 until 200).map(i => (s"http://s/$i", UrlOps.urlHash(s"http://s/$i")))
+      .toDF("url", "urlHash")
+    val cand = (100 until 300).map(i => (s"http://s/$i", UrlOps.urlHash(s"http://s/$i"),
+      "s", 1, "p")).toDF("url", "urlHash", "host", "depth", "parentUrl").persist()
+    try {
+      val routed = graft.frontier.SeenSet.filterNew(cand, seen, 200L)
+      val plan = planOf(routed)
+      assert(plan.contains("might_contain"), plan.take(2000))
+      assert(!plan.contains("ScalaUDF"), plan.take(2000))
+      // routing is still exact
+      val got = routed.select("url").collect().map(_.getString(0)).toSet
+      assert(got == (200 until 300).map(i => s"http://s/$i").toSet)
+    } finally cand.unpersist()
+  }
+
   test("global budget cap plans as TakeOrderedAndProject, not a full sort") {
     val frontier = (0 until 100).map { i =>
       val url = s"http://h${i % 5}.example.com/page/$i"
