@@ -516,11 +516,24 @@ object SparkEntry {
     }),
 
     // S6: sitemap pages bypass extraction; their sitemap-loc refs become
-    // children (rows-only: the corpus is engine-synthesized, not a driver table)
-    "q_s6_sitemap" -> ((s, _) => {
-      val corpus = SyntheticCorpus.Builder(n = 2000, hostCount = 20).corpus(s).toDF()
-      corpus.filter(col("doc_id").rlike(".*/sitemap/.*"))
-        .select(col("doc_id").as("url"),
+    // children. Exactly the crawl-loop mechanism (CrawlLoop's `isSitemap`
+    // rlike gate + spanRefs("sitemap-loc") explode), over a driver-table
+    // spanified view so the oracle can reproduce it: every 20th document is
+    // a sitemap page whose spans are sitemap-loc refs derived from its
+    // tokens; the rest are ordinary pages filtered out by the pattern.
+    "q_s6_sitemap" -> ((s, d) => {
+      val isMap = pmod(col("doc_id"), lit(20)) === 0
+      val pages = t(s, d, "documents").filter(length(col("text")) > 0)
+        .select(
+          when(isMap, concat(lit("http://d/sitemap/"), col("doc_id")))
+            .otherwise(concat(lit("http://d/page/"), col("doc_id"))).as("url"),
+          transform(split(col("text"), " "), (x, i) => struct(
+            when(isMap, lit("sitemap-loc")).otherwise(lit("a")).as("kind"),
+            x.as("text"),
+            concat(lit("http://d/page/"), x, lit("/"), i.cast("string")).as("media_ref"),
+            i.cast("int").as("offset"))).as("spans"))
+      pages.filter(col("url").rlike(".*/sitemap/.*"))
+        .select(col("url"),
           explode(graft.extract.Extractor.spanRefs(col("spans"), "sitemap-loc")).as("child"))
     }),
 
@@ -667,6 +680,90 @@ object SparkEntry {
     """v AS (SELECT vec_id, unnest(embedding) AS e, unnest(range(1, len(embedding)+1)) AS i
       |  FROM embeddings {WHERE}),
       |norms AS (SELECT vec_id, sqrt(sum(CAST(e AS DOUBLE)*e)) AS nrm FROM v GROUP BY vec_id)""".stripMargin
+
+  /** The driver embeddings tables are dim-64 at every SF; the hyperplanes
+    * ride into the oracle SQL as a 2-D list literal (Double.toString
+    * round-trips, so DuckDB reconstructs the exact same planes the Spark
+    * side gets from [[Similarity.hyperplanes]]).
+    */
+  private val EmbedDim = 64
+
+  private def planesSqlLit(nBits: Int): String =
+    Similarity.hyperplanes(nBits, EmbedDim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** DuckDB twin of [[Dedup.embeddingNearDupsLsh]]: sign computation per
+    * plane, ordered bit-fold band keys, banded candidate join, exact cosine
+    * verify — the full banding construction reproduced in SQL.
+    */
+  private def embedLshOracle(where: String, bands: Int, bits: Int, thr: Double): String = {
+    val n = bands * bits
+    s"""WITH ${embedCosineCtes.replace("{WHERE}", where)},
+       |pl AS (SELECT ${planesSqlLit(n)} AS p),
+       |js AS (SELECT unnest(range(1, $n+1)) AS j),
+       |signs AS (SELECT v.vec_id, js.j,
+       |    CASE WHEN sum(CAST(v.e AS DOUBLE) * p[js.j][v.i]) > 0 THEN 1 ELSE 0 END AS s
+       |  FROM v, pl, js GROUP BY v.vec_id, js.j),
+       |keys AS (SELECT vec_id, (j-1)//$bits AS band,
+       |    sum(s * (1<<($bits-1-((j-1)%$bits)))) AS key
+       |  FROM signs GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pdots AS (SELECT c.id_a, c.id_b, sum(CAST(x.e AS DOUBLE)*y.e) AS d
+       |  FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b AND y.i = x.i
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT * FROM (
+       |  SELECT p.id_a, p.id_b, round(p.d/(na.nrm*nb.nrm), 4) AS cosine
+       |  FROM pdots p JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b)
+       |WHERE cosine >= $thr""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.lshTopK]] over [[Similarity.lshBuckets]]:
+    * 8 sign-projection bits bucket the corpus; probe the query's bucket plus
+    * its 8 Hamming-1 neighbors; exact cosine re-rank.
+    */
+  private def lshAnnOracle: String =
+    s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+       |pl AS (SELECT ${planesSqlLit(8)} AS p),
+       |bs AS (SELECT unnest(range(1, 9)) AS b),
+       |sdots AS (SELECT v.vec_id, bs.b, sum(CAST(v.e AS DOUBLE) * p[bs.b][v.i]) AS d
+       |  FROM v, pl, bs GROUP BY v.vec_id, bs.b),
+       |buckets AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN 1<<(b-1) ELSE 0 END) AS bucket
+       |  FROM sdots GROUP BY vec_id),
+       |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+       |probes AS (SELECT bucket AS pb FROM qb UNION SELECT xor(bucket, 1<<(b-1)) FROM qb, bs),
+       |cand AS (SELECT vec_id FROM buckets WHERE bucket IN (SELECT pb FROM probes)),
+       |qdots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*q.e) AS d
+       |  FROM v JOIN v q ON v.i = q.i AND q.vec_id = 0
+       |  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id)
+       |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
+       |FROM qdots d JOIN norms n ON n.vec_id = d.vec_id
+       |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
+    * the fake codec's rolling checksum is a signed-64-bit wraparound fold,
+    * reproduced with HUGEINT arithmetic mod 2^64 (text is ASCII, so
+    * ascii(substr(...)) enumerates the UTF-8 bytes exactly).
+    */
+  private def mmFramesOracle: String =
+    """WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, strlen(text) AS n,
+      |    list_reduce(
+      |      list_prepend(0::HUGEINT, list_transform(range(1, strlen(text)+1),
+      |        k -> ascii(substr(text, CAST(k AS INT), 1))::HUGEINT)),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS u
+      |  FROM documents WHERE doc_id < 60 AND doc_id%3 != 0),
+      |d AS (SELECT doc_id, n,
+      |    (CASE WHEN sgn % 60000 < 0 THEN sgn % 60000 + 60000 ELSE sgn % 60000 END) + 100 AS duration_ms,
+      |    greatest(1, n // 4) AS chunk
+      |  FROM (SELECT doc_id, n,
+      |    CASE WHEN u >= 9223372036854775808::HUGEINT
+      |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS sgn FROM m)),
+      |f AS (SELECT unnest(range(0, 4)) AS frame_idx)
+      |SELECT d.doc_id, 'media://'||d.doc_id AS media_ref, CAST(f.frame_idx AS INT) AS frame_idx,
+      |  CAST(d.duration_ms * f.frame_idx // 4 AS BIGINT) AS frame_offset_ms,
+      |  CAST(least(least(f.frame_idx * d.chunk, greatest(d.n - 1, 0)) + d.chunk, d.n)
+      |       - least(f.frame_idx * d.chunk, greatest(d.n - 1, 0)) AS INT) AS frame_len
+      |FROM d, f""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_s2_queue_poll" ->
@@ -933,6 +1030,20 @@ object SparkEntry {
     "q_mm_decode" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS INT) AS byte_len FROM documents""".stripMargin
+        |  CAST(strlen(text) AS INT) AS byte_len FROM documents""".stripMargin,
+
+    "q_mm_frames" -> mmFramesOracle,
+
+    "q_sim_lsh_ann" -> lshAnnOracle,
+
+    "q_dedup_embed_lsh" -> embedLshOracle("WHERE vec_id < 400", 12, 3, 0.35),
+
+    "q_dedup_embed_lsh_prod" -> embedLshOracle("", 20, 10, 0.35),
+
+    "q_s6_sitemap" ->
+      """SELECT 'http://d/sitemap/'||doc_id AS url, 'http://d/page/'||tok||'/'||pos AS child
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |        unnest(range(0, len(string_split(text,' ')))) AS pos
+        |      FROM documents WHERE length(text) > 0 AND doc_id%20 = 0)""".stripMargin
   )
 }
