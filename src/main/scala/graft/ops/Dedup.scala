@@ -263,25 +263,17 @@ object Dedup {
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
     val base = embeddings.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    // All plane signs in ONE looped higher-order expression over a 2-D
-    // planes literal — unrolling bands×bitsPerBand separate dot-product
-    // subtrees (200 at the production 20×10) makes Janino compile the
-    // whole-stage source for seconds before the first row moves; the loop
-    // form is a constant-size kernel. Band key b is then an ordered bit
-    // fold over its sign slice (injective, so bucketing is unchanged).
-    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
-    val signs = transform(planesLit, p =>
-      when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x) > 0, lit(1L)).otherwise(lit(0L)))
-    // the band explode carries (id, band, key) ONLY — replicating the full
-    // vector per band multiplies the exchange width by `bands` (2 KB × 20
-    // per row at dim 256); vectors re-join by id for the exact verify
-    val keyed = base
-      .select(col("id"), signs.as("signs"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          aggregate(slice(col("signs"), b * bitsPerBand + 1, lit(bitsPerBand)),
-            lit(0L), (acc, s) => acc * 2 + s))))
+    // All band keys from ONE single-pass codegen kernel over the raw
+    // (float) vectors — see [[graft.functions.LshKernel]]: the declarative
+    // form (200 higher-order dot-product folds per row at the production
+    // 20×10) evaluates interpreted, ~2 ms/row, and the self-join pays it on
+    // both sides. The band explode then carries (id, band, key) ONLY —
+    // replicating the full vector per band multiplies the exchange width by
+    // `bands` (2 KB × 20 per row at dim 256); vectors re-join by id for the
+    // exact verify.
+    val keyed = embeddings
+      .select(col(idCol).as("id"), posexplode(
+        graft.functions.LshExpressions.bandKeys(col(vecCol), planes, bands, bitsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
     val candPairs = keyed.select(col("band"), col("key"), col("id").as("id_a"))

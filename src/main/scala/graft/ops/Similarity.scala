@@ -59,13 +59,12 @@ object Similarity {
       }
     }
 
-  /** sign-projection bucket id (0 .. 2^nBits-1) for a vector column. */
-  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
-    val vd = asDouble(v)
-    planes.zipWithIndex.map { case (p, b) =>
-      when(dot(vd, typedLit(p.toSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** sign-projection bucket id (0 .. 2^nBits-1) for a vector column —
+    * single-pass codegen kernel (see [[graft.functions.LshKernel]]; the
+    * per-plane `when(dot > 0)` composition evaluates interpreted).
+    */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.LshExpressions.lshBucket(v, planes)
 
   /** Bucket the corpus once (the write-once side of the scale path). */
   def lshBuckets(embeddings: DataFrame, nBits: Int, dim: Int,
