@@ -52,11 +52,15 @@ final class CrawlSession(
   // keys queue/filter state by sessionId but writes docs to one target index)
   val frontierTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/frontier", spark)
   val seenTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/seen", spark)
-  val docsTable = new SnapshotTable(s"$workDir/docs", spark)
+  // sequenced: Overwrite-mode merges commit as sequence-aware equality
+  // deletes (tombstone old rows for re-crawled urls + append the new rows)
+  // instead of rewriting the whole docs history every round
+  val docsTable = new SnapshotTable(s"$workDir/docs", spark, sequenced = true)
   // narrow (url, lastModified) side index of docsTable, maintained by the
   // Incremental/Overwrite writers so the J2 skip join reads 2 columns
   // instead of rescanning the full (wide) docs history every round
-  private val docsIndexTable = new SnapshotTable(s"$workDir/docsidx", spark)
+  private val docsIndexTable =
+    new SnapshotTable(s"$workDir/docsidx", spark, sequenced = true)
   // incrementally merged seen-set bloom router (O(new URLs) per round
   // instead of an O(|seen|) stat.bloomFilter rebuild)
   private val seenBloom = new IncrementalSeenBloom(seenTable)
@@ -317,18 +321,40 @@ final class CrawlSession(
         val (_, _) = docsTable.commitAppend(docs)
         docsTable.metric(docsTable.currentVersion, "segmentRows").map(_.toLong).getOrElse(0L)
       case WriteMode.Overwrite =>
-        // J3: delete-by-url then insert = copy-on-write MERGE
-        val written =
-          if (!hasExisting) { docsTable.commitFull(docs); docs.count() }
-          else {
-            val existing = docsTable.read()
-            val kept = existing.join(docs.select("url").distinct(), Seq("url"), "left_anti")
-            val merged = kept.unionByName(docs.select(kept.columns.map(col): _*))
-            docsTable.commitFull(merged)
-            docs.count()
-          }
-        refreshDocsIndexFull()
-        written
+        // J3: delete-by-url then insert = MERGE, committed as a sequenced
+        // delta (url tombstones + new segment) — O(batch) per round instead
+        // of the O(history) copy-on-write rewrite; SnapshotTable compacts
+        // once tombstones outgrow the read-side broadcast budget. The
+        // deleted-row count (for exact live-row accounting) comes from the
+        // NARROW side index, not a full docs scan.
+        if (!hasExisting) {
+          docsTable.commitAppend(docs)
+          appendDocsIndex()
+          docsTable.metric(docsTable.currentVersion, "segmentRows")
+            .map(_.toLong).getOrElse(0L)
+        } else {
+          val urls = docs.select("url").distinct()
+          val matched = docsIndexSource()
+            .join(urls, Seq("url"), "left_semi").count()
+          docsTable.commitDeltaTo(docs, urls, docsTable.currentVersion,
+            deletedRows = matched)
+          val v = docsTable.currentVersion
+          // batch (url, lastModified) pairs, NOT readSegment(v): an
+          // internal compaction folds the whole table into segment v
+          val idxSeg = docs.select("url", "lastModified")
+          if (indexConsistentBefore(v - 1))
+            docsIndexTable.commitDeltaTo(idxSeg, urls,
+              docsIndexTable.currentVersion,
+              Map("docsVersion" -> v.toString),
+              deletedRows = matched)
+          else refreshDocsIndexFull()
+          // segmentRows == the batch unless the commit compacted (then the
+          // segment is the whole merged table); docs is persisted, so the
+          // fallback count is a cache scan
+          if (docsTable.tombstonesOf(v).nonEmpty)
+            docsTable.metric(v, "segmentRows").map(_.toLong).getOrElse(0L)
+          else docs.count()
+        }
       case WriteMode.Incremental =>
         // J2: skip docs whose lastModified is not newer than what's indexed.
         // The skip join reads the narrow (url, lastModified) side index when

@@ -31,7 +31,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The interface is deliberately Iceberg-shaped so a real catalog slots in
   * unchanged on a cluster (atomic rename → Iceberg commit).
   */
-final class SnapshotTable(val root: String, spark: SparkSession) {
+final class SnapshotTable(val root: String, spark: SparkSession,
+    // Iceberg-style sequence-aware equality deletes: every data segment is
+    // stamped with a hidden `__seq` column (= commit version) and a
+    // tombstone only deletes rows with a LOWER sequence — so a single
+    // commit can replace same-keyed rows (delete old + insert new), which
+    // plain equality tombstones cannot (they would delete the fresh rows
+    // too). Opt-in per table: the frontier/seen never re-insert a
+    // tombstoned key, so they skip the +8 B/row.
+    val sequenced: Boolean = false) {
 
   import SnapshotTable._
 
@@ -93,14 +101,22 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     * BroadcastHashJoin and never shuffles the (possibly 10^10-row) data.
     */
   def readVersion(v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val segs = segmentsOf(v)
     val data = spark.read.parquet(segs.map(s => s"$root/segments/$s"): _*)
     val tombs = tombstonesOf(v)
-    if (tombs.isEmpty) data
+    if (tombs.isEmpty) { if (sequenced) data.drop(SeqCol) else data }
     else {
       val tomb = spark.read.parquet(tombs.map(t => s"$root/tombstones/$t"): _*)
-      data.join(org.apache.spark.sql.functions.broadcast(tomb),
-        tomb.columns.toSeq, "left_anti")
+      if (!sequenced)
+        data.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      else {
+        // sequence rule: a tombstone deletes only rows written BEFORE it
+        val keyCols = tomb.columns.filterNot(_ == SeqCol)
+        val cond = keyCols.map(c => data(c) === tomb(c)).reduce(_ && _) &&
+          data(SeqCol) < tomb(SeqCol)
+        data.join(broadcast(tomb), cond, "left_anti").drop(SeqCol)
+      }
     }
   }
 
@@ -144,23 +160,37 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     * copy-on-write rewrite instead and the tombstone list resets —
     * amortized, a table pays one rewrite per ~MaxTombRows claimed rows.
     */
+  /** `deletedRows` — how many LIVE rows the tombstones actually match, for
+    * exact row accounting. Default -1 means "tombstones match 1:1" (the
+    * frontier claim case, where every tombstoned key exists exactly once);
+    * sequenced replace-style callers pass the measured count because a
+    * tombstoned key may match 0 (first write of a url) or several
+    * (Default-mode duplicate appends) live rows.
+    */
   def commitDeltaTo(newRows: DataFrame, tombstones: DataFrame,
       parentVersion: Long,
-      metrics: Map[String, String] = Map.empty): (Long, Long) = {
+      metrics: Map[String, String] = Map.empty,
+      deletedRows: Long = -1L): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
     val v = currentVersion + 1
     val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
     val prevTombRows = if (parentVersion < 0) 0L else tombRowsOf(parentVersion)
     // write the tombstone segment first; its footer count drives the
     // compaction decision (no Spark count() job, no trusting the caller)
     val tombDir = s"$root/tombstones/$v"
-    tombstones.write.mode("overwrite").parquet(tombDir)
+    val stamped =
+      if (sequenced) tombstones.withColumn(SeqCol, lit(v)) else tombstones
+    stamped.write.mode("overwrite").parquet(tombDir)
     val newTombRows = dirRowCount(tombDir)
+    val deleted = if (deletedRows >= 0) deletedRows else newTombRows
     val totalTomb = prevTombRows + newTombRows
     if (totalTomb > MaxTombRows || totalTomb > math.max(4096L, prevRows / 4)) {
-      // compact: parent live rows minus the fresh tombstones, plus newRows
-      val tomb = spark.read.parquet(tombDir)
-      val kept = readVersion(parentVersion).join(
-        org.apache.spark.sql.functions.broadcast(tomb),
+      // compact: parent live rows minus the fresh tombstones, plus newRows.
+      // readVersion(parent) already applied older tombstones (and dropped
+      // __seq for sequenced tables); the fresh ones apply by key alone —
+      // every parent row was written before this commit
+      val tomb = spark.read.parquet(tombDir).drop(SeqCol)
+      val kept = readVersion(parentVersion).join(broadcast(tomb),
         tomb.columns.toSeq, "left_anti")
       val merged = kept.unionByName(newRows.select(kept.columns.map(c =>
         org.apache.spark.sql.functions.col(c)): _*))
@@ -176,7 +206,7 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       val prevSegs = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
       val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
       commit(newRows, metrics, appendTo = prevSegs,
-        prevRows = prevRows - newTombRows,
+        prevRows = prevRows - deleted,
         tombSegs = prevTombs :+ v.toString, tombRows = totalTomb,
         expectVersion = v)
     }
@@ -196,7 +226,10 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       s"concurrent commit detected: expected $expectVersion, at $v")
     val seg = v.toString
     val segDir = s"$root/segments/$seg"
-    df.write.mode("overwrite").parquet(segDir)
+    val out =
+      if (sequenced) df.withColumn(SeqCol, org.apache.spark.sql.functions.lit(v))
+      else df
+    out.write.mode("overwrite").parquet(segDir)
     val files = listDir(Paths.get(segDir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
     // segment row count straight from the parquet footers on the driver —
@@ -253,6 +286,9 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
 }
 
 object SnapshotTable {
+  /** hidden per-segment sequence column of `sequenced` tables. */
+  val SeqCol = "__seq"
+
   /** Read-side broadcast budget for accumulated tombstones (~60 B/row ⇒
     * ~60 MB of broadcast at the cap). `commitDeltaTo` compacts before the
     * cap so merge-on-read stays a map-side BroadcastHashJoin — amortized,

@@ -242,6 +242,26 @@ class WriteModeSpec extends AnyFunSuite {
     assert(stamps.head == new Timestamp(1700000001000L))
   }
 
+  test("overwrite mode commits O(batch) deltas, not O(history) rewrites") {
+    val dir = TestSpark.tmpDir("mode-ow-delta")
+    val t1 = new Timestamp(1700000001000L)
+    val t2 = new Timestamp(1700000002000L)
+    val s1 = new CrawlSession(spark, cfg("ow-d1", WriteMode.Overwrite), corpusDf, robotsDf, dir, () => t1)
+    s1.run()
+    val s2 = new CrawlSession(spark, cfg("ow-d2", WriteMode.Overwrite), corpusDf, robotsDf, dir, () => t2)
+    s2.run()
+    val docs = s2.docsTable
+    // the second run's merge appended a segment + url tombstones — the
+    // first run's segment is still live (delta, not copy-on-write)
+    assert(docs.segmentsOf(docs.currentVersion).size == 2)
+    assert(docs.tombstonesOf(docs.currentVersion).nonEmpty)
+    assert(docs.rowsOf(docs.currentVersion) == 1, "exact live accounting")
+    val read = docs.read().collect()
+    assert(read.length == 1)
+    assert(!docs.read().columns.contains("__seq"))
+    s2.docsTable.drop()
+  }
+
   test("docsAsJson serializes one JSON object per document, nulls omitted (F14)") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("mode-f14")

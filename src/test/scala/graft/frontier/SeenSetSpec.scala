@@ -149,6 +149,36 @@ class SeenSetSpec extends AnyFunSuite {
     t.drop()
   }
 
+  test("snapshot table: sequenced deletes replace same-keyed rows (Iceberg sequence rule)") {
+    val dir = TestSpark.tmpDir("snap-seq")
+    val t = new SnapshotTable(dir, spark, sequenced = true)
+    def rows(ids: Range, tag: String) = ids.map(i => (s"u$i", tag)).toDF("url", "tag")
+    val (v0, n0) = t.commitAppend(rows(0 until 10, "old"))
+    assert(n0 == 10)
+    assert(!t.read().columns.contains("__seq"), "hidden seq column dropped on read")
+    // replace u0..u4 in ONE commit: tombstone the urls AND insert new rows
+    // for the same urls — the sequence rule keeps the fresh rows
+    val (v1, n1) = t.commitDeltaTo(rows(0 until 5, "new"),
+      rows(0 until 5, "x").select("url"), v0, deletedRows = 5)
+    assert(n1 == 10, "5 deleted + 5 inserted")
+    val byTag = t.readVersion(v1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(byTag.size == 10)
+    assert((0 until 5).forall(i => byTag(s"u$i") == "new"),
+      "same-keyed NEW rows survive their own tombstone")
+    assert((5 until 10).forall(i => byTag(s"u$i") == "old"))
+    // unmatched tombstone keys: live accounting via explicit deletedRows
+    val (v2, n2) = t.commitDeltaTo(rows(10 until 12, "new"),
+      Seq("u99").toDF("url"), v1, deletedRows = 0)
+    assert(n2 == 12 && t.readVersion(v2).count() == 12)
+    // append on top carries sequenced tombstones forward without resurrecting
+    val (v3, _) = t.commitAppendTo(rows(20 until 22, "app"), v2)
+    val tags = t.readVersion(v3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(tags("u0") == "new" && tags("u20") == "app" && tags.size == 14)
+    t.drop()
+  }
+
   test("incremental seen bloom: advances over new segments only, reloads from sidecar, never false-negative") {
     val dir = TestSpark.tmpDir("snap-bloom")
     val t = new SnapshotTable(dir, spark)
