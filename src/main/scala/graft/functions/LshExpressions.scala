@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Single-pass kernel for sign-projection LSH band keys.
   *
@@ -95,6 +94,45 @@ case class EmbedLshBucket(child: Expression, planes: Array[Double],
   override def prettyName: String = "embed_lsh_bucket"
 }
 
+/** Primitive-loop vector math shared by the similarity/dedup surfaces.
+  * Fold order is ascending-index, matching the declarative
+  * `aggregate(zip_with(...))` formulation bit-for-bit (the DuckDB oracles
+  * lock the resulting doubles), and float elements widen to double exactly
+  * like `cast(v as array<double>)`.
+  */
+object VecKernel {
+  def dotConst(v: ArrayData, q: Array[Double], fromFloat: Boolean): Double = {
+    val n = math.min(v.numElements(), q.length)
+    var d = 0.0
+    var c = 0
+    if (fromFloat) while (c < n) { d += v.getFloat(c) * q(c); c += 1 }
+    else while (c < n) { d += v.getDouble(c) * q(c); c += 1 }
+    d
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var c = 0
+    while (c < n) {
+      val x = if (aFloat) a.getFloat(c).toDouble else a.getDouble(c)
+      val y = if (bFloat) b.getFloat(c).toDouble else b.getDouble(c)
+      d += x * y
+      c += 1
+    }
+    d
+  }
+
+  def norm(v: ArrayData, fromFloat: Boolean): Double = {
+    val n = v.numElements()
+    var d = 0.0
+    var c = 0
+    if (fromFloat) while (c < n) { val x = v.getFloat(c).toDouble; d += x * x; c += 1 }
+    else while (c < n) { val x = v.getDouble(c); d += x * x; c += 1 }
+    math.sqrt(d)
+  }
+}
+
 /** `array<float|double>` → `array<long>` of [[LshKernel.bandKeys]]. */
 case class EmbedBandKeys(child: Expression, planes: Array[Double],
     bands: Int, bits: Int) extends UnaryExpression {
@@ -121,6 +159,71 @@ case class EmbedBandKeys(child: Expression, planes: Array[Double],
   override def prettyName: String = "embed_band_keys"
 }
 
+private[graft] object VecTypes {
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** dot with a constant vector (query / centroid). */
+case class VecDotConst(child: Expression, q: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def fromFloat = VecTypes.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.dotConst(v.asInstanceOf[ArrayData], q, fromFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("vecQ", q, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernel.dotConst($c, $qRef, $fromFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotConst =
+    copy(child = newChild)
+  override def prettyName: String = "vec_dot_const"
+}
+
+/** L2 norm of a vector column. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def fromFloat = VecTypes.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.norm(v.asInstanceOf[ArrayData], fromFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernel.norm($c, $fromFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+  override def prettyName: String = "vec_norm"
+}
+
+/** dot of two vector columns (pair verification joins). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def aFloat = VecTypes.isFloatArray(left.dataType)
+  private def bFloat = VecTypes.isFloatArray(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.dot($a, $b, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
 object LshExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -131,4 +234,13 @@ object LshExpressions {
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(EmbedLshBucket(ColumnBridge.expression(v),
       planes.flatten, planes.length))
+
+  def dotConst(v: Column, q: Seq[Double]): Column =
+    ColumnBridge.column(VecDotConst(ColumnBridge.expression(v), q.toArray))
+
+  def norm(v: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(v)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -261,8 +261,9 @@ object Dedup {
         col(idCol).as("id_b"), lit(0.0).as("cosine"))
     val dim = first(0).getInt(0)
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
-    val base = embeddings.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // raw float vectors throughout — the codegen kernels (band keys, dot,
+    // norm) widen elements to double exactly like an elementwise cast
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     // All band keys from ONE single-pass codegen kernel over the raw
     // (float) vectors — see [[graft.functions.LshKernel]]: the declarative
     // form (200 higher-order dot-product folds per row at the production
@@ -303,16 +304,15 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val withNorm = embeddings.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
     val l = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
     val r = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("n_a") * col("n_b")), 4).as("cosine"))
+        round(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

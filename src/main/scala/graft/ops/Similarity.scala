@@ -18,17 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** elementwise-double view of a float vector column. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
+  // dot/norm/cosine are single-pass codegen kernels
+  // ([[graft.functions.VecKernel]]): the declarative
+  // `aggregate(zip_with(...))` forms evaluate interpreted with boxed
+  // lambdas — ~100× slower per row — with identical fold order, so the
+  // produced doubles (and the DuckDB-oracle hashes over them) are
+  // unchanged. Float arrays are read directly (widening == the elementwise
+  // double cast), so callers pass raw embedding columns.
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.LshExpressions.dot(a, b)
 
   def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    graft.functions.LshExpressions.norm(v)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** cosine against a constant query vector (norm pre-folded). */
+  private def cosineConst(v: Column, query: Seq[Double]): Column = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    graft.functions.LshExpressions.dotConst(v, query) /
+      (graft.functions.LshExpressions.norm(v) * lit(qNorm))
+  }
 
   /** Brute-force cosine top-k for one query vector. Deterministic total
     * order: (rounded cosine desc, vec_id asc).
@@ -38,14 +49,12 @@ object Similarity {
       query: Seq[Double],
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val q = typedLit(query)
+      vecCol: String = "embedding"): DataFrame =
     embeddings
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), q), 6).as("cosine"))
+        round(cosineConst(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Deterministic pseudo-gaussian hyperplanes: component c of plane b is
     * derived from mix64(seed, b·dim+c), mapped to (-1, 1). Public-knowledge
@@ -124,10 +133,9 @@ object Similarity {
     * centroids ride into the plan as literals (broadcast analog).
     */
   def ivfAssignCol(v: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
-    val vd = asDouble(v)
     val scored = centroids.map { case (id, c) =>
       struct(
-        round(cosine(vd, typedLit(c)), 6).as("cos"),
+        round(cosineConst(v, c), 6).as("cos"),
         lit(-id).as("negId"))
     }
     -array_max(array(scored: _*)).getField("negId")
