@@ -123,6 +123,30 @@ object VecKernel {
     d
   }
 
+  /** MinHash signature in ONE pass over the shingle-hash array: sig[j] =
+    * min over s of floorMod(s·a_j + b_j, p), initialized to p — the exact
+    * fold the declarative `aggregate(hashes, P, least(acc, pmod(s·a+b, P)))`
+    * performs per hash function, but without m interpreted folds per row.
+    */
+  def minhashSig(hashes: ArrayData, coefA: Array[Long], coefB: Array[Long],
+      p: Long): ArrayData = {
+    val m = coefA.length
+    val sig = Array.fill(m)(p)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val s = hashes.getLong(i)
+      var j = 0
+      while (j < m) {
+        val v = java.lang.Math.floorMod(s * coefA(j) + coefB(j), p)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def norm(v: ArrayData, fromFloat: Boolean): Double = {
     val n = v.numElements()
     var d = 0.0
@@ -204,6 +228,27 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_norm"
 }
 
+/** `array<long>` shingle hashes → `array<long>` MinHash signature. */
+case class MinhashSig(child: Expression, coefA: Array[Long], coefB: Array[Long],
+    p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.minhashSig(v.asInstanceOf[ArrayData], coefA, coefB, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", coefB, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernel.minhashSig($c, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** dot of two vector columns (pair verification joins). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -243,4 +288,7 @@ object LshExpressions {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSig(hashes: Column, coefA: Array[Long], coefB: Array[Long], p: Long): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), coefA, coefB, p))
 }

@@ -74,14 +74,15 @@ object Dedup {
       hash: Column => Column = TextOps.fastHash): Column =
     minhashSignatureFromHashes(shingleHashes(text, k, hash), numHashes)
 
-  /** signature from a precomputed shingle-hash array column. */
+  /** signature from a precomputed shingle-hash array column — one
+    * single-pass codegen kernel ([[graft.functions.VecKernel.minhashSig]])
+    * instead of `numHashes` interpreted `aggregate` folds per row; fold
+    * identical, so the DuckDB-oracle signatures are unchanged.
+    */
   def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { j =>
-      val (a, b) = minhashCoef(j)
-      aggregate(hashes, lit(MinhashP),
-        (acc, s) => least(acc, pmod(s * a + b, lit(MinhashP))))
-    }
-    array(sigs: _*)
+    val coefs = (0 until numHashes).map(minhashCoef)
+    graft.functions.LshExpressions.minhashSig(hashes,
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray, MinhashP)
   }
 
   /** MinHash LSH near-dup candidate pairs: band the signature, bucket-join
