@@ -147,6 +147,26 @@ object VecKernel {
     new GenericArrayData(sig)
   }
 
+  /** SimHash from a token-hash array in one pass: bit b of the result is 1
+    * iff Σ (2·bit_b(h) − 1) > 0 — per-bit integer sums, order-independent,
+    * so it equals the declarative per-bit `aggregate` folds exactly.
+    */
+  def simhash(hashes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < bits) { votes(b) += ((h >>> b) & 1L) * 2 - 1; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
   def norm(v: ArrayData, fromFloat: Boolean): Double = {
     val n = v.numElements()
     var d = 0.0
@@ -249,6 +269,22 @@ case class MinhashSig(child: Expression, coefA: Array[Long], coefB: Array[Long],
   override def prettyName: String = "minhash_sig"
 }
 
+/** `array<long>` token hashes → simhash (long). */
+case class SimhashOf(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.simhash(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernel.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashOf =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_of"
+}
+
 /** dot of two vector columns (pair verification joins). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -291,4 +327,7 @@ object LshExpressions {
 
   def minhashSig(hashes: Column, coefA: Array[Long], coefB: Array[Long], p: Long): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), coefA, coefB, p))
+
+  def simhash(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashOf(ColumnBridge.expression(hashes), bits))
 }

@@ -137,14 +137,11 @@ object Dedup {
   def simhash(text: Column, bits: Int = 16,
       hash: Column => Column = TextOps.fastHash): Column = {
     val hashes = transform(TextOps.tokens(text), t => hash(t))
-    val bitCols = (0 until bits).map { b =>
-      // bitwiseAND(1), not %2: arithmetic shift of a NEGATIVE 64-bit hash
-      // (xxhash64) makes `%2` yield -1; the AND reads the raw bit either way
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a: Column, b: Column) => a + b)
+    // one codegen pass over the token hashes
+    // ([[graft.functions.VecKernel.simhash]]) instead of `bits` interpreted
+    // aggregate folds; per-bit integer sums are order-independent, so the
+    // values (and the DuckDB-oracle twins) are unchanged
+    graft.functions.LshExpressions.simhash(hashes, bits)
   }
 
   /** Hamming distance between two simhash values. */
