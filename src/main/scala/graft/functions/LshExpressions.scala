@@ -167,6 +167,52 @@ object VecKernel {
     out
   }
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  private def xx64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** k-token shingle hashes in one pass: shingle i = tokens[i..i+k-1]
+    * joined with " ", hashed with Spark's xxhash64 (seed 42) mod p — the
+    * exact values of `pmod(xxhash64(concat_ws(" ", …)), p)` over the
+    * declarative shingle build, without materializing shingle strings
+    * through two interpreted `transform` passes. Fewer than k tokens →
+    * one shingle of the whole token list (the declarative `otherwise`).
+    */
+  def shingleXxHashes(toks: ArrayData, k: Int, p: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n >= k) {
+      val m = n - k + 1
+      val out = new Array[Long](m)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+        out(i) = java.lang.Math.floorMod(xx64(s), p)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      new GenericArrayData(Array(java.lang.Math.floorMod(xx64(s), p)))
+    }
+  }
+
+  /** per-token xxhash64 (seed 42) — the values of `transform(toks, xxhash64)`. */
+  def tokenXxHashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = xx64(toks.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def norm(v: ArrayData, fromFloat: Boolean): Double = {
     val n = v.numElements()
     var d = 0.0
@@ -269,6 +315,40 @@ case class MinhashSig(child: Expression, coefA: Array[Long], coefB: Array[Long],
   override def prettyName: String = "minhash_sig"
 }
 
+/** `array<string>` tokens → `array<long>` of [[VecKernel.shingleXxHashes]]. */
+case class ShingleXxHashes(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.shingleXxHashes(v.asInstanceOf[ArrayData], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernel.shingleXxHashes($c, $k, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleXxHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_xxhashes"
+}
+
+/** `array<string>` tokens → `array<long>` of per-token xxhash64. */
+case class TokenXxHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.tokenXxHashes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernel.tokenXxHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenXxHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_xxhashes"
+}
+
 /** `array<long>` token hashes → simhash (long). */
 case class SimhashOf(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -330,4 +410,10 @@ object LshExpressions {
 
   def simhash(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimhashOf(ColumnBridge.expression(hashes), bits))
+
+  def shingleXxHashes(toks: Column, k: Int, p: Long): Column =
+    ColumnBridge.column(ShingleXxHashes(ColumnBridge.expression(toks), k, p))
+
+  def tokenXxHashes(toks: Column): Column =
+    ColumnBridge.column(TokenXxHashes(ColumnBridge.expression(toks)))
 }

@@ -41,11 +41,16 @@ object Dedup {
   /** numeric shingle hashes in [0, P). `hash` defaults to xxhash64 (full
     * 64-bit dispersion — the production choice at 100 TB, where a weak hash
     * floods LSH buckets with false candidates); pass
-    * [[TextOps.portableHash]] for DuckDB-oracle-checkable runs.
+    * [[TextOps.portableHash]] for DuckDB-oracle-checkable runs. The default
+    * takes a fused single-pass kernel (tokens → shingle hashes, no
+    * materialized shingle strings, values identical — asserted by
+    * DedupSpec); custom hashes keep the declarative two-pass build.
     */
   def shingleHashes(text: Column, k: Int,
       hash: Column => Column = TextOps.fastHash): Column =
-    transform(shingles(text, k), s => pmod(hash(s), lit(MinhashP)))
+    if (hash eq TextOps.fastHash)
+      graft.functions.LshExpressions.shingleXxHashes(TextOps.tokens(text), k, MinhashP)
+    else transform(shingles(text, k), s => pmod(hash(s), lit(MinhashP)))
 
   // --- MinHash + LSH ---------------------------------------------------------
 
@@ -136,7 +141,10 @@ object Dedup {
     */
   def simhash(text: Column, bits: Int = 16,
       hash: Column => Column = TextOps.fastHash): Column = {
-    val hashes = transform(TextOps.tokens(text), t => hash(t))
+    val hashes =
+      if (hash eq TextOps.fastHash)
+        graft.functions.LshExpressions.tokenXxHashes(TextOps.tokens(text))
+      else transform(TextOps.tokens(text), t => hash(t))
     // one codegen pass over the token hashes
     // ([[graft.functions.VecKernel.simhash]]) instead of `bits` interpreted
     // aggregate folds; per-bit integer sums are order-independent, so the

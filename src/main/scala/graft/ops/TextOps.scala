@@ -27,8 +27,11 @@ object TextOps {
   /** Default token hash for minhash/simhash at scale: xxhash64 — full
     * 64-bit dispersion, codegen'd. Not oracle-checkable (DuckDB has no
     * xxhash64 twin); oracle-backed queries pass [[portableHash]] instead.
+    * A stable function VALUE (not a def) so the sketch builders can
+    * recognize the default by reference and take their fused single-pass
+    * kernel path (`VecKernel.shingleXxHashes`/`tokenXxHashes`).
     */
-  def fastHash(tok: Column): Column = xxhash64(tok)
+  val fastHash: Column => Column = (tok: Column) => xxhash64(tok)
 
   def portableHash(tok: Column): Column = {
     val padded = concat(tok, lit("xx"))

@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L), (2L, 1L), (4L, 1L)))
   }
 
+  test("fused xxhash shingle/token kernels equal the declarative build bit-for-bit") {
+    // an explicit lambda is a different function object than TextOps.fastHash,
+    // so these calls take the declarative transform path — the reference
+    val declHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => xxhash64(t)
+    val edge = docs.unionByName(Seq((6L, ""), (7L, "one"), (8L, "two words"))
+      .toDF("doc_id", "text"))
+    val sh = edge.select(
+      Dedup.shingleHashes($"text", 3).as("fused"),
+      Dedup.shingleHashes($"text", 3, declHash).as("decl")).collect()
+    sh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val sim = edge.select(
+      Dedup.simhash($"text").as("fused"),
+      Dedup.simhash($"text", hash = declHash).as("decl")).collect()
+    sim.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("minhash signature: identical texts identical, near-dups mostly agree") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
