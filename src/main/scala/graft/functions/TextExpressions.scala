@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass kernels for the string-side text ops. Same rationale as
+  * [[VecKernel]]: the declarative `transform`/`filter` higher-order forms
+  * evaluate interpreted with boxed lambdas; these loops produce value-
+  * identical results (locked by the DuckDB oracles) inside whole-stage
+  * codegen.
+  */
+object TextKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  /** k-token shingle strings: shingle i = tokens[i..i+k-1] joined with " ";
+    * fewer than k tokens → one shingle of the whole list (the declarative
+    * `otherwise` branch of [[graft.ops.Dedup.shingles]]).
+    */
+  def shingleStrings(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n >= k) {
+      val m = n - k + 1
+      val out = new Array[UTF8String](m)
+      val parts = new Array[UTF8String](k)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(j); j += 1 }
+      new GenericArrayData(Array(UTF8String.concatWs(Space, parts: _*)))
+    }
+  }
+
+  /** `trim(regexp_replace(lower(text), "\s+", " "))` in one byte scan:
+    * lowercase (UTF8String.toLowerCase — same as Spark's `lower`), collapse
+    * every ASCII-whitespace run (Java regex `\s` = space \t \n \x0B \f \r;
+    * safe on UTF-8 bytes — multi-byte code points never contain ASCII
+    * values) to one space, drop the leading/trailing collapsed space.
+    */
+  def normalizeWsLower(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new Array[Byte](bytes.length)
+    var len = 0
+    var inWs = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (isWs) inWs = true
+      else {
+        if (inWs && len > 0) { out(len) = ' '; len += 1 }
+        inWs = false
+        out(len) = b
+        len += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, len))
+  }
+
+  /** per-lexicon token-occurrence counts in one pass (the declarative form
+    * is one interpreted `filter(toks, isInCollection(lex))` per lexicon).
+    * The lookup map sends a word to every lexicon containing it, so shared
+    * words ("de", "la") vote for each — identical to independent filters.
+    */
+  def lexiconCounts(toks: ArrayData,
+      lookup: java.util.HashMap[UTF8String, Array[Int]],
+      nLex: Int): ArrayData = {
+    val counts = new Array[Int](nLex)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val hit = lookup.get(toks.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  def buildLookup(lexicons: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    lexicons.zipWithIndex.foreach { case (lex, i) =>
+      lex.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+}
+
+/** `array<string>` tokens → `array<string>` k-shingles. */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.shingleStrings(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.shingleStrings($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_strings"
+}
+
+/** lowercase + whitespace-collapse + trim in one scan. */
+case class NormalizeWsLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.normalizeWsLower(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.normalizeWsLower($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWsLower =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_ws_lower"
+}
+
+/** `array<string>` tokens → `array<int>` per-lexicon occurrence counts. */
+case class LexiconCounts(child: Expression, lexicons: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val lookup = TextKernel.buildLookup(lexicons)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.lexiconCounts(v.asInstanceOf[ArrayData], lookup, lexicons.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lookupRef = ctx.addReferenceObj("lexLookup", lookup,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, int[]>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel.lexiconCounts($c, $lookupRef, ${lexicons.length})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconCounts =
+    copy(child = newChild)
+  override def prettyName: String = "lexicon_counts"
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def shingleStrings(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShingleStrings(ColumnBridge.expression(toks), k))
+
+  def normalizeWsLower(text: Column): Column =
+    ColumnBridge.column(NormalizeWsLower(ColumnBridge.expression(text)))
+
+  def lexiconCounts(toks: Column, lexicons: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LexiconCounts(ColumnBridge.expression(toks), lexicons))
+}

@@ -28,15 +28,13 @@ object Dedup {
 
   // --- shingles ------------------------------------------------------------
 
-  /** k-token shingles (ordered), as strings. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(text)
-    val n = size(toks)
-    when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*))
-    ).otherwise(array(concat_ws(" ", toks)))
-  }
+  /** k-token shingles (ordered), as strings — one codegen pass over the
+    * token array ([[graft.functions.TextKernel.shingleStrings]]); the
+    * declarative `transform` + per-position `concat_ws` build evaluates
+    * interpreted. Values identical (DuckDB oracles unchanged).
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextExpressions.shingleStrings(TextOps.tokens(text), k)
 
   /** numeric shingle hashes in [0, P). `hash` defaults to xxhash64 (full
     * 64-bit dispersion — the production choice at 100 TB, where a weak hash

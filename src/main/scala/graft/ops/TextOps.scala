@@ -56,13 +56,12 @@ object TextOps {
     * token *occurrences* (not distinct) so repeated stopwords vote.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    def score(lex: Seq[String]): Column =
-      size(filter(toks, t => t.isInCollection(lex)))
-    // argmax with first-wins tie-break via array_position-of-max: each score
-    // subtree appears ONCE (a when-fold duplicates score trees exponentially
-    // in lexicon count — measurable in codegen size and compile time)
-    val scores = array(Lexicons.map { case (_, lex) => score(lex) }: _*)
+    // all 5 lexicon scores from ONE kernel pass over the tokens
+    // (TextKernel.lexiconCounts; the per-lexicon `filter(toks, …)` forms
+    // evaluate interpreted); argmax with first-wins tie-break via
+    // array_position-of-max so each score appears once in the plan
+    val scores = graft.functions.TextExpressions.lexiconCounts(
+      tokens(text), Lexicons.map(_._2))
     val langs = typedLit(Lexicons.map(_._1))
     val top = array_max(scores)
     when(top > 0, element_at(langs, array_position(scores, top).cast("int")))
@@ -78,7 +77,8 @@ object TextOps {
     val toks = tokens(text)
     val nTok = size(toks)
     val allStop = Lexicons.flatMap(_._2).distinct
-    val stopHits = size(filter(toks, t => t.isInCollection(allStop)))
+    val stopHits = element_at(
+      graft.functions.TextExpressions.lexiconCounts(toks, Seq(allStop)), 1)
     df
       .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("mean_token_len",
@@ -103,7 +103,9 @@ object TextOps {
     * (md5 is bit-identical in DuckDB → hash-compare-safe.)
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    // lowercase + \s+ collapse + trim as ONE byte scan (TextKernel) — the
+    // regexp form dominated exact-dedup CPU; output strings are identical
+    md5(graft.functions.TextExpressions.normalizeWsLower(text))
 
   /** Rolling polynomial fingerprint over token hashes (position-weighted mod
     * arithmetic; portable to SQL via the same CASE-mod formulation).
