@@ -40,6 +40,37 @@ class DedupSpec extends AnyFunSuite {
     sim.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("text kernels equal their declarative references on adversarial inputs") {
+    val rng = new scala.util.Random(4242)
+    val alphabet = "ab \t\n\f\rcdé中 .!?"
+    val nasty = Seq("", " ", "\t\n ", "one", "  leading", "trailing  ",
+      "a  b\tc\nd", "ÜPPER Ücase", "中文 分词 测试", "the the the de de la") ++
+      (0 until 60).map(_ => (0 until rng.nextInt(30))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = TextOps.tokens($"text")
+    val declNorm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    val declShingles = {
+      val n = size(toks)
+      when(n >= lit(3), transform(sequence(lit(0), n - 3),
+        i => concat_ws(" ", (0 until 3).map(j => get(toks, i + lit(j))): _*)))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val declScores = array(TextOps.Lexicons.map { case (_, lex) =>
+      size(filter(toks, t => t.isInCollection(lex))) }: _*)
+    val rows = df.select(
+      graft.functions.TextExpressions.normalizeWsLower($"text").as("kn"),
+      declNorm.as("dn"),
+      Dedup.shingles($"text", 3).as("ks"), declShingles.as("ds"),
+      graft.functions.TextExpressions.lexiconCounts(toks,
+        TextOps.Lexicons.map(_._2)).as("kc"), declScores.as("dc")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"normalize: '${r.getString(0)}' vs '${r.getString(1)}'")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "shingles")
+      assert(r.getSeq[Int](4) == r.getSeq[Int](5), "lexicon counts")
+    }
+  }
+
   test("minhash signature: identical texts identical, near-dups mostly agree") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

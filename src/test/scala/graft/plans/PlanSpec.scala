@@ -71,6 +71,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("sketch kernels run inside whole-stage codegen (no interpreted fallback)") {
+    import spark.implicits._
+    // parquet-backed inputs: a local relation constant-folds the whole
+    // projection into LocalTableScan and nothing reaches codegen
+    val dDir = TestSpark.tmpDir("plan-sketch-docs")
+    val eDir = TestSpark.tmpDir("plan-sketch-embs")
+    Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dDir)
+    Seq((1L, Seq(1.0f, 0.5f)), (2L, Seq(0.5f, 1.0f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(eDir)
+    val docs = spark.read.parquet(dDir)
+    val embs = spark.read.parquet(eDir)
+    val planes = graft.ops.Similarity.hyperplanes(6, 2)
+    val sketchy = docs.select(
+      graft.ops.Dedup.minhashSignature($"text", 2, 8).as("sig"),
+      graft.ops.Dedup.simhash($"text").as("sh"),
+      graft.ops.TextOps.fingerprint($"text").as("fp"),
+      graft.ops.TextOps.langId($"text").as("lang"))
+    val planA = planOf(sketchy)
+    assert(planA.contains("*("), planA)
+    assert(!planA.contains("ScalaUDF"), planA)
+    val keyed = embs.select(
+      graft.functions.LshExpressions.bandKeys($"embedding", planes, 2, 3).as("keys"),
+      graft.ops.Similarity.l2norm($"embedding").as("n"))
+    val planB = planOf(keyed)
+    assert(planB.contains("*("), planB)
+    assert(!planB.contains("ScalaUDF"), planB)
+    // and the kernels actually compute (not just plan): smoke the values
+    assert(sketchy.collect().length == 2 && keyed.collect().length == 2)
+  }
+
   test("fetch join broadcast is size-gated: hint below the cap, AQE above") {
     val corpus = graft.corpus.SyntheticCorpus.Builder(n = 200, hostCount = 10)
       .corpus(spark).toDF()
