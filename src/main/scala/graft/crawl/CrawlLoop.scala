@@ -104,7 +104,10 @@ final class CrawlSession(
   private def robotsAllowed(urlCol: Column, prefixes: Column): Column = {
     val path = regexp_replace(urlCol, "^[a-z][a-z0-9+.-]*://[^/]*", "")
     val normPath = when(path === "", "/").otherwise(path)
-    prefixes.isNull || !exists(prefixes, p => startswith(normPath, p))
+    // starts-with-any as a codegen kernel — `exists(prefixes, startswith)`
+    // evaluates its lambda interpreted, per CANDIDATE row
+    prefixes.isNull ||
+      !graft.functions.TextExpressions.startsWithAny(normPath, prefixes)
   }
 
   private def applyRobots(df: DataFrame): DataFrame =
@@ -216,9 +219,8 @@ final class CrawlSession(
         lit("text/html").as("mimeType"),
         lit("UTF-8").as("charSet"),
         lit(200).as("httpStatusCode"),
-        aggregate(
-          transform(corpus("spans"), s => coalesce(length(s.getField("text")), lit(0))),
-          lit(0L), (acc, x) => acc + x).as("contentLength"),
+        graft.functions.SpanFieldColumns.spanTextLength(corpus("spans"))
+          .as("contentLength"),
         pmod(claimed("urlHash"), lit(500)).as("executionTime"),
         corpus("lastModified").as("lastModified"),
         corpus("spans").as("spans"))

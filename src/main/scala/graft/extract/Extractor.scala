@@ -86,10 +86,12 @@ object Extractor {
     case NamedTransform.ContainsFlag(n)     => when(x.contains(n), "true").otherwise("false")
   }
 
-  /** Whole raw page text (F8, `source` property type). */
+  /** Whole raw page text (F8, `source` property type) — one codegen pass
+    * (`SpanTextJoin`); the filter/transform/array_join composition
+    * evaluates its lambdas interpreted.
+    */
   def sourceText(spans: Column): Column =
-    array_join(
-      filter(transform(spans, s => s.getField("text")), x => x.isNotNull), " ")
+    graft.functions.SpanFieldColumns.spanTextJoin(spans)
 
   /** The array value of one property rule, before array/scalar shaping.
     * trim_spaces fuses into the SpanField expression when there is no
@@ -155,10 +157,10 @@ object Extractor {
       else branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
         case (acc, (c, v)) => acc.when(c, v)
       }
-    // U2: per-page HashSet dedup + blank (P9) + self/dup-variant removal
-    filter(array_distinct(chained),
-      u => u.isNotNull && trim(u) =!= lit("") &&
-        u =!= col("url") && u =!= concat(col("url"), lit("/")))
+    // U2: per-page HashSet dedup + blank (P9) + self/dup-variant removal —
+    // fused into one codegen pass (ChildCandidates); runs once per fetched
+    // page, and the filter-over-distinct composition evaluates interpreted
+    graft.functions.SpanFieldColumns.childCandidates(chained, col("url"))
   }
 
   /** (parentUrl, depth, child) rows for frontier candidate generation —

@@ -91,6 +91,20 @@ object TextKernel {
     new GenericArrayData(counts)
   }
 
+  /** true iff `s` starts with any non-null prefix (robots.txt disallow
+    * check; the `exists(prefixes, startswith)` form evaluates interpreted).
+    */
+  def startsWithAny(s: UTF8String, prefixes: ArrayData): Boolean = {
+    val n = prefixes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!prefixes.isNullAt(i) && s.startsWith(prefixes.getUTF8String(i)))
+        return true
+      i += 1
+    }
+    false
+  }
+
   def buildLookup(lexicons: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     lexicons.zipWithIndex.foreach { case (lex, i) =>
@@ -159,6 +173,26 @@ case class LexiconCounts(child: Expression, lexicons: Seq[Seq[String]])
   override def prettyName: String = "lexicon_counts"
 }
 
+/** (string, array<string>) → starts-with-any (boolean). */
+case class StartsWithAny(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any, prefixes: Any): Any =
+    TextKernel.startsWithAny(s.asInstanceOf[UTF8String],
+      prefixes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.functions.TextKernel.startsWithAny($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StartsWithAny =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "starts_with_any"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -170,4 +204,8 @@ object TextExpressions {
 
   def lexiconCounts(toks: Column, lexicons: Seq[Seq[String]]): Column =
     ColumnBridge.column(LexiconCounts(ColumnBridge.expression(toks), lexicons))
+
+  def startsWithAny(s: Column, prefixes: Column): Column =
+    ColumnBridge.column(StartsWithAny(
+      ColumnBridge.expression(s), ColumnBridge.expression(prefixes)))
 }
