@@ -315,6 +315,15 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
         k = 3, threshold = 0.2)),
 
+    // benchmark decontamination: docs vs a probe (benchmark) split of the
+    // same table — per-doc shared-5-gram and probes-hit counts
+    "q_dedup_decontaminate" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      Dedup.ngramContamination(
+        all.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(7)) === 0))
+    }),
+
     "q_dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings").filter(col("vec_id") < 120), 0.3)),
 
@@ -902,6 +911,24 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter*1.0/(sa.sz+sb.sz-inter), 4) >= 0.2""".stripMargin,
+
+    "q_dedup_decontaminate" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5] AS shingle
+        |    FROM (SELECT doc_id, l, unnest(range(0, len(l)-4)) AS i FROM base WHERE len(l) >= 5)
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(l, ' ') AS shingle FROM base WHERE len(l) < 5)),
+        |d AS (SELECT doc_id, shingle FROM sh WHERE doc_id%7 != 0),
+        |hot AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) > 1000),
+        |dok AS (SELECT * FROM d WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |p AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id%7 = 0)
+        |SELECT dok.doc_id,
+        |  CAST(count(DISTINCT dok.shingle) AS BIGINT) AS shared_ngrams,
+        |  CAST(count(DISTINCT p.probe_id) AS BIGINT) AS probes_hit
+        |FROM dok JOIN p USING (shingle)
+        |GROUP BY dok.doc_id HAVING count(DISTINCT dok.shingle) >= 1""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH ${embedCosineCtes.replace("{WHERE}", "WHERE vec_id < 120")},

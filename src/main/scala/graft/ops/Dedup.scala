@@ -235,6 +235,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination — the train/test n-gram-overlap check run
+    * before LLM training: flag every training document sharing at least
+    * `minShared` distinct k-token shingles with any probe (benchmark)
+    * document, with per-doc shared-shingle and probes-hit counts.
+    *
+    * Scale shape: one shuffle on the shingle key (the probe side is the
+    * benchmark set — small — and the join only materializes genuine
+    * shingle matches, never a cross product). Boilerplate shingles shared
+    * by more than `maxShingleFreq` training docs are dropped first (skew
+    * guard; rare-n-gram matching IS the decontamination contract — k ≥ 5
+    * in practice).
+    */
+  def ngramContamination(
+      docs: DataFrame,
+      probes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      minShared: Long = 1L,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+    val hot = dSh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq)
+    val dOk = dSh.join(hot, Seq("shingle"), "left_anti")
+    val pSh = probes.select(col(idCol).as("probe_id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+    dOk.join(pSh, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("shared_ngrams"),
+        countDistinct("probe_id").as("probes_hit"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   // --- embedding near-dup --------------------------------------------------------
 
   /** Embedding near-dup pairs via banded sign-LSH — the scale path:

@@ -162,6 +162,24 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("ngram contamination flags exactly the docs sharing probe shingles") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // contains probe 5-gram
+      (2L, "totally unrelated training content here now"),
+      (3L, "alpha beta gamma delta epsilon eta"))       // shares the same 5-gram
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta epsilon"),          // the benchmark 5-gram
+      (101L, "nothing matching anything at all today")).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 1L), (3L, 1L, 1L)))
+    // the skew guard drops shingles hot on the TRAIN side
+    val gotCapped = Dedup.ngramContamination(train, probes, k = 5, maxShingleFreq = 1L)
+      .collect()
+    assert(gotCapped.isEmpty, "shingle shared by 2 train docs must be dropped at cap 1")
+  }
+
   test("ngram jaccard: dup pair ~1.0, near-dup high, far pair absent") {
     val j = Dedup.ngramJaccard(docs, k = 3, threshold = 0.2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
