@@ -51,7 +51,16 @@ final class CrawlSession(
   // session-scoped working state vs shared output index (Z6: the reference
   // keys queue/filter state by sessionId but writes docs to one target index)
   val frontierTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/frontier", spark)
+  // narrowed read schema: the seen table REFERENCES the frontier's
+  // new-entries segments (commitAppendRef) instead of rewriting the same
+  // rows — each round's new URLs are written once; the parquet reader
+  // prunes the frontier's extra columns by name
   val seenTable = new SnapshotTable(s"$workDir/sessions/${config.sessionId}/seen", spark)
+    .withReadSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("urlHash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType))))
   // sequenced: Overwrite-mode merges commit as sequence-aware equality
   // deletes (tombstone old rows for re-crawled urls + append the new rows)
   // instead of rewriting the whole docs history every round
@@ -177,8 +186,9 @@ final class CrawlSession(
       applyIncludeExclude = false)
     val (fv, n) = frontierTable.commitFull(cand,
       Map("round" -> "0", "processed" -> "0", "kind" -> "seed"))
-    val (sv, _) = seenTable.commitAppendTo(cand.select("urlHash", "url"), -1L,
-      Map("round" -> "0"))
+    // the seed rows are written once — the seen table references them
+    val (sv, _) = seenTable.commitAppendRef(
+      s"${frontierTable.root}/segments/$fv", -1L, Map("round" -> "0"))
     writeCheckpoint(fv, sv)
     log(s"seeded frontier: $n urls")
   }
@@ -202,7 +212,7 @@ final class CrawlSession(
     val claimed = Politeness
       .claim(frontier, config.hostBudgetPerRound, remaining)
       .persist()
-    val claimedCount = claimed.count()
+    val claimedCount = timed("claim-count")(claimed.count())
     if (claimedCount == 0) { claimed.unpersist(); return None }
 
     // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
@@ -236,7 +246,7 @@ final class CrawlSession(
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
       .persist()
-    val docsWritten = writeDocs(docs)
+    val docsWritten = timed("docs-write")(writeDocs(docs))
 
     // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
     val scrapedChildren = Extractor
@@ -253,7 +263,7 @@ final class CrawlSession(
       .persist()
 
     var releaseRoute: () => Unit = () => ()
-    val newEntries =
+    val newEntries = timed("seen-route-build")(
       (if (seen == null) cand
        else config.seenRoute match {
          case SeenRoute.Auto =>
@@ -273,23 +283,32 @@ final class CrawlSession(
              seen, seenCount, nRanges)
            releaseRoute = release
            out.toDF().select(cand.columns.map(col): _*)
-       }).persist()
+       }).persist())
 
     // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
     // delta commit: append the new entries, tombstone the claimed rows —
     // O(claim + new) write instead of rewriting the whole frontier
     // (SnapshotTable compacts copy-on-write once tombstones accumulate)
     val newProcessed = processed + claimedCount
-    val (newFv, frontierLeft) = frontierTable.commitDeltaTo(
+    val (newFv, frontierLeft) = timed("frontier-commit")(frontierTable.commitDeltaTo(
       newEntries.select(frontier.columns.map(col): _*),
       claimed.select("urlHash", "url"), v, Map(
         "round" -> (round + 1).toString,
         "processed" -> newProcessed.toString,
         "claimed" -> claimedCount.toString,
-        "docsWritten" -> docsWritten.toString))
-    val (newSv, seenTotal) = seenTable.commitAppendTo(
-      newEntries.select("urlHash", "url"), seenV,
-      Map("round" -> (round + 1).toString))
+        "docsWritten" -> docsWritten.toString)))
+    // delta path: frontier segment newFv IS exactly newEntries — the seen
+    // table references those files instead of writing the rows again
+    // (halves per-round new-URL write bytes). Compaction path: the segment
+    // folds the whole frontier, so fall back to a direct write.
+    val (newSv, seenTotal) = timed("seen-commit")(
+      if (frontierTable.tombstonesOf(newFv).nonEmpty)
+        seenTable.commitAppendRef(
+          s"${frontierTable.root}/segments/$newFv", seenV,
+          Map("round" -> (round + 1).toString))
+      else seenTable.commitAppendTo(
+        newEntries.select("urlHash", "url"), seenV,
+        Map("round" -> (round + 1).toString)))
     // the round becomes visible HERE — one atomic rename for both tables
     writeCheckpoint(newFv, newSv)
     // new-URL count comes free from the seen-commit's segment metric
@@ -446,6 +465,17 @@ final class CrawlSession(
 
   private def log(msg: String): Unit =
     if (sys.env.get("GRAFT_QUIET").isEmpty) println(s"[crawl ${config.sessionId}] $msg")
+
+  // GRAFT_PROF=1: per-phase wall times of a round, for overhead hunting
+  private val prof = sys.env.contains("GRAFT_PROF")
+  private def timed[A](label: String)(f: => A): A =
+    if (!prof) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof ${config.sessionId}] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 }
 
 /** X3 driver-side lifecycle hooks (no executor involvement — the reference

@@ -95,6 +95,27 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   /** Read the current snapshot (caller guards `isEmpty`). */
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Optional fixed read schema (set via [[withReadSchema]]): lets a table
+    * reference shared segments carrying EXTRA columns (see
+    * [[commitAppendRef]]) — the parquet reader prunes to these columns by
+    * name, so 2-col seen reads work over 5-col frontier segment files.
+    */
+  private var readSchema: Option[org.apache.spark.sql.types.StructType] = None
+  def withReadSchema(s: org.apache.spark.sql.types.StructType): this.type = {
+    readSchema = Some(s); this
+  }
+
+  private def readParquet(paths: Seq[String]): DataFrame = {
+    val r = readSchema.fold(spark.read)(s => spark.read.schema(s))
+    val df = r.parquet(paths: _*)
+    readSchema.fold(df)(s => df.select(s.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*))
+  }
+
+  /** a segment entry is a local name, or an absolute dir for shared refs. */
+  private def segPath(s: String): String =
+    if (s.startsWith("/")) s else s"$root/segments/$s"
+
   /** Merge-on-read: union of live data segments, minus tombstoned rows.
     * The tombstone side is broadcast — the compaction policy caps it at
     * [[SnapshotTable.MaxTombRows]], so the anti-join stays a map-side
@@ -103,7 +124,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   def readVersion(v: Long): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val segs = segmentsOf(v)
-    val data = spark.read.parquet(segs.map(s => s"$root/segments/$s"): _*)
+    val data = readParquet(segs.map(segPath))
     val tombs = tombstonesOf(v)
     if (tombs.isEmpty) { if (sequenced) data.drop(SeqCol) else data }
     else {
@@ -121,8 +142,30 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   }
 
   /** read one raw data segment (no tombstone application). */
-  def readSegment(seg: String): DataFrame =
-    spark.read.parquet(s"$root/segments/$seg")
+  def readSegment(seg: String): DataFrame = readParquet(Seq(segPath(seg)))
+
+  /** raw row count of one segment from its parquet footers (driver-side,
+    * no Spark job) — works for local and shared-ref segments alike.
+    */
+  def segmentRows(seg: String): Long = dirRowCount(segPath(seg))
+
+  /** Append a SHARED segment by absolute path instead of rewriting the
+    * rows — the round loop writes each round's new URLs ONCE (the frontier
+    * delta segment) and the seen table references the same files, halving
+    * the per-round new-URL write bytes. The referencing table must have a
+    * [[withReadSchema]] narrowing to its own columns. Lifecycle: refs are
+    * valid for the owning session (frontier compaction orphans but never
+    * deletes segment dirs; `cleanup()` drops both tables together).
+    */
+  def commitAppendRef(absSegmentDir: String, parentVersion: Long,
+      metrics: Map[String, String] = Map.empty): (Long, Long) = {
+    val prev = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
+    val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
+    val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
+    val prevTombRows = if (parentVersion < 0) 0L else tombRowsOf(parentVersion)
+    commitManifest(absSegmentDir, metrics, appendTo = prev, prevRows = prevRows,
+      tombSegs = prevTombs, tombRows = prevTombRows)
+  }
 
   def commitFull(df: DataFrame, metrics: Map[String, String] = Map.empty): (Long, Long) =
     commit(df, metrics, appendTo = Seq.empty, prevRows = 0L)
@@ -230,14 +273,29 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       if (sequenced) df.withColumn(SeqCol, org.apache.spark.sql.functions.lit(v))
       else df
     out.write.mode("overwrite").parquet(segDir)
+    commitManifest(seg, metrics, appendTo, prevRows, tombSegs, tombRows,
+      expectVersion = v)
+  }
+
+  /** manifest-only commit step: record `segEntry` (a local segment name, or
+    * an ABSOLUTE shared dir from [[commitAppendRef]]) as snapshot v's new
+    * segment. Row count comes straight from the parquet footers on the
+    * driver — no Spark job (a count() per commit was ~3 driver round-trips
+    * per crawl round of pure scheduling overhead).
+    */
+  private def commitManifest(segEntry: String, metrics: Map[String, String],
+      appendTo: Seq[String], prevRows: Long,
+      tombSegs: Seq[String] = Seq.empty, tombRows: Long = 0L,
+      expectVersion: Long = -1L): (Long, Long) = {
+    val v = currentVersion + 1
+    require(expectVersion < 0 || expectVersion == v,
+      s"concurrent commit detected: expected $expectVersion, at $v")
+    val segDir = segPath(segEntry)
     val files = listDir(Paths.get(segDir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
-    // segment row count straight from the parquet footers on the driver —
-    // no Spark job (a count() per commit was ~3 driver round-trips per
-    // crawl round of pure scheduling overhead)
     val segRows = files.map(f => footerRowCount(s"$segDir/$f")).sum
     val rows = prevRows + segRows
-    val segs = appendTo :+ seg
+    val segs = appendTo :+ segEntry
     val metricsJson = (metrics ++ Map(
       "parentVersion" -> currentVersion.toString,
       "rows" -> rows.toString,

@@ -194,11 +194,10 @@ final class IncrementalSeenBloom(table: SnapshotTable, fpp: Double = 0.03) {
       val f = filter.get
       segs.filterNot(coveredSegments).foreach { seg =>
         // skip empty segments (a round can add 0 new URLs):
-        // stat.bloomFilter NPEs on zero-row input. Segment name == the
-        // version that wrote it, whose meta records its row count.
-        val segRows = scala.util.Try(seg.toLong).toOption
-          .flatMap(sv => table.metric(sv, "segmentRows")).map(_.toLong)
-        if (!segRows.contains(0L)) f.mergeInPlace(segmentBloom(seg))
+        // stat.bloomFilter NPEs on zero-row input. Count from the parquet
+        // footers — segment entries may be shared-ref absolute dirs whose
+        // name is not a version number.
+        if (table.segmentRows(seg) > 0L) f.mergeInPlace(segmentBloom(seg))
       }
     } else {
       capacity = math.max(4 * rows, 1L << 16)

@@ -149,6 +149,32 @@ class SeenSetSpec extends AnyFunSuite {
     t.drop()
   }
 
+  test("shared-ref segments: narrowed reads, footer counts, bloom over empty refs") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.tmpDir("snap-ref")
+    val ext = TestSpark.tmpDir("snap-ref-ext")
+    // the referencing table narrows to its own columns (seen-table shape)
+    val t = new SnapshotTable(dir, spark).withReadSchema(StructType(Seq(
+      StructField("urlHash", LongType), StructField("url", StringType))))
+    def rows(ids: Range) = ids.map(i => (i.toLong, s"u$i", s"h$i", i, "p"))
+      .toDF("urlHash", "url", "host", "depth", "parentUrl")
+    rows(0 until 50).write.parquet(s"$ext/a") // frontier-shaped, 5 cols
+    rows(0 until 0).write.parquet(s"$ext/b")  // a round that adds 0 new URLs
+    val (v0, n0) = t.commitAppendRef(s"$ext/a", -1L)
+    assert(n0 == 50, "footer count of the referenced files")
+    assert(t.read().columns.toSeq == Seq("urlHash", "url"), "extra columns pruned")
+    assert(t.read().count() == 50)
+    val bloom = new IncrementalSeenBloom(t)
+    bloom.forVersion(v0, n0)
+    val (v1, n1) = t.commitAppendRef(s"$ext/b", v0)
+    assert(n1 == 50)
+    // regression: advancing over the EMPTY referenced segment NPE'd in
+    // stat.bloomFilter when emptiness was inferred from the segment NAME
+    val b = bloom.forVersion(v1, n1)
+    (0 until 50).foreach(i => assert(b.mightContain(i.toLong)))
+    t.drop()
+  }
+
   test("snapshot table: sequenced deletes replace same-keyed rows (Iceberg sequence rule)") {
     val dir = TestSpark.tmpDir("snap-seq")
     val t = new SnapshotTable(dir, spark, sequenced = true)
