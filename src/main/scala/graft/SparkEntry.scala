@@ -389,6 +389,11 @@ object SparkEntry {
         size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
         TextOps.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))),
 
+    // Gopher-style repetition filters: duplicate-2-gram occurrence fraction
+    // + chars covered by the most frequent 2-gram
+    "q_text_repetition" -> ((s, d) =>
+      TextOps.repetitionFeatures(t(s, d, "documents"))),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -911,6 +916,23 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter*1.0/(sa.sz+sb.sz-inter), 4) >= 0.2""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH base AS (SELECT doc_id, length(text) AS n_chars_doc,
+        |    string_split_regex(lower(text),'\s+') AS l FROM documents),
+        |sh AS (SELECT doc_id, n_chars_doc, l[i+1]||' '||l[i+2] AS bigram
+        |    FROM (SELECT doc_id, n_chars_doc, l, unnest(range(0, len(l)-1)) AS i
+        |          FROM base WHERE len(l) >= 2)
+        |  UNION ALL
+        |  SELECT doc_id, n_chars_doc, array_to_string(l, ' ') FROM base WHERE len(l) < 2),
+        |g1 AS (SELECT doc_id, n_chars_doc, bigram, count(*) AS n FROM sh GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, length(bigram) DESC) AS rn FROM g1),
+        |agg AS (SELECT doc_id, n_chars_doc, count(*) AS dist, sum(n) AS tot
+        |    FROM g1 GROUP BY 1, 2)
+        |SELECT a.doc_id, round(1.0 - dist*1.0/tot, 4) AS dup_2gram_frac,
+        |  round(r.n*1.0*length(r.bigram)/greatest(a.n_chars_doc, 1), 4) AS top_2gram_char_frac
+        |FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rn = 1""".stripMargin,
 
     "q_dedup_decontaminate" ->
       """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l

@@ -98,6 +98,33 @@ object TextOps {
           (lit(1.0) - col("punct_ratio")) * 0.2) * 10000) / 10000.0)
   }
 
+  /** Repetition-based quality features (the Gopher-style pre-training
+    * filters): per document, the fraction of 2-gram OCCURRENCES that are
+    * repeats (1 − distinct/total) and the fraction of characters covered
+    * by the single most frequent 2-gram. One shuffle on (doc_id, bigram)
+    * with map-side partial aggregation; SQL-expressible for the oracle.
+    */
+  def repetitionFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bi = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars_doc"),
+      explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    val g1 = bi.groupBy("doc_id", "n_chars_doc", "bigram")
+      .agg(count(lit(1)).as("n"))
+    g1.groupBy("doc_id", "n_chars_doc")
+      .agg(
+        count(lit(1)).as("distinct_bigrams"),
+        sum("n").as("total_bigrams"),
+        // argmax by (count, length): ties on both give the same n·len, so
+        // the metric is deterministic either way
+        max(struct(col("n"), length(col("bigram")).as("len"))).as("top"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("distinct_bigrams").cast("double") / col("total_bigrams"), 4)
+          .as("dup_2gram_frac"),
+        round(col("top.n").cast("double") * col("top.len") /
+          greatest(col("n_chars_doc"), lit(1)), 4).as("top_2gram_char_frac"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * content-defined identity for exact dedup across formatting variants.
     * (md5 is bit-identical in DuckDB → hash-compare-safe.)

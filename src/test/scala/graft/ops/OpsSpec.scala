@@ -162,6 +162,19 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("repetition features: repeated bigrams score high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),             // one bigram, 4 occurrences
+      (2L, "all tokens here are fully distinct")).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: 4 "spam spam" occurrences, 1 distinct → dup frac 0.75;
+    // top bigram covers 4*9 chars over 24 → 1.5 (can exceed 1 on overlap)
+    assert(got(1L) == (0.75, 1.5), got(1L).toString)
+    assert(got(2L)._1 == 0.0)
+    assert(got(2L)._2 < 0.6)
+  }
+
   test("ngram contamination flags exactly the docs sharing probe shingles") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),      // contains probe 5-gram
