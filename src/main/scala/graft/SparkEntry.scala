@@ -317,11 +317,14 @@ object SparkEntry {
 
     // benchmark decontamination: docs vs a probe (benchmark) split of the
     // same table — per-doc shared-5-gram and probes-hit counts
+    // (string-keyed so the DuckDB twin can reproduce it; production keys
+    // the shuffle on xxhash64 shingle hashes — hashShingles default)
     "q_dedup_decontaminate" -> ((s, d) => {
       val all = t(s, d, "documents")
       Dedup.ngramContamination(
         all.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-        all.filter(pmod(col("doc_id"), lit(7)) === 0))
+        all.filter(pmod(col("doc_id"), lit(7)) === 0),
+        hashShingles = false)
     }),
 
     "q_dedup_embed_cosine" -> ((s, d) =>

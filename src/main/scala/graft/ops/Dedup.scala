@@ -246,6 +246,13 @@ object Dedup {
     * by more than `maxShingleFreq` training docs are dropped first (skew
     * guard; rare-n-gram matching IS the decontamination contract — k ≥ 5
     * in practice).
+    *
+    * `hashShingles` (default true) keys the shuffle on 8-byte xxhash64
+    * shingle hashes instead of ~50-byte strings — ~6× narrower exchange at
+    * corpus scale. A collision can only ADD a flag (expected extra pairs
+    * ≈ |docSh|·|probeSh|/2^64 — vanishing), and decontamination errs
+    * conservative by contract; pass false for the string-keyed
+    * DuckDB-oracle-checkable form.
     */
   def ngramContamination(
       docs: DataFrame,
@@ -254,14 +261,20 @@ object Dedup {
       textCol: String = "text",
       k: Int = 5,
       minShared: Long = 1L,
-      maxShingleFreq: Long = 1000L): DataFrame = {
+      maxShingleFreq: Long = 1000L,
+      hashShingles: Boolean = true): DataFrame = {
+    def sh(text: Column): Column =
+      if (hashShingles)
+        array_distinct(graft.functions.LshExpressions.shingleXxHashes(
+          TextOps.tokens(text), k, Long.MaxValue))
+      else array_distinct(shingles(text, k))
     val dSh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+      explode(sh(col(textCol))).as("shingle"))
     val hot = dSh.groupBy("shingle").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxShingleFreq)
     val dOk = dSh.join(hot, Seq("shingle"), "left_anti")
     val pSh = probes.select(col(idCol).as("probe_id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+      explode(sh(col(textCol))).as("shingle"))
     dOk.join(pSh, Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("shared_ngrams"),

@@ -187,6 +187,10 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.ngramContamination(train, probes, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 1L), (3L, 1L, 1L)))
+    // string-keyed (oracle) form agrees with the hashed default
+    val gotStr = Dedup.ngramContamination(train, probes, k = 5, hashShingles = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotStr == got)
     // the skew guard drops shingles hot on the TRAIN side
     val gotCapped = Dedup.ngramContamination(train, probes, k = 5, maxShingleFreq = 1L)
       .collect()
