@@ -242,6 +242,24 @@ class WriteModeSpec extends AnyFunSuite {
     assert(stamps.head == new Timestamp(1700000001000L))
   }
 
+  test("lifecycle hooks fire around the crawl with session and result (X3)") {
+    val dir = TestSpark.tmpDir("mode-hooks")
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    var finishTotal = -1L
+    val hooks = CrawlHooks(
+      onExecute = s => { calls += s"execute:${s.docsTable.isEmpty}" },
+      onFinish = (_, res) => { calls += "finish"; finishTotal = res.totalClaimed })
+    val s = new CrawlSession(spark, cfg("hooks", WriteMode.Default), corpusDf,
+      robotsDf, dir, () => new Timestamp(1700000001000L), hooks = hooks)
+    val res = s.run()
+    // execute fires BEFORE init (docs table still empty), finish after the
+    // loop with the final result — the reference's execute/finish scripts
+    // (RiverWeb.java:248-256,473-479)
+    assert(calls.toSeq == Seq("execute:true", "finish"))
+    assert(finishTotal == res.totalClaimed && finishTotal > 0)
+    s.cleanup()
+  }
+
   test("overwrite mode commits O(batch) deltas, not O(history) rewrites") {
     val dir = TestSpark.tmpDir("mode-ow-delta")
     val t1 = new Timestamp(1700000001000L)
