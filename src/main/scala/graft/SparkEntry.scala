@@ -340,10 +340,12 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(t(s, d, "embeddings").filter(col("vec_id") < 400),
         threshold = 0.35, bands = 12, bitsPerBand = 3)),
 
-    // LSH-banded minhash candidate pairs (oracle: banding reproduced in SQL)
+    // LSH-banded minhash candidate pairs (oracle: banding reproduced in
+    // SQL, so band keys stay the raw slices here; production hashes them —
+    // hashBandKeys default)
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150),
-        hash = TextOps.portableHash)),
+        hash = TextOps.portableHash, hashBandKeys = false)),
 
     // embedding LSH at the PRODUCTION parameterization (20 bands × 10 bits,
     // xxhash-free sign-LSH; rows-only — this is the configuration the bench

@@ -97,6 +97,13 @@ object Dedup {
     * exchange width by `bands`. Candidate pairs are deduped while still
     * narrow, then the signatures are re-joined by id for the exact verify.
     */
+  /** `hashBandKeys` (default true) buckets on `xxhash64(band slice)` — an
+    * 8-byte key instead of shipping the `rowsPerBand`-long slice array on
+    * both sides of the band self-join (~3× narrower exchange at 4-long
+    * bands). A key collision only adds a candidate pair, and the exact
+    * signature-similarity verify rejects it; pass false for the
+    * slice-keyed DuckDB-oracle-checkable form.
+    */
   def minhashNearDups(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -105,14 +112,18 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minSignatureSim: Double = 0.5,
-      hash: Column => Column = TextOps.fastHash): DataFrame = {
+      hash: Column => Column = TextOps.fastHash,
+      hashBandKeys: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigd = docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol), k, hash).as("__h"))
       .select(col("id"), minhashSignatureFromHashes(col("__h"), numHashes).as("sig"))
+    def bandKey(b: Column): Column = {
+      val sliced = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (hashBandKeys) xxhash64(sliced) else sliced
+    }
     val banded = sigd.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandSig")
     val candPairs = banded

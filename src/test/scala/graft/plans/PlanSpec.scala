@@ -145,11 +145,19 @@ class PlanSpec extends AnyFunSuite {
     try {
     val docs = (0 until 20).map(i => (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3}"))
       .toDF("doc_id", "text")
-    // minhash: the band shuffle may carry the band key array (rowsPerBand
-    // values) but NOT the full signature — i.e. at most ONE array column
+    // minhash default: hashed band keys — NO array rides the band shuffle
     val mh = bandExchanges(graft.ops.Dedup.minhashNearDups(docs))
     assert(mh.nonEmpty, "expected a band-keyed exchange in the minhash plan")
     mh.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"hashed band keys must shuffle longs, not arrays: ${e.output}")
+    }
+    // slice-keyed (oracle) form: the band key array (rowsPerBand values)
+    // may ride, but NOT the full signature — i.e. at most ONE array column
+    val mhS = bandExchanges(
+      graft.ops.Dedup.minhashNearDups(docs, hashBandKeys = false))
+    assert(mhS.nonEmpty)
+    mhS.foreach { e =>
       val arrays = e.output.count(_.dataType.isInstanceOf[ArrayType])
       assert(arrays <= 1,
         s"band exchange replicates the signature (bands× shuffle bytes): ${e.output}")
