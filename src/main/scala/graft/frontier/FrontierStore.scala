@@ -102,6 +102,9 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     */
   private var readSchema: Option[org.apache.spark.sql.types.StructType] = None
   def withReadSchema(s: org.apache.spark.sql.types.StructType): this.type = {
+    // a narrowed schema would drop the hidden __seq column the sequenced
+    // tombstone rule needs — the two features serve different tables
+    require(!sequenced, "withReadSchema is incompatible with sequenced tables")
     readSchema = Some(s); this
   }
 
@@ -159,6 +162,9 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     */
   def commitAppendRef(absSegmentDir: String, parentVersion: Long,
       metrics: Map[String, String] = Map.empty): (Long, Long) = {
+    // referenced files carry the WRITER's columns — they would lack this
+    // table's __seq stamp and break the sequenced tombstone rule
+    require(!sequenced, "commitAppendRef is incompatible with sequenced tables")
     val prev = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
     val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
     val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
