@@ -463,6 +463,25 @@ final class CrawlSession(
     frontierTable.drop(); seenTable.drop(); docsTable.drop(); docsIndexTable.drop()
   }
 
+  /** Expire dead snapshot storage for this session (the Iceberg
+    * `expire_snapshots` analog — Z6 operability: compactions and crash
+    * orphans otherwise accumulate segment dirs forever). Retains everything
+    * reachable from the checkpointed round through each table's head, and
+    * honors the seen table's shared refs into frontier segments, so a
+    * resume after gc() is unaffected. Returns (segment dirs, tombstone
+    * dirs) deleted.
+    */
+  def gc(): (Int, Int) = {
+    val (fv, sv) = readCheckpoint().getOrElse(return (0, 0))
+    val refsIntoFrontier =
+      seenTable.referencedEntries(sv)._1.filter(_.startsWith("/"))
+    val (fS, fT) = frontierTable.expireBefore(fv, refsIntoFrontier)
+    val (sS, sT) = seenTable.expireBefore(sv)
+    val (dS, dT) = docsTable.expireBefore(docsTable.currentVersion)
+    val (iS, iT) = docsIndexTable.expireBefore(docsIndexTable.currentVersion)
+    (fS + sS + dS + iS, fT + sT + dT + iT)
+  }
+
   private def log(msg: String): Unit =
     if (sys.env.get("GRAFT_QUIET").isEmpty) println(s"[crawl ${config.sessionId}] $msg")
 

@@ -339,6 +339,55 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     try r.getRecordCount finally r.close()
   }
 
+  /** every segment / tombstone entry referenced by any snapshot in
+    * [max(0, from), currentVersion] — crash-orphan snapshots in that range
+    * included, so a conservative GC never deletes what a resume (which
+    * anchors at the checkpointed version ≥ `from`) could still read.
+    */
+  def referencedEntries(from: Long): (Set[String], Set[String]) = {
+    val vs = (math.max(0L, from) to currentVersion)
+      .filter(v => Files.exists(metaPath(v)))
+    (vs.flatMap(segmentsOf).toSet, vs.flatMap(tombstonesOf).toSet)
+  }
+
+  /** Expire storage not referenced by any snapshot ≥ `from` (the Iceberg
+    * `expire_snapshots` analog for this shim): deletes LOCAL segment and
+    * tombstone dirs outside the retain sets and the metas of snapshots
+    * below `from`. `extraRetain` holds claims other tables have on THIS
+    * table's local segments via [[commitAppendRef]] (pass the ref paths;
+    * matching is by resolved path). Absolute entries in this table's own
+    * manifests are external and never touched. Time travel below `from`
+    * stops working, exactly like Iceberg snapshot expiry.
+    */
+  def expireBefore(from: Long, extraRetain: Set[String] = Set.empty): (Int, Int) = {
+    val (segs, tombs) = referencedEntries(from)
+    val keepSegs = segs.filterNot(_.startsWith("/")) ++
+      extraRetain.collect {
+        case p if p.startsWith(s"$root/segments/") =>
+          p.stripPrefix(s"$root/segments/")
+      }
+    def sweep(kind: String, keep: Set[String]): Int = {
+      var n = 0
+      listDir(Paths.get(root, kind)).foreach { p =>
+        if (!keep.contains(p.getFileName.toString)) {
+          def rm(q: Path): Unit = {
+            if (Files.isDirectory(q)) listDir(q).foreach(rm)
+            Files.deleteIfExists(q)
+          }
+          rm(p); n += 1
+        }
+      }
+      n
+    }
+    val deletedSegs = sweep("segments", keepSegs)
+    val deletedTombs = sweep("tombstones", tombs.filterNot(_.startsWith("/")))
+    (0L until math.max(0L, from)).foreach { v =>
+      Files.deleteIfExists(metaPath(v))
+      Files.deleteIfExists(metaPath(v).getParent)
+    }
+    (deletedSegs, deletedTombs)
+  }
+
   /** Drop the whole table (S9 cleanup sink, RiverWeb.java:482-508). */
   def drop(): Unit = {
     def rm(p: Path): Unit = {

@@ -260,6 +260,23 @@ class WriteModeSpec extends AnyFunSuite {
     s.cleanup()
   }
 
+  test("gc() expires dead storage; a resumed session is unaffected (Z6)") {
+    val dir = TestSpark.tmpDir("mode-gc")
+    val s1 = new CrawlSession(spark, cfg("gc-1", WriteMode.Default), corpusDf,
+      robotsDf, dir, () => new Timestamp(1700000001000L))
+    s1.run()
+    val docsBefore = s1.docsTable.read().count()
+    val seenBefore = s1.seenTable.read().count()
+    s1.gc() // retains checkpoint..head incl. the seen table's frontier refs
+    val s2 = new CrawlSession(spark, cfg("gc-1", WriteMode.Default), corpusDf,
+      robotsDf, dir, () => new Timestamp(1700000002000L))
+    val resumed = s2.run()
+    assert(resumed.rounds.isEmpty, "completed crawl resumes as a no-op after gc")
+    assert(s2.docsTable.read().count() == docsBefore)
+    assert(s2.seenTable.read().count() == seenBefore)
+    s2.docsTable.drop()
+  }
+
   test("overwrite mode commits O(batch) deltas, not O(history) rewrites") {
     val dir = TestSpark.tmpDir("mode-ow-delta")
     val t1 = new Timestamp(1700000001000L)

@@ -149,6 +149,37 @@ class SeenSetSpec extends AnyFunSuite {
     t.drop()
   }
 
+  test("expireBefore deletes only storage unreachable from retained snapshots") {
+    val dir = TestSpark.tmpDir("snap-expire")
+    val t = new SnapshotTable(dir, spark)
+    def rows(ids: Range) = ids.map(i => (s"u$i", i.toLong)).toDF("url", "urlHash")
+    val (w0, _) = t.commitFull(rows(0 until 20000))
+    val (w1, _) = t.commitDeltaTo(rows(20000 until 20010), rows(0 until 4000), w0)
+    // second delta crosses the tombstone threshold → compaction folds the
+    // live rows into ONE new segment; w0/w1 segments become garbage once
+    // their snapshots expire
+    val (w2, live) = t.commitDeltaTo(rows(20010 until 20020), rows(4000 until 8000), w1)
+    assert(t.tombstonesOf(w2).isEmpty)
+    val segsBefore = new java.io.File(s"$dir/segments").list().length
+    assert(segsBefore == 3)
+    // retain only the head: pre-compaction segments + metas go
+    val (delSegs, _) = t.expireBefore(w2)
+    assert(delSegs == 2, s"expected the 2 pre-compaction segments deleted, got $delSegs")
+    assert(new java.io.File(s"$dir/segments").list().length == 1)
+    assert(t.read().count() == live, "head snapshot unaffected")
+    assert(t.rowsOf(t.currentVersion) == live)
+    // extraRetain protects segments another table references
+    val t2 = new SnapshotTable(TestSpark.tmpDir("snap-expire2"), spark)
+    val (x0, _) = t2.commitFull(rows(0 until 100))
+    t2.commitFull(rows(100 until 200)) // full rewrite → x0's segment dead
+    val (d0, _) = t2.expireBefore(t2.currentVersion,
+      extraRetain = Set(s"${t2.root}/segments/$x0"))
+    assert(d0 == 0, "externally-referenced segment must survive")
+    val (d1, _) = t2.expireBefore(t2.currentVersion)
+    assert(d1 == 1)
+    t.drop(); t2.drop()
+  }
+
   test("shared-ref segments: narrowed reads, footer counts, bloom over empty refs") {
     import org.apache.spark.sql.types._
     val dir = TestSpark.tmpDir("snap-ref")
