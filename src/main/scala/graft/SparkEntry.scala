@@ -399,6 +399,18 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) =>
       TextOps.repetitionFeatures(t(s, d, "documents"))),
 
+    // deterministic hash-bucket train/val/test split (map-side, no rand())
+    "q_sample_split" -> ((s, d) =>
+      graft.ops.Sampling.deterministicSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+    // per-stratum deterministic downsampling (per-language fractions)
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(t(s, d, "documents"), "doc_id",
+        "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 1.0)
+        .select("doc_id", "lang")),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -921,6 +933,17 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter*1.0/(sa.sz+sb.sz-inter), 4) >= 0.2""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT split, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents))
+        |GROUP BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents)
+        |WHERE b < CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
 
     "q_text_repetition" ->
       """WITH base AS (SELECT doc_id, length(text) AS n_chars_doc,

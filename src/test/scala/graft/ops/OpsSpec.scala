@@ -162,6 +162,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("deterministic split/sample: stable, disjoint, fraction-accurate") {
+    val ids = spark.range(20000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    val split = graft.ops.Sampling.deterministicSplit(ids, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000, "split is a partition of the input")
+    assert(math.abs(counts("train") - 18000) < 500, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 200 && math.abs(counts("test") - 1000) < 200)
+    // stable: re-evaluation assigns identically (no rand())
+    val again = graft.ops.Sampling.deterministicSplit(ids, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(split.except(again).count() == 0 && again.except(split).count() == 0)
+    // stratified: per-stratum rates honored, sample ⊆ input
+    val sampled = graft.ops.Sampling.stratifiedSample(ids, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 20000 / 3 * 0.5) < 300, byLang.toString)
+    assert(math.abs(byLang("de") - 20000 * 2 / 3 * 0.1) < 300, byLang.toString)
+  }
+
   test("repetition features: repeated bigrams score high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),             // one bigram, 4 occurrences
