@@ -365,19 +365,37 @@ case class SimhashOf(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash_of"
 }
 
-/** dot of two vector columns (pair verification joins). */
+/** dot of two vector columns (pair verification joins).
+  *
+  * Mismatched dimensions yield NULL, matching the declarative
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` this kernel replaces: zip_with
+  * pads the shorter array with null, the sum goes null, and a `>= threshold`
+  * filter drops the pair — malformed embeddings must not silently produce a
+  * partial dot that passes as a near-dup.
+  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   private def aFloat = VecTypes.isFloatArray(left.dataType)
   private def bFloat = VecTypes.isFloatArray(right.dataType)
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) null
+    else VecKernel.dot(av, bv, aFloat, bFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernel.dot($a, $b, $aFloat, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecKernel.dot($a, $b, $aFloat, $bFloat);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

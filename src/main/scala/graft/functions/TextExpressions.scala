@@ -162,8 +162,11 @@ case class LexiconCounts(child: Expression, lexicons: Seq[Seq[String]])
     TextKernel.lexiconCounts(v.asInstanceOf[ArrayData], lookup, lexicons.length)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lookupRef = ctx.addReferenceObj("lexLookup", lookup,
-      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, int[]>")
+    // RAW type only: addReferenceObj emits this string as a Java cast, and
+    // Janino's generics support is partial — a parameterized type here can
+    // fail codegen compile and silently drop the whole span to interpreted
+    // mode. The kernel signature provides the type safety.
+    val lookupRef = ctx.addReferenceObj("lexLookup", lookup, "java.util.HashMap")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernel.lexiconCounts($c, $lookupRef, ${lexicons.length})")
   }

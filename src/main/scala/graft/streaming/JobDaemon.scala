@@ -47,6 +47,11 @@ final class JobDaemon(
 
   @volatile private var completedJobs: List[(String, Long)] = Nil
   @volatile private var lastActivity: Long = 0L
+  // true while foreachBatch is executing jobs: the idle watchdog must never
+  // stop the query mid-job, however long one job runs — "idle" means no
+  // batch is running AND none has arrived for queueTimeoutMs (the
+  // reference's --queue-timeout counts poll idleness, not job runtime).
+  @volatile private var busy: Boolean = false
 
   /** (config_id, totalClaimed) per completed job, in processing order. */
   def completed: Seq[(String, Long)] = completedJobs.reverse
@@ -56,33 +61,40 @@ final class JobDaemon(
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val jobs = batch
-          .orderBy(rand(42), col("config_id")) // S2 randomized poll order
-          .collect()
-        if (jobs.nonEmpty) lastActivity = System.currentTimeMillis()
-        jobs.grouped(queueParsingSize).foreach { chunk => // poll batch of 20
-          chunk.foreach { row =>
-            // a malformed job must not kill the daemon — the reference
-            // catches per job and keeps polling (RiverWeb.java:196-203)
-            try {
-              val configId = row.getAs[String]("config_id")
-              val configJson = row.getAs[String]("config_json")
-              require(configJson != null && configJson.nonEmpty, "missing config_json")
-              val sessionId = Option(row.getAs[String]("session_id"))
-                .filter(_.nonEmpty)
-                .getOrElse(java.util.UUID.randomUUID().toString)
-              val cfg = ConfigLoader.fromJson(configJson, sessionId)
-              val session = new CrawlSession(spark, cfg, corpus, robots, workDir,
-                recordOrder = false, hooks = hooks)
-              val result = session.run()
-              completedJobs = (configId, result.totalClaimed) :: completedJobs
-            } catch {
-              case e: Exception =>
-                System.err.println(s"[daemon] skipping bad job ${row}: ${e.getMessage}")
+        busy = true
+        try {
+          val jobs = batch
+            .orderBy(rand(42), col("config_id")) // S2 randomized poll order
+            .collect()
+          if (jobs.nonEmpty) lastActivity = System.currentTimeMillis()
+          jobs.grouped(queueParsingSize).foreach { chunk => // poll batch of 20
+            chunk.foreach { row =>
+              // a malformed job must not kill the daemon — the reference
+              // catches per job and keeps polling (RiverWeb.java:196-203)
+              try {
+                val configId = row.getAs[String]("config_id")
+                val configJson = row.getAs[String]("config_json")
+                require(configJson != null && configJson.nonEmpty, "missing config_json")
+                val sessionId = Option(row.getAs[String]("session_id"))
+                  .filter(_.nonEmpty)
+                  .getOrElse(java.util.UUID.randomUUID().toString)
+                val cfg = ConfigLoader.fromJson(configJson, sessionId)
+                val session = new CrawlSession(spark, cfg, corpus, robots, workDir,
+                  recordOrder = false, hooks = hooks)
+                val result = session.run()
+                completedJobs = (configId, result.totalClaimed) :: completedJobs
+              } catch {
+                case e: Exception =>
+                  System.err.println(s"[daemon] skipping bad job ${row}: ${e.getMessage}")
+              }
+              // refresh per JOB, not per chunk: a single job longer than
+              // queueTimeoutMs must not leave lastActivity stale
+              lastActivity = System.currentTimeMillis()
             }
           }
-          // a long job must not count as idle time
+        } finally {
           lastActivity = System.currentTimeMillis()
+          busy = false
         }
       }
     val query =
@@ -94,7 +106,7 @@ final class JobDaemon(
         try {
           while (query.isActive) {
             Thread.sleep(math.max(math.min(queueTimeoutMs / 4, 1000L), 10L))
-            if (query.isActive &&
+            if (query.isActive && !busy &&
                 System.currentTimeMillis() - lastActivity > queueTimeoutMs)
               query.stop()
           }
