@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,63 @@ object SparkEntry {
     session.run()
     corpus.unpersist() // docs are read back from the snapshot table, not the corpus
     session.docsTable.read().select("url", "parentUrl", "title", "headings", "@timestamp")
+  }
+
+  /** Flagship e2e, driver-checkable (S3/W1/U1/Z3/Z6 composite): a REAL
+    * [[CrawlSession]] crawl — claim → fetch-join → extract → child emission →
+    * seen anti-join → snapshot commit, every round — hosted on a corpus
+    * derived from the driver's `documents` table so DuckDB can replay it as
+    * a recursive-CTE reachability + the span-extraction CTEs (the reference's
+    * e2e test layer, RiverWebTest.java:100-108).
+    *
+    * Link graph: token position p with p%5==3 becomes an `a` span whose
+    * media_ref targets doc (doc_id*7 + p*13) % 500 — deterministic and
+    * SQL-expressible. Politeness/access budgets are non-binding, so the
+    * crawl is level-synchronized BFS from the seeds: a URL's depth is its
+    * BFS min-depth and its parentUrl is the lexicographic-min linking parent
+    * one level up (the engine's min(struct(depth, parentUrl)) in-batch dedup).
+    */
+  private def runCrawlT(s: SparkSession, d: String): DataFrame = {
+    val kinds = typedLit(Seq("title", "h2", "p", "a", "img"))
+    val toks = split(col("text"), " ")
+    def urlOf(id: Column): Column =
+      concat(lit("http://d"), pmod(id, lit(4)).cast("string"),
+        lit(".example.com/page/"), id.cast("string"))
+    // rename the numeric id first: aliasing the url AS "doc_id" in the same
+    // select would let lateral-column-alias resolution bind the lambda's
+    // doc_id reference to the STRING alias instead of the source column
+    val corpus = t(s, d, "documents").filter(length(col("text")) > 0)
+      .select(col("doc_id").as("id"), col("text"))
+      .select(
+        urlOf(col("id")).as("doc_id"),
+        concat(lit("d"), pmod(col("id"), lit(4)).cast("string"),
+          lit(".example.com")).as("host"),
+        col("id").as("lastModified"),
+        transform(toks, (x, i) => struct(
+          element_at(kinds, pmod(i, lit(5)).cast("int") + 1).as("kind"),
+          x.as("text"),
+          when(pmod(i, lit(5)) === 3,
+            urlOf(pmod(col("id") * 7 + i.cast("long") * 13, lit(500))))
+            .when(pmod(i, lit(5)) === 4,
+              concat(lit("http://m/"), x, lit("/"), i.cast("string")))
+            .cast("string").as("media_ref"),
+          i.cast("int").as("offset"))).as("spans")).persist()
+    val cfg = CrawlConfig(
+      sessionId = "e2e_t",
+      seeds = Seq("http://d0.example.com/page/0", "http://d1.example.com/page/1"),
+      maxDepth = 3, maxAccessCount = 10000L, hostBudgetPerRound = 1000000,
+      rules = Seq(ScrapingRule(".*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true),
+        PropertyRule("headings", SpanText("h2"), isArray = true, trimSpaces = true)))))
+    import s.implicits._
+    val robots = s.emptyDataset[RobotsRules].toDF()
+    val work = java.nio.file.Files.createTempDirectory("graft-e2e-t").toString
+    val session = new CrawlSession(s, cfg, corpus, robots, work, recordOrder = false)
+    session.run()
+    corpus.unpersist()
+    session.docsTable.read().select(
+      col("url"), col("parentUrl"), col("title"),
+      array_join(col("headings"), " ").as("headings"))
   }
 
   // --- interleaved spans view of the driver's documents table ---------------
@@ -576,9 +633,10 @@ object SparkEntry {
           col("frame_offset_ms"), length(col("frame_bytes")).as("frame_len"))
     }),
 
-    // full engine crawl (rows-only; parity is asserted against the oracle in sbt test)
-    "q_crawl_e2e" -> ((s, _) => runCrawl(s, n = 300, budget = 80, hostBudget = 8)
-      .select("url", "parentUrl", "title"))
+    // full engine crawl, driver-table-hosted so DuckDB replays it as a
+    // recursive CTE (the synthetic-corpus crawl stays covered by entry() and
+    // CrawlParitySpec in sbt)
+    "q_crawl_e2e" -> ((s, d) => runCrawlT(s, d))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -1121,6 +1179,40 @@ object SparkEntry {
       """SELECT 'http://d/sitemap/'||doc_id AS url, 'http://d/page/'||tok||'/'||pos AS child
         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
         |        unnest(range(0, len(string_split(text,' ')))) AS pos
-        |      FROM documents WHERE length(text) > 0 AND doc_id%20 = 0)""".stripMargin
+        |      FROM documents WHERE length(text) > 0 AND doc_id%20 = 0)""".stripMargin,
+
+    // e2e crawl replay: BFS reachability (min-depth, maxDepth 3) over the
+    // token-derived link graph + min-parent provenance + span extraction —
+    // the q_bfs_frontier recursive-CTE pattern composed with the spanified
+    // extraction aggregates
+    "q_crawl_e2e" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |  unnest(range(0, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |urls AS (SELECT doc_id, 'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url
+        |  FROM documents WHERE length(text) > 0),
+        |edges AS (SELECT DISTINCT doc_id AS src, (doc_id*7 + pos*13)%500 AS dst
+        |  FROM toks WHERE pos%5 = 3 AND (doc_id*7 + pos*13)%500 <> doc_id),
+        |bfs(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth UNION ALL SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, b.depth+1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.depth < 3),
+        |vis AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node),
+        |par AS (SELECT v.node, min(pu.url) AS parentUrl
+        |  FROM vis v JOIN edges e ON e.dst = v.node
+        |  JOIN vis pv ON pv.node = e.src AND pv.depth = v.depth - 1
+        |  JOIN urls pu ON pu.doc_id = e.src
+        |  GROUP BY v.node),
+        |aggs AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=1) AS headings
+        |  FROM toks GROUP BY doc_id)
+        |SELECT u.url AS url, p.parentUrl AS parentUrl,
+        |  coalesce(a.title, '') AS title, coalesce(a.headings, '') AS headings
+        |FROM vis v
+        |JOIN urls u ON u.doc_id = v.node
+        |LEFT JOIN par p ON p.node = v.node
+        |LEFT JOIN aggs a ON a.doc_id = v.node""".stripMargin
   )
 }
