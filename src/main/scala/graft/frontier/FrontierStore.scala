@@ -39,7 +39,10 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     // plain equality tombstones cannot (they would delete the fresh rows
     // too). Opt-in per table: the frontier/seen never re-insert a
     // tombstoned key, so they skip the +8 B/row.
-    val sequenced: Boolean = false) {
+    val sequenced: Boolean = false,
+    // read-side broadcast budget for the tombstone anti-join; above it the
+    // merge-on-read falls back to a shuffled anti-join (test-injectable)
+    val broadcastTombRows: Long = SnapshotTable.MaxTombRows) {
 
   import SnapshotTable._
 
@@ -120,9 +123,14 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     if (s.startsWith("/")) s else s"$root/segments/$s"
 
   /** Merge-on-read: union of live data segments, minus tombstoned rows.
-    * The tombstone side is broadcast — the compaction policy caps it at
-    * [[SnapshotTable.MaxTombRows]], so the anti-join stays a map-side
-    * BroadcastHashJoin and never shuffles the (possibly 10^10-row) data.
+    * Up to [[broadcastTombRows]] accumulated tombstones the anti-join
+    * broadcasts the tombstone side — a map-side BroadcastHashJoin that
+    * never shuffles the (possibly 10^10-row) data. Above the budget it
+    * falls back to a shuffled anti-join: one extra exchange of the live
+    * rows per read, which is what lets the compaction cap scale with
+    * table size instead of forcing a full rewrite every ~1M claims
+    * (the 10^10-frontier amortization fix; Iceberg readers make the same
+    * broadcast-vs-shuffle call on equality-delete files).
     */
   def readVersion(v: Long): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
@@ -132,14 +140,15 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     if (tombs.isEmpty) { if (sequenced) data.drop(SeqCol) else data }
     else {
       val tomb = spark.read.parquet(tombs.map(t => s"$root/tombstones/$t"): _*)
+      val tside = if (tombRowsOf(v) <= broadcastTombRows) broadcast(tomb) else tomb
       if (!sequenced)
-        data.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+        data.join(tside, tomb.columns.toSeq, "left_anti")
       else {
         // sequence rule: a tombstone deletes only rows written BEFORE it
         val keyCols = tomb.columns.filterNot(_ == SeqCol)
         val cond = keyCols.map(c => data(c) === tomb(c)).reduce(_ && _) &&
           data(SeqCol) < tomb(SeqCol)
-        data.join(broadcast(tomb), cond, "left_anti").drop(SeqCol)
+        data.join(tside, cond, "left_anti").drop(SeqCol)
       }
     }
   }
@@ -203,11 +212,14 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     * regardless of table size — the round-loop fix for the per-round
     * O(frontier) copy-on-write rewrite.
     *
-    * Compaction: once accumulated tombstones would exceed
-    * [[SnapshotTable.MaxTombRows]] (the read-side broadcast budget) or a
-    * quarter of the live rows, the transition is applied as a full
-    * copy-on-write rewrite instead and the tombstone list resets —
-    * amortized, a table pays one rewrite per ~MaxTombRows claimed rows.
+    * Compaction: once accumulated tombstones would exceed a quarter of the
+    * live rows (floor 4096), the transition is applied as a full
+    * copy-on-write rewrite instead and the tombstone list resets. The
+    * budget scales WITH the table — amortized, one rewrite per live/4
+    * claimed rows ≈ 4 rows rewritten per claim at any size (at 10^10 rows
+    * an absolute cap forced a full rewrite every ~1M claims ≈ 10^4 rows
+    * per claim). Reads between compactions stay broadcast-anti-join up to
+    * [[broadcastTombRows]] tombstones and shuffled-anti-join beyond.
     */
   /** `deletedRows` — how many LIVE rows the tombstones actually match, for
     * exact row accounting. Default -1 means "tombstones match 1:1" (the
@@ -233,14 +245,16 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     val newTombRows = dirRowCount(tombDir)
     val deleted = if (deletedRows >= 0) deletedRows else newTombRows
     val totalTomb = prevTombRows + newTombRows
-    if (totalTomb > MaxTombRows || totalTomb > math.max(4096L, prevRows / 4)) {
+    if (totalTomb > math.max(4096L, prevRows / 4)) {
       // compact: parent live rows minus the fresh tombstones, plus newRows.
       // readVersion(parent) already applied older tombstones (and dropped
       // __seq for sequenced tables); the fresh ones apply by key alone —
       // every parent row was written before this commit
-      val tomb = spark.read.parquet(tombDir).drop(SeqCol)
-      val kept = readVersion(parentVersion).join(broadcast(tomb),
-        tomb.columns.toSeq, "left_anti")
+      val tombRaw = spark.read.parquet(tombDir).drop(SeqCol)
+      val tomb =
+        if (newTombRows <= broadcastTombRows) broadcast(tombRaw) else tombRaw
+      val kept = readVersion(parentVersion).join(tomb,
+        tombRaw.columns.toSeq, "left_anti")
       val merged = kept.unionByName(newRows.select(kept.columns.map(c =>
         org.apache.spark.sql.functions.col(c)): _*))
       val out = commit(merged, metrics, appendTo = Seq.empty, prevRows = 0L)
@@ -402,10 +416,12 @@ object SnapshotTable {
   /** hidden per-segment sequence column of `sequenced` tables. */
   val SeqCol = "__seq"
 
-  /** Read-side broadcast budget for accumulated tombstones (~60 B/row ⇒
-    * ~60 MB of broadcast at the cap). `commitDeltaTo` compacts before the
-    * cap so merge-on-read stays a map-side BroadcastHashJoin — amortized,
-    * one full rewrite per ~MaxTombRows claimed rows.
+  /** Default read-side BROADCAST budget for accumulated tombstones
+    * (~60 B/row ⇒ ~60 MB broadcast at the cap). No longer a compaction
+    * trigger: below it merge-on-read is a map-side BroadcastHashJoin,
+    * above it a shuffled anti-join — compaction fires only at live/4
+    * tombstones, so rewrite amortization (4 rows/claim) is independent of
+    * table size.
     */
   val MaxTombRows: Long = 1000000L
 

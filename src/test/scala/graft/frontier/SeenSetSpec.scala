@@ -149,6 +149,76 @@ class SeenSetSpec extends AnyFunSuite {
     t.drop()
   }
 
+  test("rewrite cost is proportional to the claimed fraction, not table size") {
+    // the 10^10-scale amortization contract: a claim-sized delta writes
+    // O(claim + new) segment rows; compaction fires only once cumulative
+    // tombstones cross live/4, so total segment rows written across a claim
+    // sequence ≈ new rows + (one live-sized rewrite per live/4 claims) —
+    // NOT a rewrite per absolute-cap crossing
+    val dir = TestSpark.tmpDir("snap-amortize")
+    val t = new SnapshotTable(dir, spark)
+    def rows(ids: Range) = ids.map(i => (s"u$i", i.toLong)).toDF("url", "urlHash")
+    val live = 100000
+    var (v, _) = t.commitFull(rows(0 until live))
+    val v0 = v
+    // 9 rounds of 1000 claims (cumulative 9000 stays under live/4 even as
+    // live shrinks with the deletions): all stay deltas
+    for (r <- 0 until 9) {
+      val (nv, _) = t.commitDeltaTo(
+        rows(live + r * 10 until live + (r + 1) * 10),
+        rows(r * 1000 until (r + 1) * 1000), v)
+      v = nv
+    }
+    assert(t.tombstonesOf(v).size == 9, "every round under live/4 is a delta")
+    val deltaRowsWritten = (v0 + 1 to v)
+      .map(ver => t.metric(ver, "segmentRows").get.toLong).sum
+    assert(deltaRowsWritten == 90,
+      s"deltas must write only the new rows (got $deltaRowsWritten)")
+    // a 14000-claim round pushes cumulative tombstones (23000) past
+    // live/4 (91090/4 = 22772) → exactly one compaction, sized ~live
+    val (vc, liveAfter) = t.commitDeltaTo(
+      rows(live + 90 until live + 100), rows(9000 until 23000), v)
+    assert(t.tombstonesOf(vc).isEmpty, "compaction resets tombstones")
+    assert(liveAfter == live + 100 - 23000)
+    assert(t.metric(vc, "segmentRows").get.toLong == liveAfter)
+    assert(t.readVersion(vc).count() == liveAfter)
+    t.drop()
+  }
+
+  test("merge-on-read uses a shuffled anti-join above the broadcast budget") {
+    val dir = TestSpark.tmpDir("snap-shuffled-tomb")
+    // tiny injected budget: 100 tombstones must NOT broadcast
+    val t = new SnapshotTable(dir, spark, broadcastTombRows = 50L)
+    def rows(ids: Range) = ids.map(i => (s"u$i", i.toLong)).toDF("url", "urlHash")
+    val (v0, _) = t.commitFull(rows(0 until 2000))
+    val (v1, n1) = t.commitDeltaTo(rows(2000 until 2010), rows(0 until 100), v0)
+    assert(n1 == 1910)
+    // tiny test inputs auto-broadcast regardless of the hint — disable the
+    // size-based planner path so only the explicit hint can broadcast
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = t.readVersion(v1).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"above the budget the tombstone anti-join must not broadcast:\n$plan")
+      assert(t.readVersion(v1).count() == 1910)
+      // under the budget the explicit broadcast hint is kept
+      val t2 = new SnapshotTable(TestSpark.tmpDir("snap-bcast-tomb"), spark)
+      val (w0, _) = t2.commitFull(rows(0 until 2000))
+      val (w1, _) = t2.commitDeltaTo(rows(2000 until 2010), rows(0 until 100), w0)
+      val plan2 = t2.readVersion(w1).queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"),
+        s"under the budget the tombstone anti-join must broadcast:\n$plan2")
+      t2.drop()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    t.drop()
+  }
+
   test("expireBefore deletes only storage unreachable from retained snapshots") {
     val dir = TestSpark.tmpDir("snap-expire")
     val t = new SnapshotTable(dir, spark)
