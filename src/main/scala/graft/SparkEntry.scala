@@ -72,31 +72,43 @@ object SparkEntry {
     * BFS min-depth and its parentUrl is the lexicographic-min linking parent
     * one level up (the engine's min(struct(depth, parentUrl)) in-batch dedup).
     */
-  private def runCrawlT(s: SparkSession, d: String): DataFrame = {
+  /** crawl-host url of driver doc `id`: 4 hosts, deterministic. */
+  private def urlOfId(id: Column): Column =
+    concat(lit("http://d"), pmod(id, lit(4)).cast("string"),
+      lit(".example.com/page/"), id.cast("string"))
+
+  /** PageDoc-shaped corpus over the driver's `documents` table: spanified
+    * text with `a` spans linking to doc (doc_id*7 + pos*13) % 500.
+    * `lastMod` maps the numeric doc id to the page's lastModified (the
+    * write-mode queries vary it between runs).
+    */
+  private def docCorpus(s: SparkSession, d: String,
+      lastMod: Column => Column): DataFrame = {
     val kinds = typedLit(Seq("title", "h2", "p", "a", "img"))
     val toks = split(col("text"), " ")
-    def urlOf(id: Column): Column =
-      concat(lit("http://d"), pmod(id, lit(4)).cast("string"),
-        lit(".example.com/page/"), id.cast("string"))
     // rename the numeric id first: aliasing the url AS "doc_id" in the same
     // select would let lateral-column-alias resolution bind the lambda's
     // doc_id reference to the STRING alias instead of the source column
-    val corpus = t(s, d, "documents").filter(length(col("text")) > 0)
+    t(s, d, "documents").filter(length(col("text")) > 0)
       .select(col("doc_id").as("id"), col("text"))
       .select(
-        urlOf(col("id")).as("doc_id"),
+        urlOfId(col("id")).as("doc_id"),
         concat(lit("d"), pmod(col("id"), lit(4)).cast("string"),
           lit(".example.com")).as("host"),
-        col("id").as("lastModified"),
+        lastMod(col("id")).as("lastModified"),
         transform(toks, (x, i) => struct(
           element_at(kinds, pmod(i, lit(5)).cast("int") + 1).as("kind"),
           x.as("text"),
           when(pmod(i, lit(5)) === 3,
-            urlOf(pmod(col("id") * 7 + i.cast("long") * 13, lit(500))))
+            urlOfId(pmod(col("id") * 7 + i.cast("long") * 13, lit(500))))
             .when(pmod(i, lit(5)) === 4,
               concat(lit("http://m/"), x, lit("/"), i.cast("string")))
             .cast("string").as("media_ref"),
-          i.cast("int").as("offset"))).as("spans")).persist()
+          i.cast("int").as("offset"))).as("spans"))
+  }
+
+  private def runCrawlT(s: SparkSession, d: String): DataFrame = {
+    val corpus = docCorpus(s, d, identity).persist()
     val cfg = CrawlConfig(
       sessionId = "e2e_t",
       seeds = Seq("http://d0.example.com/page/0", "http://d1.example.com/page/1"),
@@ -113,6 +125,45 @@ object SparkEntry {
     session.docsTable.read().select(
       col("url"), col("parentUrl"), col("title"),
       array_join(col("headings"), " ").as("headings"))
+  }
+
+  /** J2/J3/S8 driver-visible: TWO CrawlSessions share one workDir docs
+    * table (the reference's re-run-into-the-same-index tests,
+    * RiverWebTest.java:151-160, 206-215, 261-270). maxDepth = 0 so the
+    * seed set IS the crawl; run 2's corpus gives odd doc_ids a NEWER
+    * lastModified. Overwrite (J3) merges by url — final rows carry run 2's
+    * @timestamp wherever run 2 re-crawled; Incremental (J2) appends only
+    * docs whose lastModified advanced — unchanged urls keep run 1's
+    * @timestamp, changed urls accumulate a second row.
+    */
+  private def runModes(s: SparkSession, d: String, mode: WriteMode,
+      seeds1: Range, seeds2: Range): DataFrame = {
+    val t1 = new java.sql.Timestamp(1700000001000L)
+    val t2 = new java.sql.Timestamp(1700000002000L)
+    def seedsOf(r: Range) =
+      r.map(i => s"http://d${i % 4}.example.com/page/$i")
+    def cfg(id: String, seeds: Seq[String]) = CrawlConfig(
+      sessionId = id, seeds = seeds,
+      maxDepth = 0, maxAccessCount = 10000L, hostBudgetPerRound = 1000000,
+      mode = mode,
+      rules = Seq(ScrapingRule(".*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    import s.implicits._
+    val robots = s.emptyDataset[RobotsRules].toDF()
+    val work = java.nio.file.Files.createTempDirectory(s"graft-mode").toString
+    val corpus1 = docCorpus(s, d, identity).persist()
+    val s1 = new CrawlSession(s, cfg("mode-run1", seedsOf(seeds1)), corpus1,
+      robots, work, () => t1, recordOrder = false)
+    s1.run()
+    corpus1.unpersist()
+    val corpus2 = docCorpus(s, d, id => id + pmod(id, lit(2))).persist()
+    val s2 = new CrawlSession(s, cfg("mode-run2", seedsOf(seeds2)), corpus2,
+      robots, work, () => t2, recordOrder = false)
+    s2.run()
+    corpus2.unpersist()
+    s2.docsTable.read().select(
+      col("url"), col("title"), unix_millis(col("@timestamp")).as("ts"),
+      col("lastModified"))
   }
 
   // --- interleaved spans view of the driver's documents table ---------------
@@ -636,7 +687,15 @@ object SparkEntry {
     // full engine crawl, driver-table-hosted so DuckDB replays it as a
     // recursive CTE (the synthetic-corpus crawl stays covered by entry() and
     // CrawlParitySpec in sbt)
-    "q_crawl_e2e" -> ((s, d) => runCrawlT(s, d))
+    "q_crawl_e2e" -> ((s, d) => runCrawlT(s, d)),
+
+    // J3/S8 end-to-end: overlapping second run merges by url
+    "q_mode_overwrite" -> ((s, d) =>
+      runModes(s, d, WriteMode.Overwrite, 0 until 40, 20 until 60)),
+
+    // J2/S8 end-to-end: second run appends only lastModified-advanced docs
+    "q_mode_incremental" -> ((s, d) =>
+      runModes(s, d, WriteMode.Incremental, 0 until 40, 0 until 40))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -1213,6 +1272,42 @@ object SparkEntry {
         |FROM vis v
         |JOIN urls u ON u.doc_id = v.node
         |LEFT JOIN par p ON p.node = v.node
-        |LEFT JOIN aggs a ON a.doc_id = v.node""".stripMargin
+        |LEFT JOIN aggs a ON a.doc_id = v.node""".stripMargin,
+
+    // run 1 crawled 0..39 at ts1; run 2 re-crawled 20..39 and added 40..59
+    // at ts2 with lastModified id+id%2 — merge-by-url keeps run 2's rows
+    // wherever it re-crawled
+    "q_mode_overwrite" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |  unnest(range(0, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE length(text) > 0 AND doc_id < 60),
+        |aggs AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title
+        |  FROM toks GROUP BY doc_id)
+        |SELECT 'http://d'||(d.doc_id%4)||'.example.com/page/'||d.doc_id AS url,
+        |  coalesce(a.title, '') AS title,
+        |  CASE WHEN d.doc_id < 20 THEN 1700000001000 ELSE 1700000002000 END AS ts,
+        |  CASE WHEN d.doc_id < 20 THEN d.doc_id
+        |       ELSE d.doc_id + d.doc_id%2 END AS "lastModified"
+        |FROM (SELECT doc_id FROM documents WHERE length(text) > 0 AND doc_id < 60) d
+        |LEFT JOIN aggs a ON a.doc_id = d.doc_id""".stripMargin,
+
+    // run 1 wrote 0..39 at ts1; run 2 re-fetched them against a corpus where
+    // odd ids advanced lastModified by 1 — only those append a second row
+    "q_mode_incremental" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |  unnest(range(0, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE length(text) > 0 AND doc_id < 40),
+        |base AS (SELECT d.doc_id,
+        |  'http://d'||(d.doc_id%4)||'.example.com/page/'||d.doc_id AS url,
+        |  coalesce(a.title, '') AS title
+        |  FROM (SELECT doc_id FROM documents WHERE length(text) > 0 AND doc_id < 40) d
+        |  LEFT JOIN (SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title
+        |    FROM toks GROUP BY doc_id) a ON a.doc_id = d.doc_id)
+        |SELECT url, title, 1700000001000 AS ts, doc_id AS "lastModified" FROM base
+        |UNION ALL
+        |SELECT url, title, 1700000002000 AS ts, doc_id + 1 AS "lastModified"
+        |FROM base WHERE doc_id%2 = 1""".stripMargin
   )
 }
