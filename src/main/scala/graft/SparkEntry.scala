@@ -647,7 +647,9 @@ object SparkEntry {
     // query's 2 nearest cells, exact re-rank
     "q_sim_ivf_ann" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
-      val cents = Similarity.ivfCentroids(embs, 8)
+      // first-8 init + ONE Lloyd refinement (the oracle replays the same
+      // mean step; means rounded to 9 decimals pin cross-engine floats)
+      val cents = Similarity.ivfTrain(embs, 8, iters = 1)
       val q = embs.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), x => x.cast("double")))
         .head().getSeq[Double](0)
@@ -1199,11 +1201,22 @@ object SparkEntry {
 
     "q_sim_ivf_ann" ->
       s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
-        |cdots AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
+        |cdots0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
         |    round(sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE))/(na.nrm*nb.nrm), 6) AS cos
         |  FROM v a JOIN v b ON a.i = b.i AND b.vec_id < 8
         |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
         |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+        |assign0 AS (SELECT vec_id, c_id FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+        |  FROM cdots0) WHERE rn = 1),
+        |means AS (SELECT a.c_id, vv.i, round(avg(CAST(vv.e AS DOUBLE)), 9) AS m
+        |  FROM assign0 a JOIN v vv ON vv.vec_id = a.vec_id GROUP BY a.c_id, vv.i),
+        |mnorm AS (SELECT c_id, sqrt(sum(m*m)) AS nrm FROM means GROUP BY c_id),
+        |cdots AS (SELECT a.vec_id AS vec_id, m.c_id AS c_id,
+        |    round(sum(CAST(a.e AS DOUBLE)*m.m)/(na.nrm*mn.nrm), 6) AS cos
+        |  FROM v a JOIN means m ON m.i = a.i
+        |  JOIN norms na ON na.vec_id = a.vec_id JOIN mnorm mn ON mn.c_id = m.c_id
+        |  GROUP BY a.vec_id, m.c_id, na.nrm, mn.nrm),
         |assign AS (SELECT vec_id, c_id FROM (
         |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
         |  FROM cdots) WHERE rn = 1),

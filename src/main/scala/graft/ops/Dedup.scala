@@ -286,10 +286,15 @@ object Dedup {
     val dOk = dSh.join(hot, Seq("shingle"), "left_anti")
     val pSh = probes.select(col(idCol).as("probe_id"),
       explode(sh(col(textCol))).as("shingle"))
+    // the join output is DISTINCT (doc_id, shingle, probe_id) triples by
+    // construction (both sides are per-id distinct shingle sets), and a doc
+    // can hit at most |probe corpus| distinct probes — so probes_hit uses a
+    // bounded collect_set instead of a second countDistinct: two distincts
+    // in one aggregate plan as an Expand that doubles every pre-shuffle row
     dOk.join(pSh, Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("shared_ngrams"),
-        countDistinct("probe_id").as("probes_hit"))
+        size(collect_set(col("probe_id"))).cast("long").as("probes_hit"))
       .filter(col("shared_ngrams") >= minShared)
   }
 

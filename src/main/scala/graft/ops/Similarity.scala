@@ -114,9 +114,9 @@ object Similarity {
   // written partitioned by `centroid`, and each query becomes a
   // partition-pruned scan of nProbe/nCentroids of the data.
   //
-  // Centroid "training" is a deterministic stand-in (the first nCentroids
-  // vectors by id) — a k-means step would slot in without changing the
-  // assignment/probe plan, which is what this exercises.
+  // Centroid init is deterministic (the first nCentroids vectors by id);
+  // [[ivfTrain]] runs Lloyd refinement iterations on top. Neither changes
+  // the assignment/probe plan — training happens once, offline.
 
   /** driver-side centroid set: (centroid_id, unit-direction vector). */
   def ivfCentroids(embeddings: DataFrame, nCentroids: Int,
@@ -145,6 +145,41 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, centroids: Seq[(Long, Seq[Double])],
       vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn("centroid", ivfAssignCol(col(vecCol), centroids))
+
+  /** One Lloyd (k-means) refinement step: assign every vector to its
+    * nearest centroid (cosine, the [[ivfAssignCol]] map-side expression),
+    * then move each centroid to the per-dimension MEAN of its assigned
+    * vectors. Distributed shape: posexplode to (cell, dim, x) with map-side
+    * partial aggregation, so the shuffle carries ~partitions×cells×dim
+    * partial sums — never the vectors; the driver collects only cells×dim
+    * means. Means are rounded to 9 decimals so the refined centroids are
+    * bit-identical across engines/summation orders (the DuckDB oracle
+    * replays the same step); an empty cell keeps its previous centroid.
+    */
+  def ivfRefine(embeddings: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val means = embeddings
+      .select(ivfAssignCol(col(vecCol), centroids).as("c"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
+      .groupBy("c", "i").agg(round(avg("x"), 9).as("m"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    centroids.map { case (id, prev) =>
+      val refined = prev.indices.map(i => means.get((id, i)))
+      if (refined.forall(_.isDefined)) (id, refined.map(_.get))
+      else (id, prev)
+    }
+  }
+
+  /** first-N init + `iters` Lloyd refinements (offline training; the
+    * assignment/probe plans are unchanged by where the centroids came from).
+    */
+  def ivfTrain(embeddings: DataFrame, nCentroids: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    var cents = ivfCentroids(embeddings, nCentroids, idCol, vecCol)
+    for (_ <- 0 until iters) cents = ivfRefine(embeddings, cents, vecCol)
+    cents
+  }
 
   /** the nProbe centroid ids nearest to `query` (rounded cosine desc, id asc). */
   def ivfProbes(query: Seq[Double], centroids: Seq[(Long, Seq[Double])],

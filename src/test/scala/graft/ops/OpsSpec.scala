@@ -297,6 +297,33 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
   }
+
+  test("ivfTrain: Lloyd refinement reduces mean assignment distance vs first-N") {
+    def meanAssignDist(cents: Seq[(Long, Seq[Double])]): Double = {
+      val assigned = Similarity.ivfAssign(embs, cents)
+      val byId = cents.toMap
+      assigned.select($"vec_id", $"centroid",
+        transform($"embedding", x => x.cast("double")).as("v"))
+        .collect().map { r =>
+          val v = r.getSeq[Double](2)
+          val c = byId(r.getLong(1))
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          val nv = math.sqrt(v.map(x => x * x).sum)
+          val nc = math.sqrt(c.map(x => x * x).sum)
+          1.0 - dot / (nv * nc)
+        }.sum / embs.count()
+    }
+    val init = Similarity.ivfCentroids(embs, 8)
+    val refined = Similarity.ivfTrain(embs, 8, iters = 2)
+    assert(refined.map(_._1) == init.map(_._1), "cell ids stable")
+    val d0 = meanAssignDist(init)
+    val d2 = meanAssignDist(refined)
+    assert(d2 <= d0 + 1e-9,
+      s"refinement must not worsen mean assignment distance: $d0 -> $d2")
+    assert(d2 < d0, s"refinement should strictly improve on this corpus: $d0 -> $d2")
+    // refinement is deterministic (rounded means): same result twice
+    assert(Similarity.ivfTrain(embs, 8, iters = 2) == refined)
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite {
