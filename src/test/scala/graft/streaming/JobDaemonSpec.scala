@@ -165,6 +165,61 @@ class JobDaemonSpec extends AnyFunSuite {
     assert(daemon3.completed.map(_._1) == Seq("jobC"))
   }
 
+  test("a second daemon job with the same session_id resumes the first's frontier (Z6×Z8)") {
+    // the reference's --session-id resume driven through daemon claims
+    // (RiverWeb.java:184-195, 238-240): job 1 exhausts a small access
+    // budget mid-crawl; job 2 (same session, larger budget) must CONTINUE
+    // from the checkpointed frontier, not restart from the seeds
+    val b = SyntheticCorpus.Builder(n = 60, hostCount = 5)
+    val corpus = b.corpus(spark).toDF()
+    val robots = b.robots(spark).toDF()
+    val base = TestSpark.tmpDir("daemon-resume")
+    val queueDir = s"$base/queue"; Files.createDirectories(Paths.get(queueDir))
+    val cdf = SyntheticCorpus.zipfCdf(5, 1.1)
+    val seed = UrlOps.canonicalize(
+      SyntheticCorpus.urlOf(0L, SyntheticCorpus.hostOfDoc(0L, 42L, cdf)))
+    def job(id: String, budget: Int): String =
+      s"""{"config_id":"$id","session_id":"sessR","config_json":
+         |"{\\"url\\":[\\"$seed\\"],\\"max_depth\\":3,
+         |\\"max_access_count\\":$budget,\\"robots_txt\\":false,
+         |\\"target\\":[{\\"pattern\\":{\\"url\\":\\".*/page/.*\\"},
+         |\\"properties\\":{\\"title\\":{\\"text\\":\\"title\\"}}}]}"}"""
+        .stripMargin.replace("\n", "")
+
+    // job 1: budget 6 → stops with the frontier non-empty
+    Files.writeString(Paths.get(s"$queueDir/j1.json"), job("first", 6))
+    val d1 = new JobDaemon(spark, corpus, robots, s"$base/work", queueDir, s"$base/ckpt")
+    d1.start(availableNow = true).awaitTermination(120000)
+    assert(d1.completed == Seq(("first", 6L)), s"got ${d1.completed}")
+
+    // job 2: same session, budget 20 → resumes; claims only the REMAINING 14
+    Files.writeString(Paths.get(s"$queueDir/j2.json"), job("second", 20))
+    val d2 = new JobDaemon(spark, corpus, robots, s"$base/work", queueDir, s"$base/ckpt")
+    d2.start(availableNow = true).awaitTermination(120000)
+    assert(d2.completed.map(_._1) == Seq("second"))
+    val claimed2 = d2.completed.head._2
+    assert(claimed2 == 14L,
+      s"resume must continue from processed=6 toward budget 20, claimed $claimed2")
+
+    // frontier continuity: the resumed crawl's docs equal a single fresh
+    // session run straight to budget 20
+    val oneShotDir = TestSpark.tmpDir("daemon-resume-oneshot")
+    val cfg = ConfigLoader.fromJson(
+      s"""{ "url": ["$seed"], "max_depth": 3, "max_access_count": 20,
+         |  "robots_txt": false,
+         |  "target": [{ "pattern": { "url": ".*/page/.*" },
+         |    "properties": { "title": { "text": "title" } } }] }""".stripMargin,
+      "oneShot")
+    val oneShot = new graft.crawl.CrawlSession(spark, cfg, corpus, robots, oneShotDir)
+    oneShot.run()
+    def urlSet(dir: String) = {
+      val t = new graft.frontier.SnapshotTable(s"$dir/docs", spark, sequenced = true)
+      t.read().select("url").collect().map(_.getString(0)).toSet
+    }
+    assert(urlSet(s"$base/work") == urlSet(oneShotDir),
+      "daemon-resumed session must produce the same doc set as one uninterrupted run")
+  }
+
   test("continuous daemon self-terminates after the wall-clock queue timeout (Z5)") {
     val b = SyntheticCorpus.Builder(n = 30, hostCount = 3)
     val base = TestSpark.tmpDir("daemon-idle")
