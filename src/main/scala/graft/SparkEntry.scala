@@ -697,7 +697,24 @@ object SparkEntry {
 
     // J2/S8 end-to-end: second run appends only lastModified-advanced docs
     "q_mode_incremental" -> ((s, d) =>
-      runModes(s, d, WriteMode.Incremental, 0 until 40, 0 until 40))
+      runModes(s, d, WriteMode.Incremental, 0 until 40, 0 until 40)),
+
+    // SemDeDup: k-means-cell-blocked semantic dedup, keep-min-id
+    "q_dedup_semantic" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Dedup.semanticDedup(embs, Similarity.ivfTrain(embs, 8, iters = 1), 0.3)
+    }),
+
+    // PII redaction over synthesized contact suffixes (the base text has
+    // none, so the suffix makes every row exercise all three patterns)
+    "q_text_redact" -> ((s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextOps.redactPii(concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 tel +1 415-555-"),
+        (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")))
+        .as("redacted")))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -830,6 +847,33 @@ object SparkEntry {
     """v AS (SELECT vec_id, unnest(embedding) AS e, unnest(range(1, len(embedding)+1)) AS i
       |  FROM embeddings {WHERE}),
       |norms AS (SELECT vec_id, sqrt(sum(CAST(e AS DOUBLE)*e)) AS nrm FROM v GROUP BY vec_id)""".stripMargin
+
+  /** first-8-init + one Lloyd-refinement IVF assignment (the DuckDB replay
+    * of [[Similarity.ivfTrain]](…, 8, iters = 1)): iteration-0 cosine
+    * argmax → per-cell per-dim means rounded to 9 decimals → refined
+    * assignment. Requires the `v`/`norms` CTEs ([[embedCosineCtes]]);
+    * yields `cdots` (refined cosines) and `assign` (vec_id, c_id).
+    */
+  private val ivfRefinedAssignCtes =
+    """cdots0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
+      |    round(sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE))/(na.nrm*nb.nrm), 6) AS cos
+      |  FROM v a JOIN v b ON a.i = b.i AND b.vec_id < 8
+      |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+      |assign0 AS (SELECT vec_id, c_id FROM (
+      |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+      |  FROM cdots0) WHERE rn = 1),
+      |means AS (SELECT a.c_id, vv.i, round(avg(CAST(vv.e AS DOUBLE)), 9) AS m
+      |  FROM assign0 a JOIN v vv ON vv.vec_id = a.vec_id GROUP BY a.c_id, vv.i),
+      |mnorm AS (SELECT c_id, sqrt(sum(m*m)) AS nrm FROM means GROUP BY c_id),
+      |cdots AS (SELECT a.vec_id AS vec_id, m.c_id AS c_id,
+      |    round(sum(CAST(a.e AS DOUBLE)*m.m)/(na.nrm*mn.nrm), 6) AS cos
+      |  FROM v a JOIN means m ON m.i = a.i
+      |  JOIN norms na ON na.vec_id = a.vec_id JOIN mnorm mn ON mn.c_id = m.c_id
+      |  GROUP BY a.vec_id, m.c_id, na.nrm, mn.nrm),
+      |assign AS (SELECT vec_id, c_id FROM (
+      |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+      |  FROM cdots) WHERE rn = 1)""".stripMargin
 
   /** The driver embeddings tables are dim-64 at every SF; the hyperplanes
     * ride into the oracle SQL as a 2-D list literal (Double.toString
@@ -1201,25 +1245,7 @@ object SparkEntry {
 
     "q_sim_ivf_ann" ->
       s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
-        |cdots0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
-        |    round(sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE))/(na.nrm*nb.nrm), 6) AS cos
-        |  FROM v a JOIN v b ON a.i = b.i AND b.vec_id < 8
-        |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
-        |assign0 AS (SELECT vec_id, c_id FROM (
-        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
-        |  FROM cdots0) WHERE rn = 1),
-        |means AS (SELECT a.c_id, vv.i, round(avg(CAST(vv.e AS DOUBLE)), 9) AS m
-        |  FROM assign0 a JOIN v vv ON vv.vec_id = a.vec_id GROUP BY a.c_id, vv.i),
-        |mnorm AS (SELECT c_id, sqrt(sum(m*m)) AS nrm FROM means GROUP BY c_id),
-        |cdots AS (SELECT a.vec_id AS vec_id, m.c_id AS c_id,
-        |    round(sum(CAST(a.e AS DOUBLE)*m.m)/(na.nrm*mn.nrm), 6) AS cos
-        |  FROM v a JOIN means m ON m.i = a.i
-        |  JOIN norms na ON na.vec_id = a.vec_id JOIN mnorm mn ON mn.c_id = m.c_id
-        |  GROUP BY a.vec_id, m.c_id, na.nrm, mn.nrm),
-        |assign AS (SELECT vec_id, c_id FROM (
-        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
-        |  FROM cdots) WHERE rn = 1),
+        |$ivfRefinedAssignCtes,
         |probes AS (SELECT c_id FROM cdots WHERE vec_id = 0 ORDER BY cos DESC, c_id LIMIT 2),
         |cand AS (SELECT vec_id FROM assign WHERE c_id IN (SELECT c_id FROM probes)),
         |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(q.e AS DOUBLE)) AS d
@@ -1321,6 +1347,32 @@ object SparkEntry {
         |SELECT url, title, 1700000001000 AS ts, doc_id AS "lastModified" FROM base
         |UNION ALL
         |SELECT url, title, 1700000002000 AS ts, doc_id + 1 AS "lastModified"
-        |FROM base WHERE doc_id%2 = 1""".stripMargin
+        |FROM base WHERE doc_id%2 = 1""".stripMargin,
+
+    // SemDeDup replay: refined-cell assignment + within-cell pairwise
+    // cosine; drop docs with a lower-id neighbor at cos >= 0.3
+    "q_dedup_semantic" ->
+      s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+        |$ivfRefinedAssignCtes,
+        |cand AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+        |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id),
+        |pcos AS (SELECT c.ia, c.ib,
+        |    round(sum(CAST(a.e AS DOUBLE)*CAST(b.e AS DOUBLE))/(na.nrm*nb.nrm), 6) AS cos
+        |  FROM cand c JOIN v a ON a.vec_id = c.ia JOIN v b ON b.vec_id = c.ib AND b.i = a.i
+        |  JOIN norms na ON na.vec_id = c.ia JOIN norms nb ON nb.vec_id = c.ib
+        |  GROUP BY c.ia, c.ib, na.nrm, nb.nrm),
+        |dropped AS (SELECT DISTINCT ib FROM pcos WHERE cos >= 0.3)
+        |SELECT a.vec_id AS id, a.c_id AS cell FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT ib FROM dropped)""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text||' contact user'||doc_id||'@example.com or 10.0.'||(doc_id%256)
+        |      ||'.7 tel +1 415-555-'||(1000 + doc_id%9000),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9 -]{6,13}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents WHERE doc_id < 200""".stripMargin
   )
 }

@@ -382,4 +382,40 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public construction): assign every embedding to its nearest k-means
+    * centroid ([[Similarity.ivfTrain]] cells), then WITHIN each cell drop
+    * any doc that has a lower-id neighbor with cosine ≥ `threshold`
+    * (keep-min-id, the same deterministic survivor rule as [[exact]]).
+    *
+    * Scale shape: the cell id is the blocking key, so the candidate join is
+    * an equi-join shuffled on `cell` — quadratic only within a cell
+    * (cells ~N/k; pick k so cells fit comfortably, exactly how SemDeDup
+    * runs at corpus scale), never the corpus cross-join. Assignment is a
+    * map-side expression (centroid literals ride into the plan); cosine is
+    * rounded to 6 decimals for cross-engine determinism.
+    *
+    * Returns the KEPT rows: (id, cell).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.ivfAssign(embeddings, centroids, vecCol)
+      .select(col(idCol).as("id"), col("centroid").as("cell"), col(vecCol).as("v"))
+      .withColumn("n", Similarity.l2norm(col("v")))
+    val l = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        round(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti").select("id", "cell")
+  }
 }

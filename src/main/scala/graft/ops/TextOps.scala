@@ -134,6 +134,25 @@ object TextOps {
     // regexp form dominated exact-dedup CPU; output strings are identical
     md5(graft.functions.TextExpressions.normalizeWsLower(text))
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * phone-shaped numbers become typed placeholder tokens. Pure
+    * regexp_replace chain (codegen'd, map-side, no shuffle); the patterns
+    * avoid lookarounds so the same expressions run under Java regex here
+    * and RE2 in the DuckDB oracle. Order matters: emails first (their
+    * digits must not be phone-matched), then IPs (dotted digits must not
+    * be phone-matched), then phones.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9 -]{6,13}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Rolling polynomial fingerprint over token hashes (position-weighted mod
     * arithmetic; portable to SQL via the same CASE-mod formulation).
     */

@@ -324,6 +324,49 @@ class SimilaritySpec extends AnyFunSuite {
     // refinement is deterministic (rounded means): same result twice
     assert(Similarity.ivfTrain(embs, 8, iters = 2) == refined)
   }
+
+  test("semanticDedup: exact copy in the same cell is dropped, min id survives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // clone vector 7 as a new max-id row: same direction → same cell,
+    // cosine 1.0 → the clone (higher id) must be dropped, 7 kept
+    val v7 = embs.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    val maxId = embs.agg(max($"vec_id")).head().getLong(0)
+    val clone = spark.createDataFrame(
+      java.util.List.of(Row(maxId + 1, v7)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val withClone = embs.unionByName(clone)
+    val cents = Similarity.ivfTrain(withClone, 8, iters = 1)
+    val kept = Dedup.semanticDedup(withClone, cents, threshold = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.contains(7L) && !kept.contains(maxId + 1),
+      s"clone must be dropped, original kept: ${kept.keySet.toSeq.sorted.takeRight(3)}")
+    // every kept doc's cell matches its assignment; result is deterministic
+    val again = Dedup.semanticDedup(withClone, cents, threshold = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // lowering the threshold only shrinks the kept set
+    val keptLow = Dedup.semanticDedup(withClone, cents, threshold = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptLow.subsetOf(kept.keySet))
+  }
+
+  test("redactPii replaces emails, IPv4s and phones with typed tokens") {
+    val rows = Seq(
+      ("write to alice.smith+spam@sub.example.co.uk today",
+        "write to <EMAIL> today"),
+      ("server at 192.168.0.1 and 10.255.3.77:8080 up",
+        "server at <IP> and <IP>:8080 up"),
+      ("call +1 415-555-2671 now", "call <PHONE> now"),
+      ("v1.2.3 released, order #12345", "v1.2.3 released, order #12345"),
+      ("mail a@b.io from 8.8.8.8 or +442071838750",
+        "mail <EMAIL> from <IP> or <PHONE>"))
+    val got = rows.toDF("text", "want")
+      .select(TextOps.redactPii($"text").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}', want '${r.getString(1)}'"))
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite {
