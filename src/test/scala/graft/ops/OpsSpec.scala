@@ -326,16 +326,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("semanticDedup: exact copy in the same cell is dropped, min id survives") {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     // clone vector 7 as a new max-id row: same direction → same cell,
     // cosine 1.0 → the clone (higher id) must be dropped, 7 kept
-    val v7 = embs.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
     val maxId = embs.agg(max($"vec_id")).head().getLong(0)
-    val clone = spark.createDataFrame(
-      java.util.List.of(Row(maxId + 1, v7)),
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)))))
+    val clone = embs.filter($"vec_id" === 7).withColumn("vec_id", lit(maxId + 1))
     val withClone = embs.unionByName(clone)
     val cents = Similarity.ivfTrain(withClone, 8, iters = 1)
     val kept = Dedup.semanticDedup(withClone, cents, threshold = 0.995)
