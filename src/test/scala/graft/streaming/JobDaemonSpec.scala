@@ -233,4 +233,33 @@ class JobDaemonSpec extends AnyFunSuite {
     assert(q.awaitTermination(60000), "daemon did not self-terminate")
     assert(System.currentTimeMillis() - t0 >= 2000L, "terminated before the timeout")
   }
+
+  test("a job longer than the queue timeout is not interrupted as idle (Z5)") {
+    // --queue-timeout counts POLL idleness, not job runtime: a crawl that
+    // outlives queueTimeoutMs must run to completion (busy flag + per-job
+    // lastActivity refresh), and the daemon then exits once truly idle
+    val b = SyntheticCorpus.Builder(n = 120, hostCount = 5)
+    val base = TestSpark.tmpDir("daemon-busy")
+    val queueDir = s"$base/queue"; Files.createDirectories(Paths.get(queueDir))
+    val cdf = SyntheticCorpus.zipfCdf(5, 1.1)
+    val seed = UrlOps.canonicalize(
+      SyntheticCorpus.urlOf(0L, SyntheticCorpus.hostOfDoc(0L, 42L, cdf)))
+    // multi-round crawl: wall time comfortably exceeds the 300ms timeout
+    Files.writeString(Paths.get(s"$queueDir/j1.json"),
+      s"""{"config_id":"slow","session_id":"slow","config_json":
+         |"{\\"url\\":[\\"$seed\\"],\\"max_depth\\":3,
+         |\\"max_access_count\\":60,\\"robots_txt\\":false,
+         |\\"target\\":[{\\"pattern\\":{\\"url\\":\\".*/page/.*\\"},
+         |\\"properties\\":{\\"title\\":{\\"text\\":\\"title\\"}}}]}"}"""
+        .stripMargin.replace("\n", ""))
+    val daemon = new JobDaemon(spark, b.corpus(spark).toDF(), b.robots(spark).toDF(),
+      s"$base/work", queueDir, s"$base/ckpt", queueTimeoutMs = 300L)
+    val q = daemon.start(availableNow = false)
+    assert(q.awaitTermination(120000), "daemon did not self-terminate")
+    // the long job completed with a real claim count — it was not stopped
+    // mid-crawl by the idle watchdog
+    assert(daemon.completed.map(_._1) == Seq("slow"), s"got ${daemon.completed}")
+    assert(daemon.completed.head._2 == 60L,
+      s"job must run to its full budget, claimed ${daemon.completed.head._2}")
+  }
 }
