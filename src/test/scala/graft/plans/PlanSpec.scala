@@ -203,4 +203,42 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Politeness.claim(frontier, hostBudget = 4, remaining = 10))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("semantic dedup candidate join shuffles on the CELL id, never cross-joins") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = (0 until 24).map(i =>
+        (i.toLong, (0 until 8).map(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 9f)))
+        .toDF("vec_id", "embedding")
+      val cents = graft.ops.Similarity.ivfCentroids(vecs, 4)
+      val df = graft.ops.Dedup.semanticDedup(vecs, cents, 0.9)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"semantic dedup must block by cell, not cross-join:\n$plan")
+      val cellExchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("cell") => e
+      }
+      assert(cellExchanges.nonEmpty, s"expected a cell-keyed exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("PII redaction is a single codegen'd Project over the scan") {
+    val dir = TestSpark.tmpDir("redact-plan")
+    Seq((1L, "mail a@b.io now")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("doc_id"), graft.ops.TextOps.redactPii(col("text")))
+    val plan = planOf(df)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Exchange"), s"redaction must be map-side only:\n$plan")
+    assert(plan.contains("*("), s"expected a whole-stage-codegen span:\n$plan")
+  }
 }
