@@ -182,8 +182,10 @@ final class CrawlSession(
     if (readCheckpoint().isDefined) return
     import spark.implicits._
     val seedsDf = config.seeds.toDF("child")
-    val cand = toCandidates(seedsDf, lit(0), lit(null).cast("string"),
+    val cand0 = toCandidates(seedsDf, lit(0), lit(null).cast("string"),
       applyIncludeExclude = false)
+    val cand =
+      if (config.seeds.size <= SmallWriteRows) cand0.repartition(1) else cand0
     val (fv, n) = frontierTable.commitFull(cand,
       Map("round" -> "0", "processed" -> "0", "kind" -> "seed"))
     // the seed rows are written once — the seen table references them
@@ -214,6 +216,15 @@ final class CrawlSession(
       .persist()
     val claimedCount = timed("claim-count")(claimed.count())
     if (claimedCount == 0) { claimed.unpersist(); return None }
+    // Small rounds write ONE file per snapshot instead of shuffle-partition
+    // many near-empty ones: parquet task-commit overhead dominates
+    // small-crawl round latency (~0.3-0.5 s per tiny write at 32
+    // partitions). repartition(1) — not coalesce — keeps the upstream
+    // anti-join/extraction stages parallel and serializes only the write
+    // task. Above the gate the parallel multi-file write is untouched.
+    val smallRound = claimedCount <= SmallWriteRows
+    def writeShape(df: DataFrame): DataFrame =
+      if (smallRound) df.repartition(1) else df
 
     // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
     // The claim batch is usually orders of magnitude smaller than the corpus
@@ -246,7 +257,7 @@ final class CrawlSession(
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
       .persist()
-    val docsWritten = timed("docs-write")(writeDocs(docs))
+    val docsWritten = timed("docs-write")(writeDocs(writeShape(docs)))
 
     // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
     val scrapedChildren = Extractor
@@ -291,8 +302,8 @@ final class CrawlSession(
     // (SnapshotTable compacts copy-on-write once tombstones accumulate)
     val newProcessed = processed + claimedCount
     val (newFv, frontierLeft) = timed("frontier-commit")(frontierTable.commitDeltaTo(
-      newEntries.select(frontier.columns.map(col): _*),
-      claimed.select("urlHash", "url"), v, Map(
+      writeShape(newEntries.select(frontier.columns.map(col): _*)),
+      writeShape(claimed.select("urlHash", "url")), v, Map(
         "round" -> (round + 1).toString,
         "processed" -> newProcessed.toString,
         "claimed" -> claimedCount.toString,
@@ -307,7 +318,7 @@ final class CrawlSession(
           s"${frontierTable.root}/segments/$newFv", seenV,
           Map("round" -> (round + 1).toString))
       else seenTable.commitAppendTo(
-        newEntries.select("urlHash", "url"), seenV,
+        writeShape(newEntries.select("urlHash", "url")), seenV,
         Map("round" -> (round + 1).toString)))
     // the round becomes visible HERE — one atomic rename for both tables
     writeCheckpoint(newFv, newSv)
@@ -510,6 +521,13 @@ object CrawlSession {
     * the driver/executor broadcast OOMs. Above it AQE plans the join.
     */
   private[graft] val FetchBroadcastMaxRows = 2000000L
+
+  /** Below this claim-batch size a round's snapshot writes repartition(1):
+    * one real parquet file instead of shuffle-partition-many near-empty
+    * ones (task-commit overhead dominates small-round latency). Large
+    * rounds keep the parallel multi-file write and per-partition lineage.
+    */
+  private[graft] val SmallWriteRows = 8192L
 
   /** single-bloom ceiling for the Auto seen route (matches
     * [[graft.frontier.SeenSet.filterNew]]'s default `maxBloomItems`; beyond
