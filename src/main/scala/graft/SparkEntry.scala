@@ -705,6 +705,27 @@ object SparkEntry {
       Dedup.semanticDedup(embs, Similarity.ivfTrain(embs, 8, iters = 1), 0.3)
     }),
 
+    // C4-style corpus-wide line dedup over a lined view (8-token chunks +
+    // planted boilerplate: a universal cookie line, a 20%-of-docs
+    // newsletter line — both over maxLineFreq=10 and removed — and a
+    // 2-doc promo line that survives)
+    "q_text_linededup" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("text").as("t0"))
+      val toks = split(col("t0"), " ")
+      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val lined = src.select(col("doc_id"),
+        concat(
+          lit("accept cookies terms\n"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("subscribe newsletter now\n")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(250)) === 0,
+            lit("rare promo line\n")).otherwise(lit("")),
+          array_join(chunks, "\n")).as("text"))
+      TextOps.lineDedup(lined, maxLineFreq = 10)
+    }),
+
     // PII redaction over synthesized contact suffixes (the base text has
     // none, so the suffix makes every row exercise all three patterns)
     "q_text_redact" -> ((s, d) => t(s, d, "documents")
@@ -1364,6 +1385,22 @@ object SparkEntry {
         |dropped AS (SELECT DISTINCT ib FROM pcos WHERE cos >= 0.3)
         |SELECT a.vec_id AS id, a.c_id AS cell FROM assign a
         |WHERE a.vec_id NOT IN (SELECT ib FROM dropped)""".stripMargin,
+
+    "q_text_linededup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    'accept cookies terms'||chr(10)||
+        |    CASE WHEN doc_id%5=0 THEN 'subscribe newsletter now'||chr(10) ELSE '' END||
+        |    CASE WHEN doc_id%250=0 THEN 'rare promo line'||chr(10) ELSE '' END||
+        |    array_to_string(list_transform(range(0, CAST(ceil(len(l)/8.0) AS BIGINT)),
+        |      i -> array_to_string(l[i*8+1:i*8+8], ' ')), chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
+        |ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |  unnest(range(0, len(string_split(text, chr(10))))) AS pos FROM lined),
+        |hot AS (SELECT line FROM ls GROUP BY line HAVING count(*) > 10)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM ls WHERE line NOT IN (SELECT line FROM hot)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT doc_id,

@@ -134,6 +134,30 @@ object TextOps {
     // regexp form dominated exact-dedup CPU; output strings are identical
     md5(graft.functions.TextExpressions.normalizeWsLower(text))
 
+  /** C4-style corpus-wide line dedup (Raffel et al. 2020, the boilerplate
+    * filter): lines occurring more than `maxLineFreq` times ACROSS the
+    * corpus (cookie banners, nav text) are removed from every document;
+    * each document's surviving lines reassemble in original order. A doc
+    * whose lines are all boilerplate drops out entirely.
+    *
+    * Scale shape: explode → one shuffle on the line text with map-side
+    * partial counts (the hot set is tiny — boilerplate by definition —
+    * so the removal anti-join broadcasts under AQE) → per-doc ordered
+    * reassembly on the doc-id shuffle. Returns (idCol, textCol).
+    */
+  def lineDedup(docs: DataFrame, maxLineFreq: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy("__line").agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") > maxLineFreq).select("__line")
+    lines.join(hot, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as(textCol))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses and
     * phone-shaped numbers become typed placeholder tokens. Pure
     * regexp_replace chain (codegen'd, map-side, no shuffle); the patterns

@@ -346,6 +346,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keptLow.subsetOf(kept.keySet))
   }
 
+  test("lineDedup removes corpus-frequent lines, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "boiler\nalpha one\nboiler\nbeta two"),
+      (2L, "boiler\ngamma three"),
+      (3L, "boiler\nalpha one"),
+      (4L, "boiler")).toDF("doc_id", "text")
+    // "boiler" appears 4x (> 2) → removed everywhere; "alpha one" 2x (≤ 2)
+    // → kept; doc 4 becomes empty and drops out
+    val got = TextOps.lineDedup(docs, maxLineFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "alpha one\nbeta two",
+      2L -> "gamma three",
+      3L -> "alpha one"))
+  }
+
   test("redactPii replaces emails, IPv4s and phones with typed tokens") {
     val rows = Seq(
       ("write to alice.smith+spam@sub.example.co.uk today",
