@@ -872,8 +872,13 @@ object SparkEntry {
   /** first-8-init + one Lloyd-refinement IVF assignment (the DuckDB replay
     * of [[Similarity.ivfTrain]](…, 8, iters = 1)): iteration-0 cosine
     * argmax → per-cell per-dim means rounded to 9 decimals → refined
-    * assignment. Requires the `v`/`norms` CTEs ([[embedCosineCtes]]);
-    * yields `cdots` (refined cosines) and `assign` (vec_id, c_id).
+    * assignment. A cell with NO iteration-0 members keeps its INIT
+    * centroid (the `means` UNION branch) — the exact keep-previous rule of
+    * [[Similarity.ivfRefine]]; without it the cell would vanish from the
+    * replay and refined assignments could diverge on data where two of
+    * the first 8 vectors are near-identical. Requires the `v`/`norms`
+    * CTEs ([[embedCosineCtes]]); yields `cdots` (refined cosines) and
+    * `assign` (vec_id, c_id).
     */
   private val ivfRefinedAssignCtes =
     """cdots0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS c_id,
@@ -884,8 +889,13 @@ object SparkEntry {
       |assign0 AS (SELECT vec_id, c_id FROM (
       |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
       |  FROM cdots0) WHERE rn = 1),
-      |means AS (SELECT a.c_id, vv.i, round(avg(CAST(vv.e AS DOUBLE)), 9) AS m
+      |means0 AS (SELECT a.c_id, vv.i, round(avg(CAST(vv.e AS DOUBLE)), 9) AS m
       |  FROM assign0 a JOIN v vv ON vv.vec_id = a.vec_id GROUP BY a.c_id, vv.i),
+      |means AS (SELECT * FROM means0
+      |  UNION ALL
+      |  SELECT b.vec_id AS c_id, b.i, CAST(b.e AS DOUBLE) AS m FROM v b
+      |  WHERE b.vec_id < 8
+      |    AND b.vec_id NOT IN (SELECT DISTINCT c_id FROM means0)),
       |mnorm AS (SELECT c_id, sqrt(sum(m*m)) AS nrm FROM means GROUP BY c_id),
       |cdots AS (SELECT a.vec_id AS vec_id, m.c_id AS c_id,
       |    round(sum(CAST(a.e AS DOUBLE)*m.m)/(na.nrm*mn.nrm), 6) AS cos

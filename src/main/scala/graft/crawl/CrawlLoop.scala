@@ -222,9 +222,15 @@ final class CrawlSession(
     // partitions). repartition(1) — not coalesce — keeps the upstream
     // anti-join/extraction stages parallel and serializes only the write
     // task. Above the gate the parallel multi-file write is untouched.
+    // The new-entries segment is gated 16× tighter: its row count is
+    // claim × branching factor, so a claim-sized gate could serialize a
+    // write 100× larger than intended.
     val smallRound = claimedCount <= SmallWriteRows
     def writeShape(df: DataFrame): DataFrame =
       if (smallRound) df.repartition(1) else df
+    val smallFanout = claimedCount <= SmallWriteRows / 16
+    def fanoutShape(df: DataFrame): DataFrame =
+      if (smallFanout) df.repartition(1) else df
 
     // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
     // The claim batch is usually orders of magnitude smaller than the corpus
@@ -257,7 +263,7 @@ final class CrawlSession(
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
       .persist()
-    val docsWritten = timed("docs-write")(writeDocs(writeShape(docs)))
+    val docsWritten = timed("docs-write")(writeDocs(writeShape(docs), writeShape))
 
     // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
     val scrapedChildren = Extractor
@@ -302,7 +308,7 @@ final class CrawlSession(
     // (SnapshotTable compacts copy-on-write once tombstones accumulate)
     val newProcessed = processed + claimedCount
     val (newFv, frontierLeft) = timed("frontier-commit")(frontierTable.commitDeltaTo(
-      writeShape(newEntries.select(frontier.columns.map(col): _*)),
+      fanoutShape(newEntries.select(frontier.columns.map(col): _*)),
       writeShape(claimed.select("urlHash", "url")), v, Map(
         "round" -> (round + 1).toString,
         "processed" -> newProcessed.toString,
@@ -318,7 +324,7 @@ final class CrawlSession(
           s"${frontierTable.root}/segments/$newFv", seenV,
           Map("round" -> (round + 1).toString))
       else seenTable.commitAppendTo(
-        writeShape(newEntries.select("urlHash", "url")), seenV,
+        fanoutShape(newEntries.select("urlHash", "url")), seenV,
         Map("round" -> (round + 1).toString)))
     // the round becomes visible HERE — one atomic rename for both tables
     writeCheckpoint(newFv, newSv)
@@ -344,7 +350,13 @@ final class CrawlSession(
   /** Mode-aware document write (RiverWebTest semantics, SURVEY.md §2.1 S8 +
     * §2.3 J2/J3).
     */
-  private def writeDocs(docs: DataFrame): Long = {
+  /** `shape` re-applies the small-round single-file write layout to the
+    * tombstone/skip-join intermediates Overwrite/Incremental derive from
+    * `docs` — their distinct()/join shuffles otherwise fan the write back
+    * out to shuffle-partition-many near-empty files.
+    */
+  private def writeDocs(docs: DataFrame,
+      shape: DataFrame => DataFrame = identity): Long = {
     val hasExisting = !docsTable.isEmpty && docsTable.rowsOf(docsTable.currentVersion) > 0
     config.mode match {
       case WriteMode.Default =>
@@ -365,7 +377,7 @@ final class CrawlSession(
           docsTable.metric(docsTable.currentVersion, "segmentRows")
             .map(_.toLong).getOrElse(0L)
         } else {
-          val urls = docs.select("url").distinct()
+          val urls = shape(docs.select("url").distinct())
           val matched = docsIndexSource()
             .join(urls, Seq("url"), "left_semi").count()
           docsTable.commitDeltaTo(docs, urls, docsTable.currentVersion,
@@ -403,7 +415,7 @@ final class CrawlSession(
                 col("lastModified") > col("i_lastModified"))
               .drop("i_url", "i_lastModified")
           }
-        docsTable.commitAppend(fresh)
+        docsTable.commitAppend(shape(fresh))
         val written = docsTable.metric(docsTable.currentVersion, "segmentRows")
           .map(_.toLong).getOrElse(0L)
         appendDocsIndex()

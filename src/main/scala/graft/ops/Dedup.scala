@@ -404,9 +404,15 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // persisted: the plan references the assignment THREE times (both join
+    // sides + the final anti-join) and Spark does not CSE across join
+    // sides — without the cache each reference re-runs the embeddings
+    // scan + 8-way argmax + norm (same pattern as the crawl round's
+    // claimed/docs persists; LRU-evicted when cold)
     val assigned = Similarity.ivfAssign(embeddings, centroids, vecCol)
       .select(col(idCol).as("id"), col("centroid").as("cell"), col(vecCol).as("v"))
       .withColumn("n", Similarity.l2norm(col("v")))
+      .persist()
     val l = assigned.select(col("cell"), col("id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"),
