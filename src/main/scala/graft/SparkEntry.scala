@@ -705,6 +705,13 @@ object SparkEntry {
       Dedup.semanticDedup(embs, Similarity.ivfTrain(embs, 8, iters = 1), 0.3)
     }),
 
+    // tf-idf-style top terms per doc (log-free weighting: exact IEEE
+    // integer-ratio division, so ranking is bit-identical to the oracle)
+    "q_text_topterms" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+      TextOps.topTerms(base, 5, base.count())
+    }),
+
     // C4-style corpus-wide line dedup over a lined view (8-token chunks +
     // planted boilerplate: a universal cookie line, a 20%-of-docs
     // newsletter line — both over maxLineFreq=10 and removed — and a
@@ -1395,6 +1402,18 @@ object SparkEntry {
         |dropped AS (SELECT DISTINCT ib FROM pcos WHERE cos >= 0.3)
         |SELECT a.vec_id AS id, a.c_id AS cell FROM assign a
         |WHERE a.vec_id NOT IN (SELECT ib FROM dropped)""".stripMargin,
+
+    "q_text_topterms" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |terms AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\s+')) AS term FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |  tf.tf * CAST((SELECT count(*) FROM base)+1 AS DOUBLE) / (dfreq.df+1) AS score
+        |  FROM tf JOIN dfreq ON dfreq.term = tf.term),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin,
 
     "q_text_linededup" ->
       """WITH lined AS (

@@ -134,6 +134,36 @@ object TextOps {
     // regexp form dominated exact-dedup CPU; output strings are identical
     md5(graft.functions.TextExpressions.normalizeWsLower(text))
 
+  /** Top-k characteristic terms per document, tf-idf-style: term frequency
+    * weighted by inverse document frequency. The weight is the RAW ratio
+    * `tf · (N+1)/(df+1)` rather than the usual log form: an integer-ratio
+    * division is correctly rounded under IEEE-754, so the score — and
+    * therefore the ranking — is bit-identical across engines (ln() is only
+    * ~1-ulp accurate in most libms, which can flip a rank at a rounding
+    * boundary and break the DuckDB oracle).
+    *
+    * Scale shape: one (doc, term) shuffle with map-side partial counts, a
+    * vocabulary aggregation, a term-keyed join (the vocabulary side is
+    * orders smaller than the corpus), and a per-doc top-k window — the
+    * window partitions by doc_id, so no global sort.
+    */
+  def topTerms(docs: DataFrame, k: Int, totalDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        col("tf") * (lit(totalDocs + 1).cast("double")) / (col("df") + 1))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("__rank").as("rank"))
+  }
+
   /** C4-style corpus-wide line dedup (Raffel et al. 2020, the boilerplate
     * filter): lines occurring more than `maxLineFreq` times ACROSS the
     * corpus (cookie banners, nav text) are removed from every document;

@@ -346,6 +346,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keptLow.subsetOf(kept.keySet))
   }
 
+  test("topTerms ranks rarer terms above common ones, deterministic ties") {
+    val docs = Seq(
+      (1L, "common rare1 rare1 common common"),
+      (2L, "common zebra zebra"),
+      (3L, "common alpha beta")).toDF("doc_id", "text")
+    val got = TextOps.topTerms(docs, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    // doc 1: rare1 df=1, tf=2 → score 2*4/2=4.0 beats common (df=3, tf=3 →
+    // 3*4/4=3.0); doc 3: alpha/beta tie (score 2.0 each) → term asc
+    assert(got((1L, 1)) == "rare1" && got((1L, 2)) == "common")
+    assert(got((2L, 1)) == "zebra")
+    assert(got((3L, 1)) == "alpha" && got((3L, 2)) == "beta")
+  }
+
   test("lineDedup removes corpus-frequent lines, keeps order, drops empty docs") {
     val docs = Seq(
       (1L, "boiler\nalpha one\nboiler\nbeta two"),
