@@ -279,8 +279,12 @@ object Dedup {
         array_distinct(graft.functions.LshExpressions.shingleXxHashes(
           TextOps.tokens(text), k, Long.MaxValue))
       else array_distinct(shingles(text, k))
+    // persisted: the shingle explosion feeds BOTH the hot-frequency
+    // aggregate and the anti-join probe side — without the cache the
+    // tokenize+shingle+hash scan runs twice (no CSE across plan branches)
     val dSh = docs.select(col(idCol).as("doc_id"),
       explode(sh(col(textCol))).as("shingle"))
+      .persist()
     val hot = dSh.groupBy("shingle").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxShingleFreq)
     val dOk = dSh.join(hot, Seq("shingle"), "left_anti")

@@ -376,6 +376,34 @@ class SimilaritySpec extends AnyFunSuite {
       3L -> "alpha one"))
   }
 
+  test("lineDedup and redactPii are idempotent; topTerms invariants hold") {
+    // lineDedup: after removal every surviving line is at or under the
+    // frequency cap, so a second pass is a no-op
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"boiler\nuniq $i line\n${if (i % 2 == 0) "half line\n" else ""}tail $i"))
+      .toDF("doc_id", "text")
+    val once = TextOps.lineDedup(docs, maxLineFreq = 10)
+    val twice = TextOps.lineDedup(once, maxLineFreq = 10)
+    assert(twice.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      once.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    // redact: placeholders contain no redactable shapes, so re-redacting
+    // changes nothing
+    val texts = Seq("a@b.io x 1.2.3.4 +123456789 done", "no pii here",
+      "mix a@b.io +1 415-555-2671 and 10.0.0.7").toDF("text")
+    val r1 = texts.select(TextOps.redactPii($"text").as("t"))
+    val r2 = r1.select(TextOps.redactPii($"t").as("t"))
+    assert(r1.collect().map(_.getString(0)).toSeq == r2.collect().map(_.getString(0)).toSeq)
+    // topTerms: ranks 1..k dense per doc, scores non-increasing in rank
+    val tt = TextOps.topTerms(docs, 3, 40).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getDouble(3)))
+    tt.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq, "dense ranks")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.reverse.toSeq,
+        "scores non-increasing in rank")
+    }
+  }
+
   test("redactPii replaces emails, IPv4s and phones with typed tokens") {
     val rows = Seq(
       ("write to alice.smith+spam@sub.example.co.uk today",
