@@ -705,6 +705,26 @@ object SparkEntry {
       Dedup.semanticDedup(embs, Similarity.ivfTrain(embs, 8, iters = 1), 0.3)
     }),
 
+    // FineWeb/C4-style composite quality gate: langid × quality score ×
+    // Gopher repetition, one keep/drop verdict per doc (the filter-chain
+    // composition a pre-training pipeline actually runs)
+    "q_text_filter_chain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = TextOps.qualityFeatures(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+      val r = TextOps.repetitionFeatures(docs)
+        .select("doc_id", "dup_2gram_frac")
+      val l = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      q.join(r, "doc_id").join(l, "doc_id")
+        .withColumn("keep",
+          col("lang_pred").isin("en", "de", "fr") &&
+            col("n_tokens").between(20, 100000) &&
+            col("quality_score") >= 0.3 &&
+            col("dup_2gram_frac") <= 0.6)
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score",
+          "dup_2gram_frac", "keep")
+    }),
+
     // tf-idf-style top terms per doc (log-free weighting: exact IEEE
     // integer-ratio division, so ranking is bit-identical to the oracle)
     "q_text_topterms" -> ((s, d) => {
@@ -823,12 +843,18 @@ object SparkEntry {
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
-  private def langidOracle: String = {
+  /** per-lexicon hit-count aggregate columns (`s_<lang>`). */
+  private def langScoreCols: String = {
     def inList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("(", ",", ")")
-    val scoreCols = TextOps.Lexicons.map { case (lang, lex) =>
+    TextOps.Lexicons.map { case (lang, lex) =>
       s"count(CASE WHEN tok IN ${inList(lex)} THEN 1 END) AS s_$lang"
     }.mkString(", ")
-    // first-wins argmax: lang k wins iff strictly greater than all before it
+  }
+
+  /** first-wins argmax over the `s_<lang>` columns (lang k wins iff
+    * strictly greater than all before it) — TextOps.langId's tie rule.
+    */
+  private def langCaseExpr: String = {
     val langs = TextOps.Lexicons.map(_._1)
     val caseBranches = langs.zipWithIndex.drop(1).reverse.map { case (lang, i) =>
       val before = langs.take(i).map("s_" + _)
@@ -836,13 +862,45 @@ object SparkEntry {
       s"WHEN s_$lang > $beforeMax THEN '$lang'"
     }.mkString(" ")
     val anyPositive = s"greatest(${langs.map("s_" + _).mkString(",")}) > 0"
+    s"CASE WHEN NOT ($anyPositive) THEN 'und' $caseBranches ELSE '${langs.head}' END"
+  }
+
+  /** composite keep/drop gate = quality CTEs × repetition CTEs × per-doc
+    * langid argmax, all reusing the single-feature oracles' arithmetic.
+    */
+  private def filterChainOracle: String = {
+    val allStop = TextOps.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH f AS (SELECT doc_id, text, string_split_regex(lower(text),'\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, len(toks) AS n, length(text) AS L,
+       |  len(list_filter(toks, x -> list_contains($allStop, x))) AS stop_hits,
+       |  length(regexp_replace(text,'[^.,;:!?]','','g')) AS punct FROM f),
+       |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  floor((least(n*1.0/64, 1.0)*0.5 + round(stop_hits*1.0/greatest(n,1),4)*0.3 +
+       |        (1.0 - round(punct*1.0/greatest(L,1),4))*0.2)*10000)/10000.0 AS quality_score
+       |  FROM g),
+       |base AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l FROM documents),
+       |sh AS (SELECT doc_id, l[i+1]||' '||l[i+2] AS bigram
+       |    FROM (SELECT doc_id, l, unnest(range(0, len(l)-1)) AS i FROM base WHERE len(l) >= 2)
+       |  UNION ALL SELECT doc_id, array_to_string(l, ' ') FROM base WHERE len(l) < 2),
+       |g1 AS (SELECT doc_id, bigram, count(*) AS cnt FROM sh GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, round(1.0 - count(*)*1.0/sum(cnt), 4) AS dup_2gram_frac
+       |  FROM g1 GROUP BY doc_id),
+       |tk AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok FROM documents),
+       |scores AS (SELECT doc_id, $langScoreCols FROM tk GROUP BY doc_id),
+       |lang AS (SELECT doc_id, $langCaseExpr AS lang_pred FROM scores)
+       |SELECT q.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, rep.dup_2gram_frac,
+       |  (lang.lang_pred IN ('en','de','fr') AND q.n_tokens BETWEEN 20 AND 100000
+       |   AND q.quality_score >= 0.3 AND rep.dup_2gram_frac <= 0.6) AS keep
+       |FROM qual q JOIN rep ON rep.doc_id = q.doc_id JOIN lang ON lang.doc_id = q.doc_id""".stripMargin
+  }
+
+  private def langidOracle: String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok FROM documents),
-       |scores AS (SELECT doc_id, $scoreCols FROM toks GROUP BY doc_id)
+       |scores AS (SELECT doc_id, $langScoreCols FROM toks GROUP BY doc_id)
        |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM (
-       |  SELECT CASE WHEN NOT ($anyPositive) THEN 'und' $caseBranches ELSE '${langs.head}' END AS pred_lang
+       |  SELECT $langCaseExpr AS pred_lang
        |  FROM scores)
        |GROUP BY pred_lang""".stripMargin
-  }
 
   private def qualityOracle: String = {
     val allStop = TextOps.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
@@ -1402,6 +1460,8 @@ object SparkEntry {
         |dropped AS (SELECT DISTINCT ib FROM pcos WHERE cos >= 0.3)
         |SELECT a.vec_id AS id, a.c_id AS cell FROM assign a
         |WHERE a.vec_id NOT IN (SELECT ib FROM dropped)""".stripMargin,
+
+    "q_text_filter_chain" -> filterChainOracle,
 
     "q_text_topterms" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
