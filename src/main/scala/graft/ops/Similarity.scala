@@ -118,7 +118,12 @@ object Similarity {
   // [[ivfTrain]] runs Lloyd refinement iterations on top. Neither changes
   // the assignment/probe plan — training happens once, offline.
 
-  /** driver-side centroid set: (centroid_id, unit-direction vector). */
+  /** driver-side centroid init: (centroid_id, RAW double-cast vector) — the
+    * first `nCentroids` vectors by id, deliberately NOT unit-normalized:
+    * the DuckDB oracle replays the identical un-normalized init, and cosine
+    * scoring is scale-invariant anyway, so normalizing here would only risk
+    * cross-engine drift at 6-decimal rounding boundaries.
+    */
   def ivfCentroids(embeddings: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
     embeddings.filter(col(idCol) < nCentroids)
