@@ -105,6 +105,54 @@ object TextKernel {
     false
   }
 
+  /** [[graft.ops.TextOps.portableHash]] of one token, bit-identical to the
+    * declarative `ascii(substr(tok||"xx",k,1))` arithmetic: Spark-4 `ascii`
+    * is the full Unicode CODEPOINT of the first character (é → 233,
+    * 中 → 20013; int 0 when the position is past the padded end), `substr`
+    * is character-indexed, and the combination runs in INT arithmetic before
+    * the long cast, so even the (theoretical) 271k-char-token overflow wraps
+    * the same way.
+    */
+  def portableTokenHash(tok: UTF8String): Long = {
+    val numChars = tok.numChars()
+    var c0 = 0; var c1 = 0; var c2 = 0
+    var off = 0
+    var idx = 0
+    while (idx < 3) {
+      val c =
+        if (idx < numChars) {
+          val cp = tok.codePointFrom(off)
+          off += UTF8String.numBytesForFirstByte(tok.getByte(off))
+          cp
+        } else if (idx < numChars + 2) 'x'.toInt // the "xx" padding
+        else 0 // substr past the padded end → "" → ascii 0
+      if (idx == 0) c0 = c else if (idx == 1) c1 = c else c2 = c
+      idx += 1
+    }
+    (c0 * 961 + c1 * 31 + c2 + numChars * 7919).toLong
+  }
+
+  /** Rolling polynomial fingerprint over per-token portable hashes in ONE
+    * pass: Σ_i pmod(h_i · w_{i mod |w|}, p), folded mod p ascending — the
+    * exact arithmetic of the declarative
+    * `pmod(aggregate(zip_with(transform(toks, portableHash), sequence(0,
+    * n-1), (h,i) => pmod(h·w[i%8], p)), 0L, (acc,x) => pmod(acc+x, p)), p)`
+    * it replaces (three interpreted HOF passes per row), so the DuckDB
+    * oracle values are unchanged.
+    */
+  def rollingFp(toks: ArrayData, weights: Array[Long], p: Long): Long = {
+    var acc = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = portableTokenHash(toks.getUTF8String(i))
+      val v = java.lang.Math.floorMod(h * weights(i % weights.length), p)
+      acc = java.lang.Math.floorMod(acc + v, p)
+      i += 1
+    }
+    acc // already in [0, p) — the declarative trailing pmod is a no-op
+  }
+
   def buildLookup(lexicons: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     lexicons.zipWithIndex.foreach { case (lex, i) =>
@@ -176,6 +224,26 @@ case class LexiconCounts(child: Expression, lexicons: Seq[Seq[String]])
   override def prettyName: String = "lexicon_counts"
 }
 
+/** `array<string>` tokens → rolling polynomial fingerprint (long). */
+case class RollingFp(child: Expression, weights: Array[Long], p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.rollingFp(v.asInstanceOf[ArrayData], weights, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("rollingFpWeights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel.rollingFp($c, $wRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fp"
+}
+
 /** (string, array<string>) → starts-with-any (boolean). */
 case class StartsWithAny(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -211,4 +279,7 @@ object TextExpressions {
   def startsWithAny(s: Column, prefixes: Column): Column =
     ColumnBridge.column(StartsWithAny(
       ColumnBridge.expression(s), ColumnBridge.expression(prefixes)))
+
+  def rollingFp(toks: Column, weights: Array[Long], p: Long): Column =
+    ColumnBridge.column(RollingFp(ColumnBridge.expression(toks), weights, p))
 }

@@ -207,18 +207,35 @@ object TextOps {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  private[graft] val RollingFpP = 1000000007L
+  // 31^(i mod 8) mod P — bounded weights keep the math in 63 bits both here
+  // and in DuckDB (31^7 < 2^53, so the pow round-trip is exact)
+  private[graft] val RollingFpWeights: Array[Long] =
+    Array.tabulate(8)(i => math.pow(31, i).toLong % RollingFpP)
+
   /** Rolling polynomial fingerprint over token hashes (position-weighted mod
-    * arithmetic; portable to SQL via the same CASE-mod formulation).
+    * arithmetic; portable to SQL via the same CASE-mod formulation) — one
+    * codegen pass ([[graft.functions.TextKernel.rollingFp]]): the
+    * declarative `transform`+`zip_with`+`aggregate` build evaluates its
+    * lambdas interpreted, a full-corpus per-row cost at scale. Identical
+    * fold arithmetic (see [[rollingFingerprintDeclarative]], kept as the
+    * parity witness), so DuckDB-oracle hashes are unchanged.
     */
-  def rollingFingerprint(text: Column): Column = {
-    val P = 1000000007L
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.TextExpressions.rollingFp(
+      tokens(text), RollingFpWeights, RollingFpP)
+
+  /** The pre-kernel declarative formulation — sum(h_i · 31^(i mod 8) mod P)
+    * mod P via higher-order functions. Retained ONLY as the spec's
+    * value-parity witness for the kernel (TextOpsSpec).
+    */
+  private[graft] def rollingFingerprintDeclarative(text: Column): Column = {
+    val P = RollingFpP
     val toks = tokens(text)
     val hashes = transform(toks, t => portableHash(t))
-    // sum(h_i * 31^(i mod 8) mod P) mod P — bounded weights keep the math in
-    // 63 bits both here and in DuckDB
-    val weights = Array.tabulate(8)(i => math.pow(31, i).toLong % P)
     val weighted = zip_with(hashes, sequence(lit(0), size(toks) - 1),
-      (h, i) => pmod(h * element_at(typedlit(weights.toSeq), (pmod(i, lit(8)) + 1).cast("int")), lit(P)))
+      (h, i) => pmod(h * element_at(typedlit(RollingFpWeights.toSeq),
+        (pmod(i, lit(8)) + 1).cast("int")), lit(P)))
     pmod(aggregate(weighted, lit(0L), (acc, x) => pmod(acc + x, lit(P))), lit(P))
   }
 }

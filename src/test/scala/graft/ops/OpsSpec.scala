@@ -458,6 +458,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(2L)._2 != rows(3L)._2) // rolling hash sees order
   }
 
+  test("rollingFingerprint kernel == declarative HOF fold (incl. edge tokens)") {
+    // adversarial shapes: empty text (split -> [""]), 1/2/3-char tokens (the
+    // "xx" padding branches), >8 tokens (weight wrap), multi-byte UTF-8
+    // (ascii = SIGNED first byte of the char), mixed whitespace runs
+    val texts = Seq(
+      "", "a", "ab", "abc", "abcd",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "café naïve über straße 中文 token",
+      "x\ty\nz  w", "  leading and trailing  ",
+      (1 to 40).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = df.select(
+      TextOps.rollingFingerprint($"text").as("kernel"),
+      TextOps.rollingFingerprintDeclarative($"text").as("decl")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // and the kernel stays inside whole-stage codegen (range source: a
+    // local Seq collapses to a pre-evaluated LocalTableScan)
+    val plan = spark.range(10)
+      .select(concat(lit("a b c "), $"id".cast("string")).as("text"))
+      .select(TextOps.rollingFingerprint($"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("token counts: bpe-ish splits punctuation, whitespace does not") {
     val out = Seq((1L, "don't stop, believing 123!")).toDF("doc_id", "text")
       .select(size(split($"text", "\\s+")).as("ws"),
