@@ -806,7 +806,9 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(250)) === 0,
             lit("rare promo line\n")).otherwise(lit("")),
           array_join(chunks, "\n")).as("text"))
-      TextOps.lineDedup(lined, maxLineFreq = 10)
+      // string-keyed variant: DuckDB has no xxhash64 twin; the default
+      // hashed-exchange path is value-parity-tested against this one in sbt
+      TextOps.lineDedup(lined, maxLineFreq = 10, hashLines = false)
     }),
 
     // PII redaction over synthesized contact suffixes (the base text has

@@ -170,18 +170,31 @@ object TextOps {
     * each document's surviving lines reassemble in original order. A doc
     * whose lines are all boilerplate drops out entirely.
     *
-    * Scale shape: explode → one shuffle on the line text with map-side
+    * Scale shape: explode → one shuffle keyed on the line with map-side
     * partial counts (the hot set is tiny — boilerplate by definition —
     * so the removal anti-join broadcasts under AQE) → per-doc ordered
     * reassembly on the doc-id shuffle. Returns (idCol, textCol).
+    *
+    * `hashLines` (default true) keys the corpus-wide frequency exchange and
+    * the removal anti-join on `xxhash64(line)` — an 8-byte key instead of
+    * the raw line text, which for exactly the lines this filter targets
+    * (cookie banners, nav boilerplate) is routinely 50–200 bytes, an
+    * order-of-magnitude-wider exchange at corpus scale. A hash collision
+    * can only over-remove a line pair at ~2^-64 (and line dedup already
+    * errs toward removal by contract); pass false for the string-keyed
+    * DuckDB-oracle-checkable form — same pattern as
+    * [[graft.ops.Dedup.ngramContamination]]'s `hashShingles`.
     */
   def lineDedup(docs: DataFrame, maxLineFreq: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashLines: Boolean = true): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val hot = lines.groupBy("__line").agg(count(lit(1)).as("__freq"))
-      .filter(col("__freq") > maxLineFreq).select("__line")
-    lines.join(hot, Seq("__line"), "left_anti")
+    val key = if (hashLines) xxhash64(col("__line")) else col("__line")
+    val keyed = lines.withColumn("__k", key)
+    val hot = keyed.groupBy("__k").agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") > maxLineFreq).select("__k")
+    keyed.join(hot, Seq("__k"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

@@ -376,6 +376,18 @@ class SimilaritySpec extends AnyFunSuite {
       3L -> "alpha one"))
   }
 
+  test("lineDedup hashed-key default == string-keyed oracle variant") {
+    val docs = (0 until 60).map { i =>
+      val boiler = "accept all cookies to continue browsing this site"
+      val extra = if (i % 3 == 0) "subscribe to our newsletter today\n" else ""
+      (i.toLong, s"$boiler\n${extra}unique line $i\ntail ${i % 7}")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(TextOps.lineDedup(docs, maxLineFreq = 10)) ==
+      rows(TextOps.lineDedup(docs, maxLineFreq = 10, hashLines = false)))
+  }
+
   test("lineDedup and redactPii are idempotent; topTerms invariants hold") {
     // lineDedup: after removal every surviving line is at or under the
     // frequency cap, so a second pass is a no-op

@@ -230,6 +230,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedup default keys the corpus-wide frequency exchange on a hash, not line text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 20).map(i => (i.toLong, s"boiler\nuniq $i"))
+        .toDF("doc_id", "text")
+      def freqExchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__k") => e
+        }
+      // default: the frequency-count exchange partitions on xxhash64(__line)
+      // (long) and its rows carry no string payload
+      val hashed = freqExchanges(graft.ops.TextOps.lineDedup(docs, 10))
+      assert(hashed.nonEmpty, "expected a __k-keyed frequency exchange")
+      hashed.filter(_.output.length <= 2).foreach { e =>
+        assert(!e.output.exists(_.dataType == StringType),
+          s"hashed exchange must not carry line text: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("PII redaction is a single codegen'd Project over the scan") {
     val dir = TestSpark.tmpDir("redact-plan")
     Seq((1L, "mail a@b.io now")).toDF("doc_id", "text")
