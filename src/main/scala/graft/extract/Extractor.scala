@@ -93,15 +93,26 @@ object Extractor {
   def sourceText(spans: Column): Column =
     graft.functions.SpanFieldColumns.spanTextJoin(spans)
 
+  private val EmptyStrArray: Column = array().cast("array<string>")
+
   /** The array value of one property rule, before array/scalar shaping.
     * trim_spaces fuses into the SpanField expression when there is no
     * positional selector; with one, trimming must happen AFTER positional
     * selection (the reference trims element text post-select, so blank-drop
     * must not shift :eq/:lt/:gt indices).
+    *
+    * `htmlParsed = false` (per-rule `settings.html`,
+    * ScrapingTransformer.java:205-212): the DOM is never parsed
+    * (`document = null`), so span-derived properties (text/attr) stay EMPTY
+    * — scalars render "" via the join, arrays [] — while value/source/data
+    * properties (which read config literals or the raw response body, not
+    * the DOM) are emitted unchanged.
     */
-  private def rawArray(spans: Column, pr: PropertyRule): Column = {
+  private def rawArray(spans: Column, pr: PropertyRule,
+      htmlParsed: Boolean = true): Column = {
     def spanSide(kind: String, field: String, pos: Option[Positional]): Column =
-      pos match {
+      if (!htmlParsed) EmptyStrArray
+      else pos match {
         case None =>
           graft.functions.SpanField.spanField(spans, kind, field, pr.trimSpaces)
         case Some(p) =>
@@ -131,9 +142,10 @@ object Extractor {
     * reference's `String.join` null→"null" rendering (F2 quirk,
     * ScrapingTransformer.java:275).
     */
-  private def shaped(spans: Column, pr: PropertyRule): Column =
-    if (pr.isArray) rawArray(spans, pr)
-    else array_join(rawArray(spans, pr), " ", "null")
+  private def shaped(spans: Column, pr: PropertyRule,
+      htmlParsed: Boolean = true): Column =
+    if (pr.isArray) rawArray(spans, pr, htmlParsed)
+    else array_join(rawArray(spans, pr, htmlParsed), " ", "null")
 
   private def stripGroup(name: String): String = name.stripPrefix("[]")
 
@@ -146,8 +158,11 @@ object Extractor {
     val defaultChildren = spanRefs(spans, "a")
     val branches = config.rules.zipWithIndex.map { case (r, i) =>
       val childProps = r.properties.filter(_.isChild)
-      val v = if (childProps.isEmpty) defaultChildren
-              else concat(childProps.map(pr => rawArray(spans, pr)): _*)
+      // html:false → no DOM → no default anchors; explicit child props keep
+      // their own semantics (span-derived → empty, value-derived → emitted)
+      val v =
+        if (childProps.isEmpty) { if (r.htmlParsed) defaultChildren else EmptyStrArray }
+        else concat(childProps.map(pr => rawArray(spans, pr, r.htmlParsed)): _*)
       (col("ruleId") === i) -> v
     }
     // rule-less config: no page matches (P4 filters everything anyway), but
@@ -198,7 +213,7 @@ object Extractor {
     def propCol(name: String): Column = {
       val branches = config.rules.zipWithIndex.flatMap { case (r, i) =>
         r.properties.find(p => p.name == name && !p.isChild)
-          .map(pr => (col("ruleId") === i) -> shaped(spans, pr))
+          .map(pr => (col("ruleId") === i) -> shaped(spans, pr, r.htmlParsed))
       }
       branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
         case (acc, (c, v)) => acc.when(c, v)

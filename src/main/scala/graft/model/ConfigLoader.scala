@@ -146,10 +146,21 @@ object ConfigLoader {
         case JObject(fields) => fields.map { case (n, spec) => property(n, spec) }
         case _ => Seq.empty
       }
+      // per-target "settings" map (RiverWeb.java:460; html:false at
+      // ScrapingTransformer.java:205) — values stringified leniently so
+      // {"html": false} and {"html": "false"} both round-trip
+      val settings = v \ "settings" match {
+        case JObject(fields) =>
+          fields.collect { case (k, sv) if sv != JNothing && sv != JNull =>
+            k -> asStr(sv, "")
+          }.toMap
+        case _ => Map.empty[String, String]
+      }
       ScrapingRule(
         urlPattern = asStr(v \ "pattern" \ "url", ".*"),
         mimeTypePattern = asStr(v \ "pattern" \ "mimeType", ".*"),
-        properties = props)
+        properties = props,
+        settings = settings)
     }
 
     val rules = j \ "target" match {

@@ -111,12 +111,25 @@ final case class PropertyRule(
     transform: Option[NamedTransform] = None)
 
 /** One scraping rule: full-match regex patterns over FetchResult fields
-  * (ScrapingRule.java:45-64) + ordered property rules.
+  * (ScrapingRule.java:45-64) + ordered property rules + per-rule settings
+  * map (ScrapingRule.java:22-32, populated from the target's "settings"
+  * object, RiverWeb.java:460).
   */
 final case class ScrapingRule(
     urlPattern: String,
     mimeTypePattern: String = ".*",
-    properties: Seq[PropertyRule] = Seq.empty)
+    properties: Seq[PropertyRule] = Seq.empty,
+    settings: Map[String, String] = Map.empty) {
+
+  /** `settings.html` (ScrapingTransformer.java:205-212): false disables DOM
+    * parsing for pages this rule matches (`document = null`) — only
+    * metadata and value/source/data-type properties are emitted, and no
+    * child links are extracted. Default true, like the reference's
+    * `getSetting("html", Boolean.TRUE)`; lenient string coercion (F12).
+    */
+  def htmlParsed: Boolean =
+    settings.get("html").forall(v => !v.trim.equalsIgnoreCase("false"))
+}
 
 /** Output-table write discipline (RiverWebTest.java:110-273). */
 sealed trait WriteMode

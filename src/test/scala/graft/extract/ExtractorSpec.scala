@@ -177,6 +177,35 @@ class ExtractorSpec extends AnyFunSuite {
     assert(r.getAs[String]("which") == "first")
   }
 
+  test("html:false rule setting skips DOM-derived properties (ScrapingTransformer.java:205-212)") {
+    // the reference parses no DOM when settings.html=false: css-query
+    // properties stay empty (scalar → "" via String.join, array → []),
+    // value/source properties — which read config literals / the raw body,
+    // not the DOM — still emit, and no child links are extracted
+    val cfg = CrawlConfig(
+      sessionId = "nohtml", seeds = Seq(),
+      rules = Seq(ScrapingRule(
+        urlPattern = ".*fess.*",
+        settings = Map("html" -> "false"),
+        properties = Seq(
+          PropertyRule("title", SpanText("h2", Some(Eq(0))), trimSpaces = true),
+          PropertyRule("items", SpanText("nav-li"), isArray = true),
+          PropertyRule("tag", Value(Seq("graft"))),
+          PropertyRule("src", Source)))))
+    val out = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("title") == "")
+    assert(r.getAs[scala.collection.Seq[String]]("items").isEmpty)
+    assert(r.getAs[String]("tag") == "graft")
+    assert(r.getAs[String]("src").nonEmpty)
+    assert(r.getAs[scala.collection.Seq[String]]("children").isEmpty)
+    // default (no settings): the SAME rule extracts and emits children
+    val withHtml = cfg.copy(rules = cfg.rules.map(_.copy(settings = Map.empty)))
+    val r2 = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), withHtml).collect()(0)
+    assert(r2.getAs[String]("title") == "What is Fess?")
+    assert(r2.getAs[scala.collection.Seq[String]]("items").nonEmpty)
+  }
+
   test("custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
     // regression: a companion helper shadowed by an inherited TreeNode method
     // loses its static forwarder, janino fails, and Spark silently drops the

@@ -9,6 +9,22 @@ import graft.corpus.SyntheticCorpus
 import graft.model.{ConfigLoader, UrlOps, WriteMode}
 
 class ConfigLoaderSpec extends AnyFunSuite {
+  test("per-rule settings round-trip; html:false parses from bool or string") {
+    val json =
+      """{ "url": ["http://h/1"], "target": [
+        |  { "pattern": { "url": ".*a.*" }, "settings": { "html": false },
+        |    "properties": { "t": { "text": "title" } } },
+        |  { "pattern": { "url": ".*b.*" }, "settings": { "html": "FALSE", "k": 2 },
+        |    "properties": { "t": { "text": "title" } } },
+        |  { "pattern": { "url": ".*c.*" },
+        |    "properties": { "t": { "text": "title" } } } ] }""".stripMargin
+    val cfg = ConfigLoader.fromJson(json, "s")
+    assert(!cfg.rules(0).htmlParsed)           // JSON false
+    assert(!cfg.rules(1).htmlParsed)           // string, case-insensitive
+    assert(cfg.rules(1).settings("k") == "2")  // other settings keys kept
+    assert(cfg.rules(2).htmlParsed)            // absent → reference default TRUE
+  }
+
   test("parses the reference config shape (S1/F12) with lenient coercion") {
     val json =
       """{ "index": "webindex", "url": ["http://h1.example.com/page/1"],
