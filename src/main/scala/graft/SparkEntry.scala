@@ -755,6 +755,44 @@ object SparkEntry {
     "q_mode_incremental" -> ((s, d) =>
       runModes(s, d, WriteMode.Incremental, 0 until 40, 0 until 40)),
 
+    // Z8/Z5/S1/S2 driver-visible: a REAL JobDaemon run — two river-config
+    // JSON jobs enqueued as files, claimed exactly-once through the
+    // checkpointed stream (randomized in-batch order), each job a full
+    // CrawlSession over the driver-table corpus (the reference's queue loop,
+    // RiverWeb.java:163-223). Seeds derive from the documents table
+    // (doc_id % 7 / % 5), budgets non-binding, maxDepth 0 → each job's
+    // totalClaimed is exactly its seed count, which DuckDB replays as plain
+    // counts over the same predicate.
+    "q_daemon_queue" -> ((s, d) => {
+      import s.implicits._
+      def esc(j: String) = j.replace("\\", "\\\\").replace("\"", "\\\"")
+      def seedsOf(mod: Int): Seq[String] =
+        t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(mod)) === 0)
+          .select(urlOfId(col("doc_id"))).collect().map(_.getString(0)).toSeq
+      def jobFile(configId: String, mod: Int): String = {
+        val seeds = seedsOf(mod).map(u => s""""$u"""").mkString("[", ",", "]")
+        val cfg = s"""{"url": $seeds, "max_depth": 0, "max_access_count": 1000000,
+          | "interval": 1, "num_of_thread": 1000, "robots_txt": false,
+          | "target": [{"pattern": {"url": ".*"},
+          |   "properties": {"title": {"text": "title"}}}]}""".stripMargin
+        s"""{"config_id":"$configId","session_id":"$configId","config_json":"${esc(cfg)}"}"""
+          .replace("\n", " ")
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft-daemon-q").toString
+      val queueDir = s"$base/queue"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(queueDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$queueDir/jobA.json"), jobFile("jobA", 7))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$queueDir/jobB.json"), jobFile("jobB", 5))
+      val daemon = new graft.streaming.JobDaemon(s,
+        cachedCorpus(s, d, "id", identity), s.emptyDataset[RobotsRules].toDF(),
+        s"$base/work", queueDir, s"$base/ckpt")
+      daemon.start(availableNow = true).awaitTermination(300000)
+      daemon.completed.toDF("config_id", "claimed").orderBy("config_id")
+    }),
+
     // SemDeDup: k-means-cell-blocked semantic dedup, keep-min-id
     "q_dedup_semantic" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
@@ -1502,6 +1540,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT url, title, 1700000002000 AS ts, doc_id + 1 AS "lastModified"
         |FROM base WHERE doc_id%2 = 1""".stripMargin,
+
+    // each daemon job's totalClaimed = its seed-set size (maxDepth 0,
+    // budgets non-binding, seeds distinct by construction)
+    "q_daemon_queue" ->
+      """SELECT 'jobA' AS config_id, count(*)::BIGINT AS claimed
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'jobB' AS config_id, count(*)::BIGINT AS claimed
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY config_id""".stripMargin,
 
     // SemDeDup replay: refined-cell assignment + within-cell pairwise
     // cosine; drop docs with a lower-id neighbor at cos >= 0.3
