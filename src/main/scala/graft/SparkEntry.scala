@@ -580,9 +580,13 @@ object SparkEntry {
         TextOps.rollingFingerprint(col("text")).as("rfp"))),
 
     // --- multimodal plumbing ------------------------------------------------------
+    // REAL header parse: media_type/width/height/duration come out of the
+    // BMP/WAV/AVI container bytes, and the oracle re-derives them from the
+    // payload length the encoder used
     "q_mm_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.syntheticMedia(s, t(s, d, "documents")))
-        .toDF().select("doc_id", "media_type", "byte_len")),
+        .toDF().select("doc_id", "media_type", "byte_len",
+          "width", "height", "duration_ms")),
 
     // features + frame sampling (rows-only: fake codec arithmetic isn't SQL)
     "q_mm_features" -> ((s, d) => {
@@ -1127,29 +1131,26 @@ object SparkEntry {
        |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
-    * the fake codec's rolling checksum is a signed-64-bit wraparound fold,
-    * reproduced with HUGEINT arithmetic mod 2^64 (text is ASCII, so
-    * ascii(substr(...)) enumerates the UTF-8 bytes exactly).
+    * frame offsets span the REAL header-parsed duration (WAV: dataSize/
+    * byteRate; AVI: totalFrames·µsPerFrame) and chunks split the full blob
+    * (header + n-byte payload) — all linear in strlen(text), so no byte
+    * fold is needed (the pre-codec oracle replayed a 64-bit checksum in
+    * HUGEINT; the real container made the arithmetic simpler, not harder).
     */
   private def mmFramesOracle: String =
-    """WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, strlen(text) AS n,
-      |    list_reduce(
-      |      list_prepend(0::HUGEINT, list_transform(range(1, strlen(text)+1),
-      |        k -> ascii(substr(text, CAST(k AS INT), 1))::HUGEINT)),
-      |      (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS u
+    """WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS idn, strlen(text) AS n
       |  FROM documents WHERE doc_id < 60 AND doc_id%3 != 0),
-      |d AS (SELECT doc_id, n,
-      |    (CASE WHEN sgn % 60000 < 0 THEN sgn % 60000 + 60000 ELSE sgn % 60000 END) + 100 AS duration_ms,
-      |    greatest(1, n // 4) AS chunk
-      |  FROM (SELECT doc_id, n,
-      |    CASE WHEN u >= 9223372036854775808::HUGEINT
-      |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS sgn FROM m)),
+      |d AS (SELECT doc_id,
+      |    CASE WHEN idn%3=1 THEN 44+n ELSE 84+n END AS total,
+      |    CASE WHEN idn%3=1 THEN n*1000//16000 ELSE (10 + n%240)*40 END AS duration_ms
+      |  FROM m),
+      |d2 AS (SELECT doc_id, total, duration_ms, greatest(1, total//4) AS chunk FROM d),
       |f AS (SELECT unnest(range(0, 4)) AS frame_idx)
-      |SELECT d.doc_id, 'media://'||d.doc_id AS media_ref, CAST(f.frame_idx AS INT) AS frame_idx,
-      |  CAST(d.duration_ms * f.frame_idx // 4 AS BIGINT) AS frame_offset_ms,
-      |  CAST(least(least(f.frame_idx * d.chunk, greatest(d.n - 1, 0)) + d.chunk, d.n)
-      |       - least(f.frame_idx * d.chunk, greatest(d.n - 1, 0)) AS INT) AS frame_len
-      |FROM d, f""".stripMargin
+      |SELECT d2.doc_id, 'media://'||d2.doc_id AS media_ref, CAST(f.frame_idx AS INT) AS frame_idx,
+      |  CAST(d2.duration_ms * f.frame_idx // 4 AS BIGINT) AS frame_offset_ms,
+      |  CAST(least(least(f.frame_idx * d2.chunk, greatest(d2.total - 1, 0)) + d2.chunk, d2.total)
+      |       - least(f.frame_idx * d2.chunk, greatest(d2.total - 1, 0)) AS INT) AS frame_len
+      |FROM d2, f""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_s2_queue_poll" ->
@@ -1452,10 +1453,20 @@ object SparkEntry {
         |  'media://'||CAST(doc_id AS VARCHAR) AS media_ref,
         |  CAST(16 AS INT) AS dim FROM documents""".stripMargin,
 
+    // container layouts: BMP 54+n, WAV 44+n, AVI 84+n bytes around the
+    // n-byte text payload; header fields derive from n (see
+    // Multimodal.syntheticMedia), so DuckDB replays the parse arithmetically
     "q_mm_decode" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS INT) AS byte_len FROM documents""".stripMargin,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 84 END
+        |       + strlen(text) AS INT) AS byte_len,
+        |  CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 16 + strlen(text)%512 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 16 + (3*strlen(text))%512 END AS INT) AS height,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN 0
+        |       WHEN 1 THEN strlen(text)*1000//16000
+        |       ELSE (10 + strlen(text)%240)*40 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q_mm_frames" -> mmFramesOracle,
 

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-batches.
   *
   * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape (mapPartitions over iterator = the Scala analog of
-  * `mapInPandas` batch processing; one task per partition, rows streamed,
-  * never materialized whole). The codec itself is a DETERMINISTIC FAKE
-  * (clearly marked below): the container has no image/audio libraries, so
-  * `decode` derives metadata and `features` derives a fixed-dim vector from
-  * the bytes with pure arithmetic. Swapping in a real codec changes only
-  * the two marked functions.
+  * shape (mapPartitions over iterator = the Scala analog of `mapInPandas`
+  * batch processing; one task per partition, rows streamed, never
+  * materialized whole). The codec is a REAL header codec over minimal
+  * standard containers — BMP (BITMAPINFOHEADER), WAV (RIFF/WAVE fmt+data),
+  * and a RIFF/AVI main header — written by [[Codec]] at synthesis time and
+  * re-parsed byte-for-byte by [[decode]] (magic dispatch, little-endian
+  * fields, RIFF chunk walking). Only the media CONTENT is synthetic (the
+  * container has no image/audio libraries to produce real pixels/samples);
+  * the parsing behaves exactly as it would on a real minimal file of the
+  * same format. [[features]] remains a deterministic stand-in for a learned
+  * embedding.
   */
 object Multimodal {
 
@@ -26,7 +30,7 @@ object Multimodal {
   final case class DecodedRow(
       doc_id: String,
       media_ref: String,
-      media_type: String,
+      media_type: String,        // derived from the container magic, not trusted from the row
       byte_len: Int,
       width: Int,                // image/video
       height: Int,
@@ -40,23 +44,159 @@ object Multimodal {
       frame_offset_ms: Long,
       frame_bytes: Array[Byte])
 
-  // ---- DETERMINISTIC FAKE CODEC (swap for a real decoder off-sandbox) -----
+  // ---- REAL minimal-container codec ----------------------------------------
+  //
+  // Encoders emit spec-shaped headers (every field a real field at its real
+  // offset); the decoder dispatches on magic bytes and walks RIFF chunks, so
+  // it also decodes any externally produced minimal BMP/WAV of the same
+  // layout. No inter-chunk padding is written (sizes stay exact), and the
+  // payload rides as the final data chunk.
 
-  /** FAKE image/audio decode: metadata from byte arithmetic. */
-  private[ops] def fakeDecode(r: MediaRow): DecodedRow = {
-    val n = r.bytes.length
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum = sum * 31 + (r.bytes(i) & 0xff); i += 1 }
-    DecodedRow(r.doc_id, r.media_ref, r.media_type,
-      byte_len = n,
-      width = if (r.media_type == "audio") 0 else 16 + math.floorMod(sum, 1024).toInt,
-      height = if (r.media_type == "audio") 0 else 16 + math.floorMod(sum >> 10, 1024).toInt,
-      duration_ms = if (r.media_type == "image") 0L else 100L + math.floorMod(sum, 60000L),
-      checksum = sum)
+  object Codec {
+    private def le(buf: java.nio.ByteBuffer) = buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    /** minimal 24-bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+      * payload as the pixel array (54 + n bytes).
+      */
+    def encodeBmp(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val buf = le(java.nio.ByteBuffer.allocate(54 + payload.length))
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(54 + payload.length) // bfSize
+      buf.putInt(0)                   // bfReserved1/2
+      buf.putInt(54)                  // bfOffBits
+      buf.putInt(40)                  // biSize
+      buf.putInt(width)               // biWidth
+      buf.putInt(height)              // biHeight
+      buf.putShort(1)                 // biPlanes
+      buf.putShort(24)                // biBitCount
+      buf.putInt(0)                   // biCompression = BI_RGB
+      buf.putInt(payload.length)      // biSizeImage
+      buf.putInt(2835).putInt(2835)   // 72 dpi
+      buf.putInt(0).putInt(0)         // biClrUsed/Important
+      buf.put(payload)
+      buf.array()
+    }
+
+    /** minimal PCM WAV: RIFF/WAVE + 16-byte fmt chunk (mono 16-bit 8 kHz)
+      * + data chunk (44 + n bytes).
+      */
+    val WavSampleRate = 8000
+    val WavByteRate: Int = WavSampleRate * 2 // mono, 16-bit
+
+    def encodeWav(payload: Array[Byte]): Array[Byte] = {
+      val buf = le(java.nio.ByteBuffer.allocate(44 + payload.length))
+      buf.put("RIFF".getBytes("US-ASCII"))
+      buf.putInt(36 + payload.length)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII"))
+      buf.putInt(16)                  // PCM fmt chunk size
+      buf.putShort(1)                 // wFormatTag = PCM
+      buf.putShort(1)                 // nChannels
+      buf.putInt(WavSampleRate)
+      buf.putInt(WavByteRate)
+      buf.putShort(2)                 // nBlockAlign
+      buf.putShort(16)                // wBitsPerSample
+      buf.put("data".getBytes("US-ASCII"))
+      buf.putInt(payload.length)
+      buf.put(payload)
+      buf.array()
+    }
+
+    /** RIFF/AVI main header: avih chunk (56 bytes — µs/frame, totalFrames,
+      * width, height at their spec offsets) + payload as a movi chunk
+      * (84 + n bytes).
+      */
+    val AviUsecPerFrame = 40000 // 25 fps
+
+    def encodeAvi(totalFrames: Int, width: Int, height: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      val buf = le(java.nio.ByteBuffer.allocate(84 + payload.length))
+      buf.put("RIFF".getBytes("US-ASCII"))
+      buf.putInt(76 + payload.length)
+      buf.put("AVI ".getBytes("US-ASCII"))
+      buf.put("avih".getBytes("US-ASCII"))
+      buf.putInt(56)
+      buf.putInt(AviUsecPerFrame)     // dwMicroSecPerFrame
+      buf.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      buf.putInt(totalFrames)         // dwTotalFrames
+      buf.putInt(0).putInt(1)         // initialFrames, streams
+      buf.putInt(0)                   // suggestedBufferSize
+      buf.putInt(width)               // dwWidth
+      buf.putInt(height)              // dwHeight
+      buf.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+      buf.put("movi".getBytes("US-ASCII"))
+      buf.putInt(payload.length)
+      buf.put(payload)
+      buf.array()
+    }
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** rolling 31-fold over every byte — content identity for dedup joins. */
+    def checksum(b: Array[Byte]): Long = {
+      var sum = 0L
+      var i = 0
+      while (i < b.length) { sum = sum * 31 + (b(i) & 0xff); i += 1 }
+      sum
+    }
+
+    /** Parse (media_type, width, height, duration_ms) from the container
+      * header — magic dispatch, then fixed-offset reads (BMP) or a RIFF
+      * chunk walk (WAV/AVI). Unknown magic → IllegalArgumentException: a
+      * decode stage must fail loudly on garbage, not fabricate metadata.
+      */
+    def parse(b: Array[Byte]): (String, Int, Int, Long) = {
+      require(b.length >= 12, s"short media blob: ${b.length} bytes")
+      if (b(0) == 'B' && b(1) == 'M') {
+        ("image", leInt(b, 18), leInt(b, 22), 0L)
+      } else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE") {
+        var off = 12
+        var byteRate = 0
+        var dataSize = -1
+        while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
+          val id = fourcc(b, off)
+          val size = leInt(b, off + 4)
+          if (id == "fmt ") byteRate = leInt(b, off + 16)
+          else if (id == "data") dataSize = size
+          off += 8 + size
+        }
+        require(byteRate > 0 && dataSize >= 0, "WAV missing fmt /data chunk")
+        ("audio", 0, 0, dataSize.toLong * 1000L / byteRate)
+      } else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") {
+        var off = 12
+        var out: (String, Int, Int, Long) = null
+        while (off + 8 <= b.length && out == null) {
+          val id = fourcc(b, off)
+          val size = leInt(b, off + 4)
+          if (id == "avih") {
+            val usec = leInt(b, off + 8)
+            val frames = leInt(b, off + 24)
+            out = ("video", leInt(b, off + 40), leInt(b, off + 44),
+              frames.toLong * usec / 1000L)
+          }
+          off += 8 + size
+        }
+        require(out != null, "AVI missing avih chunk")
+        out
+      } else throw new IllegalArgumentException(
+        s"unknown container magic: ${fourcc(b, 0)}")
+    }
   }
 
-  /** FAKE feature extraction: `dim` floats from rolling byte statistics. */
+  private[ops] def decodeOne(r: MediaRow): DecodedRow = {
+    val (tpe, w, h, dur) = Codec.parse(r.bytes)
+    DecodedRow(r.doc_id, r.media_ref, tpe, r.bytes.length, w, h, dur,
+      Codec.checksum(r.bytes))
+  }
+
+  /** deterministic STAND-IN for a learned embedding: `dim` floats of rolling
+    * byte statistics (a real model replaces exactly this function).
+    */
   private[ops] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
@@ -77,7 +217,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     val balanced =
       if (partitions > 0) media.repartition(partitions, col("doc_id")) else media
-    balanced.mapPartitions(_.map(fakeDecode))
+    balanced.mapPartitions(_.map(decodeOne))
   }
 
   /** Feature-extract into an embedding column (array<float>, fixed dim) —
@@ -91,12 +231,13 @@ object Multimodal {
   }
 
   /** Frame-sample video/audio rows: n evenly spaced frames per blob
-    * (flatMap = the UDTF shape; one output row per frame).
+    * (flatMap = the UDTF shape; one output row per frame), offsets spaced
+    * over the REAL header-parsed duration.
     */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(r => r.media_type != "image").flatMap { r =>
-      val d = fakeDecode(r)
+      val d = decodeOne(r)
       val chunk = math.max(1, r.bytes.length / math.max(nFrames, 1))
       (0 until nFrames).map { f =>
         val from = math.min(f * chunk, math.max(r.bytes.length - 1, 0))
@@ -108,8 +249,13 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table derived from a documents table
-    * (text bytes stand in for blobs; type round-robins by id).
+  /** Deterministic synthetic media table derived from a documents table:
+    * the text bytes become the payload of a REAL minimal container —
+    * BMP / WAV / AVI round-robin by id — whose header fields derive from
+    * the payload length (SQL-expressible, so [[decode]]'s parsed metadata
+    * is DuckDB-oracle-checkable):
+    * image/video width = 16 + n%512, height = 16 + (3n)%512;
+    * audio duration = n·1000/16000 ms; video frames = 10 + n%240 at 25 fps.
     */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -117,11 +263,17 @@ object Multimodal {
       .map { case (id, text) =>
         // type from the numeric id (deterministic + SQL-expressible);
         // non-numeric ids fall back to a length round-robin
-        val n = id.toLongOption.getOrElse(id.length.toLong)
-        val t = math.floorMod(n, 3L) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val nId = id.toLongOption.getOrElse(id.length.toLong)
+        val payload = text.getBytes("UTF-8")
+        val n = payload.length
+        val w = 16 + n % 512
+        val h = 16 + (3 * n) % 512
+        val (t, bytes) = math.floorMod(nId, 3L) match {
+          case 0 => ("image", Codec.encodeBmp(w, h, payload))
+          case 1 => ("audio", Codec.encodeWav(payload))
+          case _ => ("video", Codec.encodeAvi(10 + n % 240, w, h, payload))
         }
-        MediaRow(id, s"media://$id", t, text.getBytes("UTF-8"))
+        MediaRow(id, s"media://$id", t, bytes)
       }
   }
 }

@@ -534,6 +534,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planes.select("bucket").distinct().count() > 1)
   }
 
+  test("codec: header round-trip is exact; real-layout files parse; garbage rejected") {
+    val payload = "some pixel-ish payload bytes".getBytes("UTF-8")
+    // BMP: width/height read back from the BITMAPINFOHEADER offsets
+    assert(Multimodal.Codec.parse(Multimodal.Codec.encodeBmp(123, 456, payload)) ==
+      (("image", 123, 456, 0L)))
+    // WAV: duration = dataSize/byteRate from the walked fmt/data chunks
+    val wav = Multimodal.Codec.encodeWav(new Array[Byte](32000))
+    assert(Multimodal.Codec.parse(wav) == (("audio", 0, 0, 2000L))) // 2 s at 16 kB/s
+    // AVI: totalFrames × µs/frame from the avih chunk
+    assert(Multimodal.Codec.parse(Multimodal.Codec.encodeAvi(50, 320, 240, payload)) ==
+      (("video", 320, 240, 2000L))) // 50 frames at 25 fps
+    // a minimal WAV written by ANOTHER writer (extra chunk before fmt )
+    // still parses — the decoder walks chunks, it doesn't assume our layout
+    val buf = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(4).putInt(0) // unknown chunk, skipped
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(1600)
+    assert(Multimodal.Codec.parse(buf.array()) == (("audio", 0, 0, 100L)))
+    // garbage must fail loudly, not fabricate metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.parse("not a container at all".getBytes)
+    }
+  }
+
   test("frameSample: n rows per non-image blob, offsets monotonic") {
     val frames = Multimodal.frameSample(media, nFrames = 4).collect()
     val byDoc = frames.groupBy(_.doc_id)
