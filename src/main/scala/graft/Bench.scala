@@ -198,12 +198,77 @@ object Bench {
       }
       runs.min
     }
-    val uniDir = s"$dir/skew_uni_$n"; val hotDir = s"$dir/skew_hot_$n"
+    // generation-version token in the cache path: the if-missing reuse would
+    // otherwise silently keep measuring stale data after a generator change
+    val uniDir = s"$dir/skew_uni_v$SkewGenVersion" + s"_$n"
+    val hotDir = s"$dir/skew_hot_v$SkewGenVersion" + s"_$n"
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(uniDir)) frontier(hot = false).write.mode("overwrite").parquet(uniDir)
     if (missing(hotDir)) frontier(hot = true).write.mode("overwrite").parquet(hotDir)
-    timeClaim(uniDir) // warm (scan cache, codegen)
+    timeClaim(uniDir); timeClaim(hotDir) // warm BOTH legs (scan cache, codegen)
     (timeClaim(uniDir), timeClaim(hotDir))
+  }
+
+  /** bump when any probe input generator changes shape/parameters. */
+  private val SkewGenVersion = 2
+
+  /** Skew probe for [[graft.ops.Dedup.semanticDedup]]: one k-means cell
+    * owning 50% of the vectors vs. ~uniform cells, same n. The within-cell
+    * candidate join is quadratic IN THE CELL, so the hot leg does
+    * intrinsically more pair-work than the uniform leg — no partitioning
+    * scheme changes that; what skew handling (AQE skew-join split over the
+    * cell-keyed exchange) must deliver is flat PER-PAIR throughput instead
+    * of funneling the hot cell through one task. Reported as
+    * (secUni, secHot, pairsUni, pairsHot); the contract number is
+    * (secHot/pairsHot)/(secUni/pairsUni) ≈ 1.
+    *
+    * Vectors are near-one-hot per cell (noise ±0.05, argmax-safe), so cell
+    * sizes — and exact pair counts — are known by construction.
+    */
+  private def semSkewProbe(spark: SparkSession, n: Int, dir: String,
+      reps: Int): (Double, Double, Long, Long) = {
+    import spark.implicits._
+    val dim = 16
+    def cellOf(hot: Boolean, i: Long): Int =
+      if (hot) { if (i % 2 == 0) 0 else 1 + ((i / 2) % 7).toInt }
+      else (i % 8).toInt
+    def gen(hot: Boolean): DataFrame = spark.range(n).mapPartitions { it =>
+      it.map { i =>
+        val cell = cellOf(hot, i)
+        val v = (0 until dim).map { j =>
+          val noise = (SyntheticCorpus.mix64(i * dim + j).toDouble /
+            Long.MaxValue.toDouble) * 0.05
+          ((if (j == cell) 1.0 else 0.0) + noise).toFloat
+        }
+        (i, v)
+      }
+    }.toDF("vec_id", "embedding")
+    def pairsOf(hot: Boolean): Long = {
+      val counts = new Array[Long](8)
+      var i = 0L
+      while (i < n) { counts(cellOf(hot, i)) += 1; i += 1 }
+      counts.map(c => c * (c - 1) / 2).sum
+    }
+    val centroids: Seq[(Long, Seq[Double])] = (0 until 8).map(c =>
+      (c.toLong, (0 until dim).map(j => if (j == c) 1.0 else 0.0)))
+    val uniDir = s"$dir/semskew_uni_v$SkewGenVersion" + s"_$n"
+    val hotDir = s"$dir/semskew_hot_v$SkewGenVersion" + s"_$n"
+    def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (missing(uniDir)) gen(hot = false).write.mode("overwrite").parquet(uniDir)
+    if (missing(hotDir)) gen(hot = true).write.mode("overwrite").parquet(hotDir)
+    def time(path: String): Double = {
+      val embs = spark.read.parquet(path)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val (kept, release) = graft.ops.Dedup.semanticDedupReleasable(
+          embs, centroids, 0.999)
+        kept.agg(count(lit(1))).head()
+        release()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    time(uniDir); time(hotDir) // warm both legs
+    (time(uniDir), time(hotDir), pairsOf(hot = false), pairsOf(hot = true))
   }
 
   /** fetch-extract throughput: spans corpus → config-compiled extraction. */
@@ -274,17 +339,22 @@ object Bench {
     val efficiency1v4 = (thr4 / thr1) / 4.0
     val efficiency2v8 = (thr8 / thr2) / 4.0
     val efficiency8v32 = (thr32 / thr8) / 4.0
-    // Headline N→4N efficiency = max over the two independent measurement
-    // pairs (1→4 and 2→8 cores). Each pair is a valid N-vs-4N experiment on
-    // identical input; on a shared noisy box taking the max of two
-    // independent estimates defends the contract number against a single
-    // co-tenant-loaded leg without inventing data (both pairs are reported).
-    val efficiency = math.max(efficiency1v4, efficiency2v8)
+    // Headline N→4N efficiency = MEAN of the two independent measurement
+    // pairs (1→4 and 2→8 cores), fixed a priori. Each pair is a valid
+    // N-vs-4N experiment on identical input; the round-3 headline took the
+    // max of the two, which is upward-biased (picking the better of two
+    // noisy estimates post hoc) — the mean carries the same two
+    // measurements without favoring either, and both raw pairs remain in
+    // the detail line.
+    val efficiency = (efficiency1v4 + efficiency2v8) / 2.0
 
     // --- fetch-extract + per-query timings at the driver's parallelism ------
     val spark = session(cpus)
     val (skewUni, skewHot) = skewProbe(spark, frontierN, benchDir, reps = 5)
     val skewRatio = skewHot / skewUni
+    val (semUni, semHot, semPairsUni, semPairsHot) =
+      semSkewProbe(spark, 16384, benchDir, reps = 3)
+    val semPairRatio = (semHot / semPairsHot) / (semUni / semPairsUni)
     val (exSec, exPages) = extractBench(spark, 200000L)
     val results =
       if (!runQueries) Seq.empty
@@ -301,7 +371,7 @@ object Bench {
     // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
     // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
     val detail =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = max(1v4, 2v8) pairs, each best-of-5 with equal reps on both legs (two independent N-vs-4N experiments on identical input; max defends against one co-tenant-loaded leg on this shared VM); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"ratio":$skewRatio%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1"}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-5 with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"ratio":$skewRatio%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"per_pair_ratio":$semPairRatio%.2f,"note":"semanticDedup, one cell owning 50%% of vectors vs uniform cells; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput (AQE skew-join splits the hot cell) - ratio ~1"}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
@@ -311,7 +381,7 @@ object Bench {
     // capture mangles the tail. sbt is configured (build.sbt: StdoutOutput +
     // showSuccess=false) so this println IS the last stdout line, raw.
     val headline =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","frontier_n":$frontierN,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"skew_ratio_hot50":$skewRatio%.2f,"extract_pages_per_sec":${exPages / exSec}%.0f,"detail":"BENCH_DETAIL.json"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","frontier_n":$frontierN,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"skew_ratio_hot50":$skewRatio%.2f,"sem_skew_per_pair_ratio":$semPairRatio%.2f,"extract_pages_per_sec":${exPages / exSec}%.0f,"detail":"BENCH_DETAIL.json"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH.json"), headline)
     catch { case _: Throwable => () }

@@ -228,9 +228,6 @@ final class CrawlSession(
     val smallRound = claimedCount <= SmallWriteRows
     def writeShape(df: DataFrame): DataFrame =
       if (smallRound) df.repartition(1) else df
-    val smallFanout = claimedCount <= SmallWriteRows / 16
-    def fanoutShape(df: DataFrame): DataFrame =
-      if (smallFanout) df.repartition(1) else df
 
     // --- fetch = claim ⋈ corpus (S5/J4) ------------------------------------
     // The claim batch is usually orders of magnitude smaller than the corpus
@@ -301,6 +298,20 @@ final class CrawlSession(
            releaseRoute = release
            out.toDF().select(cand.columns.map(col): _*)
        }).persist())
+
+    // The new-entries segment single-file gate keys on the ACTUAL child-row
+    // count, not the claim count: a small claim over high-fanout pages (a
+    // handful of huge sitemaps) can emit SmallWriteRows × 100 children, and
+    // a claim-keyed gate would serialize that multi-million-row write
+    // through one task. newEntries is persisted, so the count materializes
+    // the cache the commit reads anyway; above the claim-size ceiling the
+    // write is parallel regardless and the count is skipped.
+    val fanoutRows =
+      if (claimedCount <= SmallWriteRows)
+        timed("newentries-count")(newEntries.count())
+      else Long.MaxValue
+    def fanoutShape(df: DataFrame): DataFrame =
+      if (fanoutRows <= SmallWriteRows) df.repartition(1) else df
 
     // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
     // delta commit: append the new entries, tombstone the claimed rows —

@@ -273,7 +273,26 @@ object Dedup {
       k: Int = 5,
       minShared: Long = 1L,
       maxShingleFreq: Long = 1000L,
-      hashShingles: Boolean = true): DataFrame = {
+      hashShingles: Boolean = true): DataFrame =
+    ngramContaminationReleasable(docs, probes, idCol, textCol, k, minShared,
+      maxShingleFreq, hashShingles)._1
+
+  /** [[ngramContamination]] plus a release handle for the internal persisted
+    * shingle explosion: the plain form leans on LRU eviction, which is fine
+    * for one-shot runs but accumulates cached blocks across repeated calls
+    * in a long-lived session — call the handle once the result is
+    * materialized (non-blocking, same discipline as the crawl round's
+    * claimed/docs persists).
+    */
+  def ngramContaminationReleasable(
+      docs: DataFrame,
+      probes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      minShared: Long = 1L,
+      maxShingleFreq: Long = 1000L,
+      hashShingles: Boolean = true): (DataFrame, () => Unit) = {
     def sh(text: Column): Column =
       if (hashShingles)
         array_distinct(graft.functions.LshExpressions.shingleXxHashes(
@@ -295,11 +314,12 @@ object Dedup {
     // can hit at most |probe corpus| distinct probes — so probes_hit uses a
     // bounded collect_set instead of a second countDistinct: two distincts
     // in one aggregate plan as an Expand that doubles every pre-shuffle row
-    dOk.join(pSh, Seq("shingle"))
+    val out = dOk.join(pSh, Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("shared_ngrams"),
         size(collect_set(col("probe_id"))).cast("long").as("probes_hit"))
       .filter(col("shared_ngrams") >= minShared)
+    (out, () => { dSh.unpersist(blocking = false); () })
   }
 
   // --- embedding near-dup --------------------------------------------------------
@@ -407,7 +427,18 @@ object Dedup {
       centroids: Seq[(Long, Seq[Double])],
       threshold: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semanticDedupReleasable(embeddings, centroids, threshold, idCol, vecCol)._1
+
+  /** [[semanticDedup]] plus a release handle for the internal persisted
+    * assignment (see [[ngramContaminationReleasable]] for the discipline).
+    */
+  def semanticDedupReleasable(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, () => Unit) = {
     // persisted: the plan references the assignment THREE times (both join
     // sides + the final anti-join) and Spark does not CSE across join
     // sides — without the cache each reference re-runs the embeddings
@@ -426,6 +457,7 @@ object Dedup {
         round(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
           >= threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti").select("id", "cell")
+    val out = assigned.join(dropped, Seq("id"), "left_anti").select("id", "cell")
+    (out, () => { assigned.unpersist(blocking = false); () })
   }
 }

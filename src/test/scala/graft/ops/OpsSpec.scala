@@ -198,6 +198,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L)._2 < 0.6)
   }
 
+  test("releasable variants unpersist their internal caches on release()") {
+    val docs = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta eps$i zeta eta"))
+      .toDF("doc_id", "text")
+    val probes = Seq((900L, "alpha beta gamma delta eps3 zeta eta")).toDF("doc_id", "text")
+    val (contam, releaseC) = Dedup.ngramContaminationReleasable(docs, probes)
+    contam.count()
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, (0 until 8).map(j => ((i * 13 + j * 7) % 19 - 9).toFloat / 9f)))
+      .toDF("vec_id", "embedding")
+    val (kept, releaseS) = Dedup.semanticDedupReleasable(
+      vecs, Similarity.ivfCentroids(vecs, 4), 0.95)
+    kept.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    releaseC(); releaseS()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before - 2,
+      s"release handles must drop both internal caches ($before -> $after)")
+  }
+
   test("ngram contamination flags exactly the docs sharing probe shingles") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),      // contains probe 5-gram
