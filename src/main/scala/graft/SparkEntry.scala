@@ -474,6 +474,16 @@ object SparkEntry {
         hash = TextOps.portableHash)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    // duplicate CLUSTERS: connected components over the simhash near-dup
+    // pairs (keep-min-id per component — the transitive-closure keep set a
+    // pairwise rule under-deletes); DuckDB replays it as a recursive CTE
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDups(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        hash = TextOps.portableHash)
+      Dedup.connectedComponents(pairs)
+    }),
+
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
         k = 3, threshold = 0.2)),
@@ -930,18 +940,41 @@ object SparkEntry {
     * same maxHamming+1 disjoint bit blocks (pigeonhole-exact recall), pair
     * within blocks, verify by exact Hamming distance.
     */
-  private def simhashPairsOracle: String = {
+  /** shared CTE chain ending in `pairs(id_a, id_b, hamming)` — the simhash
+    * block join both the pair oracle and the cluster oracle build on.
+    */
+  private def simhashPairCtes: String = {
     val blockSelects = Dedup.simhashBlocks(16, 3).map { case (b, shift, mask) =>
       s"SELECT doc_id, sh, $b AS blk, (sh >> $shift) & $mask AS key FROM shv"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $simhashCtes,
+    s"""$simhashCtes,
        |blocks AS (
        |  $blockSelects),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-       |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+       |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashPairCtes
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** DuckDB twin of [[Dedup.connectedComponents]] over the simhash pairs:
+    * recursive-CTE transitive closure (UNION dedup terminates it), then
+    * rep = min reachable node — in an undirected graph that IS the
+    * component minimum, exactly the keep-min-id rule the Spark label
+    * propagation converges to.
+    */
+  private def simhashClustersOracle: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |cpairs AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+       |  UNION SELECT id_b, id_a FROM cpairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.n = e.b)
+       |SELECT n AS id, min(m) AS rep FROM reach GROUP BY n""".stripMargin
 
   /** per-lexicon hit-count aggregate columns (`s_<lang>`). */
   private def langScoreCols: String = {
@@ -1273,6 +1306,8 @@ object SparkEntry {
     "q_dedup_simhash" -> simhashOracle,
 
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
+
+    "q_dedup_clusters" -> simhashClustersOracle,
 
     "q_dedup_jaccard" ->
       """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l

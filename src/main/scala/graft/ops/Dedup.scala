@@ -407,6 +407,73 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  // --- duplicate clusters ----------------------------------------------------
+
+  /** Connected components over an undirected near-dup pair list
+    * (`id_a, id_b`) — the CLUSTER step a dedup pipeline runs after pair
+    * generation: pairwise survivors (keep-min-per-pair) under-delete on
+    * transitive chains A~B~C, so the keep set must come from components,
+    * each represented by its minimum id. Returns (id, rep) for every node
+    * that appears in a pair (isolated docs are trivially their own rep).
+    *
+    * Algorithm: min-label propagation WITH pointer doubling to a fixpoint —
+    * label(v) ← min(label(v), label(label(v)), min over neighbors label(u))
+    * — the public-construction MapReduce CC shape (cf. Kiveris et al. 2014
+    * "Connected Components in MapReduce"; the jump step is the classic
+    * Shiloach-Vishkin shortcut). Neighbor-min alone needs diameter rounds
+    * (a k-chain takes k); the label(label(v)) self-join halves every
+    * pointer chain per round, so convergence is O(log diameter) — and
+    * near-dup clusters are near-cliques anyway (2-4 rounds). Each round is
+    * two shuffles on 8-byte keys (neighbor min + jump join) with map-side
+    * partial min. Each round is eagerly localCheckpoint-ed: the loop is
+    * self-referential (labels feeds three plan branches of the next
+    * round), so without lineage TRUNCATION the logical plan grows ~4^round
+    * and the driver OOMs just BUILDING it — the same discipline as the
+    * crawl loop's BFS frontier. At fixpoint the
+    * label is constant per component and equals the component min (labels
+    * are monotonically nonincreasing member ids; a constant c > min m
+    * would contradict label(m) ≤ m).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("src").as("id"))
+      // each node starts at min(self, neighbors) — one propagation step
+      // folded into initialization (saves a round on near-cliques)
+      .agg(least(min(col("dst")), first(col("src"))).as("rep"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // candidate label for dst = min over incoming edges of src's label
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("rep", "srcRep"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("srcRep")).as("nbrRep"))
+      // pointer doubling: rep(rep(v)) — halves every label chain per round
+      val viaJump = labels
+        .join(labels.select(col("id").as("rep"), col("rep").as("jumpRep")), "rep")
+        .select(col("id"), col("jumpRep"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaJump, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"),
+            coalesce(col("nbrRep"), col("rep")),
+            coalesce(col("jumpRep"), col("rep"))).as("rep"),
+          (least(coalesce(col("nbrRep"), col("rep")),
+            coalesce(col("jumpRep"), col("rep"))) < col("rep")).as("changed"))
+        .localCheckpoint(true) // eager: truncates lineage + materializes once
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.drop("changed")
+      iters += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
     * public construction): assign every embedding to its nearest k-means
     * centroid ([[Similarity.ivfTrain]] cells), then WITHIN each cell drop

@@ -198,6 +198,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L)._2 < 0.6)
   }
 
+  test("connectedComponents: chains, cliques, disjoint pairs → component-min reps") {
+    // component {1,2,3,4} as a CHAIN (worst diameter for label propagation),
+    // component {10,11,12} as a clique, isolated pair {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),          // chain 1-2-3-4, mixed order
+      (10L, 11L), (11L, 12L), (10L, 12L),    // clique
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // a longer chain still converges within maxIters (log-ish rounds)
+    val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(chain).select("rep").distinct().collect()
+    assert(reps.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("releasable variants unpersist their internal caches on release()") {
     val docs = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta eps$i zeta eta"))
       .toDF("doc_id", "text")
