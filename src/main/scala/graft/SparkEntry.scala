@@ -584,6 +584,12 @@ object SparkEntry {
         "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 1.0)
         .select("doc_id", "lang")),
 
+    // sequence packing: concat-and-chunk into 1024-token training rows via
+    // the distributed two-pass prefix sum (DuckDB replays it as one
+    // ordered window — the single-node luxury the Spark shape avoids)
+    "q_sample_pack" -> ((s, d) =>
+      graft.ops.Sampling.packSequences(t(s, d, "documents"), seqLen = 1024)),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -1335,6 +1341,20 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents)
         |WHERE b < CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
+
+    // packing = exclusive prefix sum of ws token counts in doc_id order,
+    // chunked at 1024 (single ordered window here; the Spark side is the
+    // two-pass partition-parallel shape)
+    "q_sample_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_pos,
+        |  CAST(start_pos // 1024 AS BIGINT) AS seq_id FROM p""".stripMargin,
 
     "q_text_repetition" ->
       """WITH base AS (SELECT doc_id, length(text) AS n_chars_doc,

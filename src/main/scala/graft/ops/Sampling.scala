@@ -61,4 +61,55 @@ object Sampling {
       _.otherwise(math.floor(defaultFraction * Buckets).toLong))
     df.filter(bucketOf(col(idCol)) < th)
   }
+
+  /** Sequence packing (the concat-and-chunk step every LLM training
+    * pipeline runs last): documents concatenate in `idCol` order into one
+    * token stream chunked into fixed `seqLen`-token training sequences;
+    * each doc reports its whitespace token count, its exclusive-prefix
+    * start position in the stream, and the sequence id its first token
+    * lands in (`start_pos / seqLen`). Deterministic — a pure function of
+    * the (id → token count) mapping, independent of partitioning or
+    * cluster size.
+    *
+    * Scale shape — a distributed two-pass prefix sum, NOT the naive
+    * `Window.orderBy` with no partition key (which funnels the entire
+    * corpus through ONE task): range-partition by id (so partition p holds
+    * a contiguous id range), per-partition token totals collect to the
+    * driver (one row per partition — bounded), prefix there, and ride back
+    * as a broadcast-literal offset map; the within-partition running sum
+    * is a window PARTITIONED BY the physical partition id, so every
+    * partition computes its local prefix in parallel and adds its offset.
+    * The counted frame is persisted so the offsets pass and the output
+    * pass see the SAME sampled range boundaries.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
+      textCol: String = "text", partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counted = docs
+      .select(col(idCol), size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .repartitionByRange(nPart, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // pass 1: per-partition totals (rows = nPart, trivially collectable)
+    val totals = counted.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }.toMap
+    // pass 2: within-partition exclusive prefix + broadcast offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    counted
+      .withColumn("start_pos", coalesce(sum("n_tokens").over(w), lit(0L)) + offsetCol)
+      .select(col(idCol), col("n_tokens"), col("start_pos"),
+        (col("start_pos") / seqLen).cast("long").as("seq_id"))
+  }
 }

@@ -162,6 +162,34 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("packSequences: partitioning-invariant two-pass prefix sum, no global funnel") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, (0 to (i % 7)).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    def rows(parts: Int) =
+      Sampling.packSequences(docs, seqLen = 16, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val a = rows(3)
+    // same values at a different partition count: start positions are a
+    // pure function of the id order, not the physical layout
+    assert(a == rows(7))
+    // against a driver-side reference prefix sum
+    var acc = 0L
+    val expect = (0 until 200).map { i =>
+      val n = (i % 7) + 1L
+      val out = (i.toLong, n, acc, acc / 16)
+      acc += n
+      out
+    }
+    assert(a == expect)
+    // the plan must not funnel the corpus through one task: the window is
+    // partitioned by the physical partition id, never a SinglePartition
+    // exchange (the naive global Window.orderBy shape)
+    val plan = Sampling.packSequences(docs, seqLen = 16, partitions = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("deterministic split/sample: stable, disjoint, fraction-accurate") {
     val ids = spark.range(20000).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
