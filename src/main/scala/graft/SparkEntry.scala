@@ -590,6 +590,14 @@ object SparkEntry {
     "q_sample_pack" -> ((s, d) =>
       graft.ops.Sampling.packSequences(t(s, d, "documents"), seqLen = 1024)),
 
+    // domain-mixture application: largest corpus hitting the target
+    // source shares without upsampling (T = min n_s/share_s), per-stratum
+    // deterministic bucket thresholds
+    "q_sample_mix" -> ((s, d) =>
+      graft.ops.Sampling.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -1341,6 +1349,20 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents)
         |WHERE b < CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
+
+    // mixture replay: per-source counts → T = min(n/share) → integer
+    // bucket thresholds, all-double arithmetic parenthesized exactly as
+    // the Scala side computes it
+    "q_sample_mix" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+        |    WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |s AS (SELECT * FROM (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+        |    ('src2', 0.2::DOUBLE)) AS v(source, share)),
+        |tv AS (SELECT min(c.n / s.share) AS t FROM c JOIN s USING (source)),
+        |f AS (SELECT c.source, floor(((s.share * tv.t) / c.n) * 10000) AS th
+        |  FROM c JOIN s USING (source), tv)
+        |SELECT d.doc_id, d.source FROM documents d JOIN f ON f.source = d.source
+        |WHERE ((d.doc_id*2654435761)%4294967296)%10000 < f.th""".stripMargin,
 
     // packing = exclusive prefix sum of ws token counts in doc_id order,
     // chunked at 1024 (single ordered window here; the Spark side is the

@@ -62,6 +62,34 @@ object Sampling {
     df.filter(bucketOf(col(idCol)) < th)
   }
 
+  /** Apply a target domain MIXTURE (desired share of the output corpus per
+    * stratum — the Pile/DoReMi-style mixing step) as deterministic
+    * per-stratum downsampling: the output is the LARGEST corpus achieving
+    * the requested shares without upsampling — total T = min over s of
+    * n_s/share_s, stratum s keeps share_s·T rows via
+    * [[stratifiedSample]]'s integer bucket threshold. Strata not in
+    * `shares` are dropped (share 0); every requested stratum must exist in
+    * the data. One tiny counts aggregation (rows = #strata) collects to
+    * the driver; the applied filter stays a pure map-side projection, so
+    * the op is reproducible across runs, partitionings, and cluster sizes.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "mixture shares must be positive")
+    val counts = df
+      .filter(col(strataCol).isin(shares.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(shares.keys.forall(counts.contains),
+      s"requested strata missing from data: ${shares.keySet -- counts.keySet}")
+    val t = shares.map { case (s, share) => counts(s).toDouble / share }.min
+    val fractions = shares.map { case (s, share) =>
+      s -> (share * t) / counts(s).toDouble
+    }
+    stratifiedSample(df, idCol, strataCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Sequence packing (the concat-and-chunk step every LLM training
     * pipeline runs last): documents concatenate in `idCol` order into one
     * token stream chunked into fixed `seqLen`-token training sequences;

@@ -162,6 +162,30 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("mixtureSample: largest corpus at target shares, no upsampling, deterministic") {
+    // 300/100/50 rows of a/b/c; targets 0.5/0.3/0.2 → T bound by c:
+    // min(300/.5, 100/.3, 50/.2) = 250 → keep 125/75/50
+    val docs = ((0 until 300).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b")) ++
+      (2000 until 2050).map(i => (i.toLong, "c"))).toDF("doc_id", "src")
+    val out = Sampling.mixtureSample(docs, "doc_id", "src",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val byS = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum keeps everything; others land within bucket
+    // granularity (±1% of their stratum) of the exact target
+    assert(byS("c") == 50)
+    assert(math.abs(byS("a") - 125) <= 3 && math.abs(byS("b") - 75) <= 1, byS)
+    // deterministic: same rows every run
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      Sampling.mixtureSample(docs, "doc_id", "src",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).collect().map(_.getLong(0)).sorted.toSeq)
+    // unlisted strata are dropped; missing requested strata reject loudly
+    assert(out.filter($"src" === "d").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "doc_id", "src", Map("nope" -> 1.0))
+    }
+  }
+
   test("packSequences: partitioning-invariant two-pass prefix sum, no global funnel") {
     val docs = (0 until 200).map(i =>
       (i.toLong, (0 to (i % 7)).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
