@@ -94,7 +94,7 @@ object Bench {
     * round. `nCand` candidates target a corpus of `nCand/2` pages; the seen
     * set covers half the page space.
     */
-  private def materializeInputs(spark: SparkSession, nCand: Long, hostCount: Int,
+  private[graft] def materializeInputs(spark: SparkSession, nCand: Long, hostCount: Int,
       dir: String): (String, String, String) = {
     val candDir = s"$dir/cand_$nCand"
     val seenDir = s"$dir/seen_$nCand"
@@ -129,7 +129,7 @@ object Bench {
     * Realistic per-host budget keeps the hot zipf host's phase-2 window
     * bounded (an unbounded budget makes it an ~18% serial fraction).
     */
-  private def frontierRound(spark: SparkSession, nCand: Long, hostCount: Int,
+  private[graft] def frontierRound(spark: SparkSession, nCand: Long, hostCount: Int,
       dir: String): (Double, Long) = {
     val (candDir, seenDir, corpusDir) = materializeInputs(spark, nCand, hostCount, dir)
     val seen = spark.read.parquet(seenDir)
