@@ -96,9 +96,11 @@ object Bench {
     */
   private[graft] def materializeInputs(spark: SparkSession, nCand: Long, hostCount: Int,
       dir: String): (String, String, String) = {
-    val candDir = s"$dir/cand_$nCand"
-    val seenDir = s"$dir/seen_$nCand"
-    val corpusDir = s"$dir/corpus_$nCand"
+    // same generation-version token as the skew probes: the if-missing
+    // reuse must never silently measure stale inputs after a generator edit
+    val candDir = s"$dir/cand_v$SkewGenVersion" + s"_$nCand"
+    val seenDir = s"$dir/seen_v$SkewGenVersion" + s"_$nCand"
+    val corpusDir = s"$dir/corpus_v$SkewGenVersion" + s"_$nCand"
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(candDir))
       candidates(spark, nCand, nCand / 2, 42L, hostCount).write.mode("overwrite").parquet(candDir)

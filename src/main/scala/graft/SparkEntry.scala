@@ -173,15 +173,26 @@ object SparkEntry {
   private val scaffoldCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
+  /** Copy a workdir tree AND re-root it: snapshot manifests may carry
+    * ABSOLUTE shared-segment refs (seen → frontier delta segments,
+    * `FrontierStore.commitAppendRef`) pointing inside `src`; rewriting
+    * those in the copied *.json metadata makes the copy self-contained —
+    * otherwise both mode queries would silently keep reading segment data
+    * out of the scaffold temp dir (and break if it is ever reaped).
+    */
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(sp).forEach { p =>
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.forEach { p =>
       val t = dp.resolve(sp.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else if (p.getFileName.toString.endsWith(".json"))
+        java.nio.file.Files.writeString(t,
+          java.nio.file.Files.readString(p).replace(src, dst))
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   private def runModes(s: SparkSession, d: String, mode: WriteMode,
@@ -817,7 +828,13 @@ object SparkEntry {
       val daemon = new graft.streaming.JobDaemon(s,
         cachedCorpus(s, d, "id", identity), s.emptyDataset[RobotsRules].toDF(),
         s"$base/work", queueDir, s"$base/ckpt")
-      daemon.start(availableNow = true).awaitTermination(300000)
+      val query = daemon.start(availableNow = true)
+      // a timeout must fail LOUDLY (and stop the stream), not hand the
+      // driver a partial completed-set that reads as a correctness bug
+      if (!query.awaitTermination(300000)) {
+        query.stop()
+        throw new IllegalStateException("q_daemon_queue: daemon run timed out")
+      }
       daemon.completed.toDF("config_id", "claimed").orderBy("config_id")
     }),
 

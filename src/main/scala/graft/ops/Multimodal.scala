@@ -161,6 +161,9 @@ object Multimodal {
         while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
           val id = fourcc(b, off)
           val size = leInt(b, off + 4)
+          // a negative/overflowing chunk size must FAIL, not stall the walk
+          // (off would stop advancing and the task would hang forever)
+          require(size >= 0, s"corrupt RIFF chunk size $size at offset $off")
           if (id == "fmt ") byteRate = leInt(b, off + 16)
           else if (id == "data") dataSize = size
           off += 8 + size
@@ -173,6 +176,7 @@ object Multimodal {
         while (off + 8 <= b.length && out == null) {
           val id = fourcc(b, off)
           val size = leInt(b, off + 4)
+          require(size >= 0, s"corrupt RIFF chunk size $size at offset $off")
           if (id == "avih") {
             val usec = leInt(b, off + 8)
             val frames = leInt(b, off + 24)

@@ -111,7 +111,18 @@ object Sampling {
     * pass see the SAME sampled range boundaries.
     */
   def packSequences(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
-      textCol: String = "text", partitions: Int = 0): DataFrame = {
+      textCol: String = "text", partitions: Int = 0): DataFrame =
+    packSequencesReleasable(docs, seqLen, idCol, textCol, partitions)._1
+
+  /** [[packSequences]] plus a release handle for the internal persisted
+    * counts frame (same discipline as
+    * [[Dedup.ngramContaminationReleasable]] — the plain form leans on LRU
+    * eviction, which accumulates cached blocks across repeated calls in a
+    * long-lived session).
+    */
+  def packSequencesReleasable(docs: DataFrame, seqLen: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): (DataFrame, () => Unit) = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     val nPart =
@@ -135,9 +146,12 @@ object Sampling {
     val offsetCol =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
-    counted
+    val out = counted
       .withColumn("start_pos", coalesce(sum("n_tokens").over(w), lit(0L)) + offsetCol)
+      // `div` = exact integral division on longs; the `/`-then-cast form
+      // goes through DoubleType and can land one sequence off past 2^53
       .select(col(idCol), col("n_tokens"), col("start_pos"),
-        (col("start_pos") / seqLen).cast("long").as("seq_id"))
+        expr(s"start_pos div ${seqLen}L").as("seq_id"))
+    (out, () => { counted.unpersist(blocking = false); () })
   }
 }

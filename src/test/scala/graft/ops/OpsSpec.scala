@@ -649,6 +649,11 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.Codec.parse("not a container at all".getBytes)
     }
+    // a NEGATIVE chunk size must throw, not stall the chunk walk forever
+    val bad = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+    bad.put("fmt ".getBytes).putInt(-8)
+    intercept[IllegalArgumentException] { Multimodal.Codec.parse(bad.array()) }
   }
 
   test("frameSample: n rows per non-image blob, offsets monotonic") {
