@@ -661,6 +661,34 @@ object SparkEntry {
         array_join(col("img_gt0"), " ").as("img_gt0"))
     }),
 
+    // P5 driver-visible: the HTTP-status gate inside the REAL Extractor —
+    // every 10th page 404s and must not emit a document
+    "q_p5_status" -> ((s, d) => {
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+      val fetched = spanified(s, d).withColumn("httpStatusCode",
+        when(pmod(substring(col("url"), 10, 30).cast("long"), lit(10)) === 0, 404)
+          .otherwise(200))
+      graft.extract.Extractor.extract(fetched, cfg).select("url", "title")
+    }),
+
+    // T3 driver-visible: the claim-batch global top-k (TakeOrderedAndProject
+    // path) — per-host budget then the remaining-access cap, over a
+    // frontier whose urlHash is the SQL-expressible Knuth hash so DuckDB
+    // replays the exact canonical order
+    "q_t3_claim_cap" -> ((s, d) => {
+      val frontier = t(s, d, "documents").select(
+        urlOfId(col("doc_id")).as("url"),
+        concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(".example.com")).as("host"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("depth"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("urlHash"),
+        lit("seed").as("parentUrl"))
+      graft.frontier.Politeness.claim(frontier, hostBudget = 40, remaining = 100)
+        .select("url", "depth", "urlHash")
+    }),
+
     // X1: whitelisted per-element value-rewrite transforms (script analog)
     "q_x1_transform" -> ((s, d) => {
       val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
@@ -1366,6 +1394,29 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents)
         |WHERE b < CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
+
+    // status-gated extraction: 404 pages (doc_id%10=0) emit nothing
+    "q_p5_status" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |    unnest(range(0, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE length(text) > 0 AND doc_id % 10 != 0)
+        |SELECT 'http://d/'||doc_id AS url,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title
+        |FROM toks GROUP BY doc_id""".stripMargin,
+
+    // per-host top-40 by the canonical (depth, urlHash, url) order, then
+    // the global remaining-cap top-100
+    "q_t3_claim_cap" ->
+      """WITH f AS (SELECT
+        |    'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    'd'||(doc_id%4)||'.example.com' AS host,
+        |    CAST(doc_id%3 AS INT) AS depth,
+        |    (doc_id*2654435761)%4294967296 AS urlHash
+        |  FROM documents),
+        |ph AS (SELECT *, row_number() OVER
+        |    (PARTITION BY host ORDER BY depth, urlHash, url) AS r FROM f)
+        |SELECT url, depth, urlHash FROM ph WHERE r <= 40
+        |ORDER BY depth, urlHash, url LIMIT 100""".stripMargin,
 
     // mixture replay: per-source counts → T = min(n/share) → integer
     // bucket thresholds, all-double arithmetic parenthesized exactly as
