@@ -656,6 +656,35 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.Codec.parse(bad.array()) }
   }
 
+  test("codec property: encode∘parse is identity for arbitrary payloads/params") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Seed(7L)
+    val cases = Gen.listOfN(60, for {
+      n <- Gen.chooseNum(0, 5000)
+      w <- Gen.chooseNum(1, 100000)
+      h <- Gen.chooseNum(1, 100000)
+      frames <- Gen.chooseNum(0, 1000000)
+      kind <- Gen.oneOf("bmp", "wav", "avi")
+    } yield (n, w, h, frames, kind))
+      .apply(Gen.Parameters.default, params).get
+    cases.foreach { case (n, w, h, frames, kind) =>
+      val payload = Array.tabulate(n)(i => (i * 31 + 7).toByte)
+      kind match {
+        case "bmp" =>
+          assert(Multimodal.Codec.parse(Multimodal.Codec.encodeBmp(w, h, payload)) ==
+            (("image", w, h, 0L)))
+        case "wav" =>
+          assert(Multimodal.Codec.parse(Multimodal.Codec.encodeWav(payload)) ==
+            (("audio", 0, 0, n.toLong * 1000L / Multimodal.Codec.WavByteRate)))
+        case "avi" =>
+          assert(Multimodal.Codec.parse(
+            Multimodal.Codec.encodeAvi(frames, w, h, payload)) ==
+            (("video", w, h, frames.toLong * Multimodal.Codec.AviUsecPerFrame / 1000L)))
+      }
+    }
+  }
+
   test("frameSample: n rows per non-image blob, offsets monotonic") {
     val frames = Multimodal.frameSample(media, nFrames = 4).collect()
     val byDoc = frames.groupBy(_.doc_id)
