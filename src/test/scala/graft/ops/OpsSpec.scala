@@ -214,6 +214,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("packSequences property: prefix sums + chunk ids match a reference fold on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random doc shapes: empty strings, 1-token, long docs, sparse ids
+    val shapes = Gen.listOfN(120, for {
+      id <- Gen.chooseNum(0L, 100000L)
+      nTok <- Gen.chooseNum(0, 40)
+    } yield (id, nTok)).apply(Gen.Parameters.default, Seed(11L)).get
+      .distinctBy(_._1).sortBy(_._1)
+    val docs = shapes.map { case (id, n) =>
+      (id, (0 until n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Sampling.packSequences(docs, seqLen = 64, partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    var acc = 0L
+    val expect = shapes.map { case (id, n) =>
+      val tok = if (n == 0) 1L else n.toLong // split("") -> [""] counts 1
+      val out = (id, tok, acc, acc / 64)
+      acc += tok
+      out
+    }
+    assert(got == expect)
+  }
+
   test("deterministic split/sample: stable, disjoint, fraction-accurate") {
     val ids = spark.range(20000).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
