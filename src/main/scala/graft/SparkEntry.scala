@@ -499,6 +499,13 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
         k = 3, threshold = 0.2)),
 
+    // exact-substring-dedup scoring surrogate: fraction of each doc's
+    // 5-token windows duplicated anywhere in the corpus (string-keyed for
+    // the oracle; production defaults to the hashed exchange)
+    "q_dedup_dupwindows" -> ((s, d) =>
+      Dedup.duplicatedWindowStats(t(s, d, "documents"), k = 5,
+        hashShingles = false)),
+
     // benchmark decontamination: docs vs a probe (benchmark) split of the
     // same table — per-doc shared-5-gram and probes-hit counts
     // (string-keyed so the DuckDB twin can reproduce it; production keys
@@ -1383,6 +1390,22 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter*1.0/(sa.sz+sb.sz-inter), 4) >= 0.2""".stripMargin,
+
+    // every occurrence of a 5-token window; n>=2 marks it duplicated
+    "q_dedup_dupwindows" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5] AS sh
+        |      FROM (SELECT doc_id, l, unnest(range(0, len(l)-4)) AS i
+        |            FROM base WHERE len(l) >= 5)
+        |      UNION ALL
+        |      SELECT doc_id, array_to_string(l, ' ') AS sh FROM base WHERE len(l) < 5),
+        |freq AS (SELECT sh, count(*) AS n FROM w GROUP BY sh),
+        |j AS (SELECT w.doc_id, f.n FROM w JOIN freq f USING (sh))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS windows_total,
+        |  CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS windows_dup,
+        |  round(count(CASE WHEN n >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     "q_sample_split" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n FROM (

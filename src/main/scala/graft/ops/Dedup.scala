@@ -407,6 +407,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-document duplicated-window coverage — the fixed-anchor-length
+    * surrogate for exact-substring (suffix-array) dedup scoring (Lee et
+    * al. 2021, arXiv:2107.06499, public construction): the fraction of a
+    * doc's k-token windows that occur at least twice ANYWHERE in the
+    * corpus, self-repeats included (the paper's any-other-position
+    * criterion). Docs above a coverage threshold are the substring-dup
+    * removal candidates.
+    *
+    * Scale shape: one shuffle on the window key — 8-byte xxhash64 by
+    * default (`hashShingles`; a collision adds a ~2^-64 false dup flag,
+    * the conservative direction; pass false for the string-keyed
+    * DuckDB-oracle-checkable form) — with map-side partial counts; the
+    * duplicated-window set then semi-joins back per occurrence. The
+    * window explosion feeds three plan branches, so it is persisted;
+    * use [[duplicatedWindowStatsReleasable]] in long-lived sessions.
+    *
+    * Returns (doc_id, windows_total, windows_dup, dup_frac).
+    */
+  def duplicatedWindowStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5,
+      hashShingles: Boolean = true): DataFrame =
+    duplicatedWindowStatsReleasable(docs, idCol, textCol, k, hashShingles)._1
+
+  def duplicatedWindowStatsReleasable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5,
+      hashShingles: Boolean = true): (DataFrame, () => Unit) = {
+    def sh(text: Column): Column =
+      if (hashShingles)
+        graft.functions.LshExpressions.shingleXxHashes(
+          TextOps.tokens(text), k, Long.MaxValue)
+      else shingles(text, k)
+    val w = docs.select(col(idCol).as("doc_id"), explode(sh(col(textCol))).as("w"))
+      .persist()
+    val dupSet = w.groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("w")
+    val dup = w.join(dupSet, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("windows_dup"))
+    val out = w.groupBy("doc_id").agg(count(lit(1)).as("windows_total"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("windows_total"),
+        coalesce(col("windows_dup"), lit(0L)).as("windows_dup"),
+        round(coalesce(col("windows_dup"), lit(0L)).cast("double") /
+          col("windows_total"), 4).as("dup_frac"))
+    (out, () => { w.unpersist(blocking = false); () })
+  }
+
   // --- duplicate clusters ----------------------------------------------------
 
   /** Connected components over an undirected near-dup pair list

@@ -275,6 +275,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L)._2 < 0.6)
   }
 
+  test("duplicatedWindowStats: planted shared/self-repeated windows; hashed == string-keyed") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-token window
+    val docs = Seq(
+      (1L, s"$shared zeta eta"),          // windows at pos 0..2; pos-0 shared with doc 2
+      (2L, s"intro words here now too $shared"),
+      (3L, "totally unique text with no repeats anywhere at all"),
+      (4L, s"$shared and filler then $shared")  // self-repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(3L)._2 == 0)                  // unique doc: no dup windows
+    assert(got(1L)._2 >= 1 && got(2L)._2 >= 1)
+    assert(got(4L)._2 >= 2)                  // both self-repeat occurrences count
+    // windows_total = n - k + 1
+    assert(got(1L)._1 == 3 && got(3L)._1 == 5)
+    // the hashed production path and the string-keyed oracle path agree
+    def rows(hashed: Boolean) =
+      Dedup.duplicatedWindowStats(docs, k = 5, hashShingles = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(rows(hashed = true) == rows(hashed = false))
+  }
+
   test("connectedComponents: chains, cliques, disjoint pairs → component-min reps") {
     // component {1,2,3,4} as a CHAIN (worst diameter for label propagation),
     // component {10,11,12} as a clique, isolated pair {20,21}
