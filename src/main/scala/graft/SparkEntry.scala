@@ -938,7 +938,52 @@ object SparkEntry {
         lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
         lit(".7 tel +1 415-555-"),
         (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")))
-        .as("redacted")))
+        .as("redacted"))),
+
+    // intra-document repeated-line removal over a lined view with planted
+    // self-duplicates (the cookie line reappears at the end of every doc;
+    // every third doc also repeats its own first chunk) — ZERO-shuffle
+    // map-side dedup, the within-doc complement of q_text_linededup
+    "q_text_linededup_intra" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("text").as("t0"))
+      val toks = split(col("t0"), " ")
+      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val lined = src.select(col("doc_id"),
+        concat(
+          lit("accept cookies terms\n"),
+          array_join(chunks, "\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("\n"), element_at(chunks, 1))).otherwise(lit("")),
+          lit("\naccept cookies terms")).as("text"))
+      lined.select(col("doc_id"),
+        md5(TextOps.intraDocLineDedup(col("text"))).as("fp"),
+        size(split(col("text"), "\n")).cast("long").as("n_before"),
+        size(array_distinct(split(col("text"), "\n"))).cast("long").as("n_after"))
+    }),
+
+    // domain-level quality rollup: per-source doc count + exact integer
+    // quality-tick sum + the keep/drop decision at mean ≥ 0.59
+    "q_text_domain_quality" -> ((s, d) =>
+      TextOps.domainQualityRollup(t(s, d, "documents"))
+        .withColumn("kept", col("sum_ticks") >= lit(5900L) * col("n_docs"))),
+
+    // ...and the applied filter: documents surviving domain-level curation
+    "q_text_domain_filter" -> ((s, d) =>
+      TextOps.domainQualityFilter(t(s, d, "documents"), 0.59)
+        .select("doc_id", "source")),
+
+    // ANN recall@10 evaluation: 8 query vectors through the exact path and
+    // the 8-bit multi-probe LSH path in one job each, per-query overlap
+    "q_sim_recall" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopKMulti(embs, queries, 10)
+      val approx = Similarity.lshTopKMulti(
+        Similarity.lshBuckets(embs, 8, 64), queries, 10, 8, 64)
+      Similarity.recallAtK(exact, approx, 10)
+    })
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -1228,6 +1273,57 @@ object SparkEntry {
        |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
        |FROM qdots d JOIN norms n ON n.vec_id = d.vec_id
        |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB twin of the recall@10 harness ([[Similarity.bruteForceTopKMulti]]
+    * vs [[Similarity.lshTopKMulti]]): one all-pairs cosine CTE serves both
+    * the exact ranking and the candidate re-rank (identical 6-decimal
+    * rounding, (cosine desc, vec_id) order), the probe set is each query's
+    * bucket plus its 8 Hamming-1 flips, and recall counts the overlap.
+    */
+  private def simRecallOracle: String =
+    s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+       |pl AS (SELECT ${planesSqlLit(8)} AS p),
+       |bs AS (SELECT unnest(range(1, 9)) AS b),
+       |sdots AS (SELECT v.vec_id, bs.b, sum(CAST(v.e AS DOUBLE) * p[bs.b][v.i]) AS d
+       |  FROM v, pl, bs GROUP BY v.vec_id, bs.b),
+       |buckets AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN 1<<(b-1) ELSE 0 END) AS bucket
+       |  FROM sdots GROUP BY vec_id),
+       |alld AS (SELECT q.vec_id AS q_id, a.vec_id,
+       |    round(sum(CAST(a.e AS DOUBLE)*q.e)/(na.nrm*nq.nrm), 6) AS cosine
+       |  FROM v a JOIN v q ON q.i = a.i AND q.vec_id < 8
+       |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nq ON nq.vec_id = q.vec_id
+       |  GROUP BY q.vec_id, a.vec_id, na.nrm, nq.nrm),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM alld) WHERE rn <= 10),
+       |probes AS (SELECT vec_id AS q_id, bucket AS pb FROM buckets WHERE vec_id < 8
+       |  UNION SELECT vec_id, xor(bucket, 1<<(b-1)) FROM buckets, bs WHERE vec_id < 8),
+       |cand AS (SELECT p.q_id, bb.vec_id FROM probes p JOIN buckets bb ON bb.bucket = p.pb),
+       |approx AS (SELECT q_id, vec_id FROM (
+       |  SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
+       |    ORDER BY a.cosine DESC, c.vec_id) AS rn
+       |  FROM cand c JOIN alld a ON a.q_id = c.q_id AND a.vec_id = c.vec_id) WHERE rn <= 10),
+       |m AS (SELECT e.q_id, count(ap.vec_id) AS nm
+       |  FROM exact e LEFT JOIN approx ap ON ap.q_id = e.q_id AND ap.vec_id = e.vec_id
+       |  GROUP BY e.q_id)
+       |SELECT q_id, CAST(nm AS BIGINT) AS n_matched, round(nm/10.0, 4) AS recall FROM m""".stripMargin
+
+  /** shared CTE chain for the domain-quality pair: per-doc integer quality
+    * ticks (the same floor-quantized score as [[qualityOracle]], kept as the
+    * raw integer) rolled up per source.
+    */
+  private def domainTicksCtes: String = {
+    val allStop = TextOps.Lexicons.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""f AS (SELECT doc_id, source, text, string_split_regex(lower(text),'\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, source, len(toks) AS n, length(text) AS L,
+       |  len(list_filter(toks, x -> list_contains($allStop, x))) AS stop_hits,
+       |  length(regexp_replace(text,'[^.,;:!?]','','g')) AS punct FROM f),
+       |ticks AS (SELECT doc_id, source,
+       |  CAST(floor((least(n*1.0/64, 1.0)*0.5 + round(stop_hits*1.0/greatest(n,1),4)*0.3 +
+       |        (1.0 - round(punct*1.0/greatest(L,1),4))*0.2)*10000) AS BIGINT) AS tk FROM g),
+       |roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS sum_ticks FROM ticks GROUP BY source)""".stripMargin
+  }
 
   /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
     * frame offsets span the REAL header-parsed duration (WAV: dataSize/
@@ -1784,6 +1880,37 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+[0-9][0-9 -]{6,13}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM documents WHERE doc_id < 200""".stripMargin
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q_text_linededup_intra" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    'accept cookies terms'||chr(10)||
+        |    array_to_string(cl, chr(10))||
+        |    CASE WHEN doc_id%3=0 THEN chr(10)||cl[1] ELSE '' END||
+        |    chr(10)||'accept cookies terms' AS text
+        |  FROM (SELECT doc_id, list_transform(range(0, CAST(ceil(len(l)/8.0) AS BIGINT)),
+        |      i -> array_to_string(l[i*8+1:i*8+8], ' ')) AS cl
+        |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+        |ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |  unnest(range(0, len(string_split(text, chr(10))))) AS pos FROM lined),
+        |firsts AS (SELECT doc_id, line, min(pos) AS pos FROM ls GROUP BY doc_id, line),
+        |agg AS (SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS fp,
+        |  count(*) AS n_after FROM firsts GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_before FROM ls GROUP BY doc_id)
+        |SELECT a.doc_id, a.fp, CAST(c.n_before AS BIGINT) AS n_before,
+        |  CAST(a.n_after AS BIGINT) AS n_after
+        |FROM agg a JOIN cnt c ON c.doc_id = a.doc_id""".stripMargin,
+
+    "q_text_domain_quality" ->
+      s"""WITH $domainTicksCtes
+         |SELECT source, n_docs, sum_ticks, (sum_ticks >= 5900*n_docs) AS kept FROM roll""".stripMargin,
+
+    "q_text_domain_filter" ->
+      s"""WITH $domainTicksCtes
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN roll r ON r.source = d.source AND r.sum_ticks >= 5900*r.n_docs""".stripMargin,
+
+    "q_sim_recall" -> simRecallOracle
   )
 }

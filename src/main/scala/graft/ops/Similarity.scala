@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -103,6 +104,106 @@ object Similarity {
       else qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))
     val cand = bucketed.filter(col("bucket").isInCollection(probes))
     bruteForceTopK(cand, query, k, idCol, vecCol)
+  }
+
+  // --- multi-query evaluation ----------------------------------------------
+  //
+  // An ANN index is only as good as its measured recall: these run MANY
+  // queries through the exact and the approximate path in ONE job each and
+  // score recall@k per query — the evaluation harness a production index
+  // ships with (the same public methodology as ann-benchmarks). The query
+  // set is small by nature (an evaluation sample), so it rides broadcast;
+  // the corpus is never replicated.
+
+  /** Exact top-k for a (small) DataFrame of query vectors in one corpus
+    * pass: broadcast the queries, score every (query, vector) pair with the
+    * codegen cosine kernel, then rank per query in TWO phases (per
+    * (q_id, salt) top-k, then exact top-k over the ≤ saltBuckets·k
+    * survivors — the [[graft.frontier.Politeness]] skew recipe): a
+    * single-phase `Window.partitionBy(q_id)` would funnel corpusSize rows
+    * per query through one task, which at 100 TB is the politeness hot-host
+    * problem all over again. Output: (q_id, idCol, cosine, rank).
+    */
+  def bruteForceTopKMulti(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      saltBuckets: Int = 16): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).cast("long").as("q_id"), col(vecCol).as("__q_vec")))
+    val scored = embeddings.crossJoin(q)
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("__q_vec")), 6).as("cosine"))
+    topKPerQuery(scored, k, idCol, saltBuckets)
+  }
+
+  /** LSH-accelerated top-k for a DataFrame of query vectors: bucket each
+    * query with the SAME planes as the corpus, expand its probe set (own
+    * bucket + all Hamming-1 neighbors, the [[lshTopK]] policy) columnar-ly,
+    * then one broadcast join probes→buckets prunes the corpus to candidates
+    * before the exact re-rank. The probe expansion is a literal-mask
+    * `transform` (probes are distinct by construction: flipping distinct
+    * bits of one bucket id can't collide), so no candidate dedup is needed.
+    */
+  def lshTopKMulti(
+      bucketed: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      saltBuckets: Int = 16): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val masks = array((0 until nBits).map(b => lit(1L << b)): _*)
+    val probed = queries.select(
+        col(idCol).cast("long").as("q_id"), col(vecCol).as("__q_vec"),
+        lshBucket(col(vecCol), planes).as("__qb"))
+      .select(col("q_id"), col("__q_vec"),
+        explode(concat(array(col("__qb")),
+          transform(masks, m => col("__qb").bitwiseXOR(m)))).as("bucket"))
+    val cand = bucketed.join(broadcast(probed), Seq("bucket"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("__q_vec")), 6).as("cosine"))
+    topKPerQuery(cand, k, idCol, saltBuckets)
+  }
+
+  /** two-phase per-query top-k over (q_id, idCol, cosine) rows; exact
+    * because the global top-k is contained in the union of per-salt top-ks.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
+      saltBuckets: Int): DataFrame = {
+    val order = Seq(col("cosine").desc, col(idCol).asc)
+    val phase1 = Window
+      .partitionBy(col("q_id"), pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col("q_id")).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1))
+      .filter(col("__r1") <= k).drop("__r1")
+      .withColumn("rank", row_number().over(phase2))
+      .filter(col("rank") <= k)
+  }
+
+  /** recall@k scoring: per query, |approx ∩ exact| / k. Inputs are the
+    * (q_id, idCol)-keyed outputs of the exact and approximate paths; the
+    * semi-join + count is exact because both sides rank with the identical
+    * deterministic (rounded cosine desc, id asc) total order. Queries whose
+    * approximate set misses everything still appear (n_matched = 0).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val matched = exact.select("q_id", idCol)
+      .join(approx.select("q_id", idCol), Seq("q_id", idCol), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("__m"))
+    exact.select("q_id").distinct()
+      .join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__m"), lit(0L)).as("n_matched"),
+        round(coalesce(col("__m"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
   }
 
   // --- IVF (inverted-file) coarse quantizer --------------------------------

@@ -201,6 +201,54 @@ object TextOps {
           s => s.getField("__line")), "\n").as(textCol))
   }
 
+  /** Within-document repeated-line removal, keeping the FIRST occurrence of
+    * every line — the intra-document half of boilerplate stripping (a page
+    * that repeats its own nav/footer block). Entirely map-side: split,
+    * order-preserving `array_distinct` (Spark keeps first occurrence),
+    * rejoin — ZERO shuffle, whole-stage codegen, so at 100 TB it costs one
+    * scan and composes freely with the corpus-wide [[lineDedup]] (which
+    * needs its frequency exchange; this one never does).
+    */
+  def intraDocLineDedup(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /** Domain-level quality rollup (the FineWeb/DCLM-style curation step:
+    * score domains, not just documents): per `domainCol`, the document
+    * count and the SUM of per-doc quality scores in integer ten-thousandths
+    * ("ticks"). Summing exact integer ticks instead of averaging doubles
+    * makes the rollup — and any threshold decision on it — bit-identical
+    * across summation orders and engines; the quantization is lossless
+    * because [[qualityFeatures]] floor-quantizes the score to 4 decimals.
+    * One shuffle keyed on the domain; at web scale the domain cardinality
+    * is ~10^7 — the rollup output is MBs where the corpus is TBs.
+    */
+  def domainQualityRollup(docs: DataFrame, textCol: String = "text",
+      domainCol: String = "source"): DataFrame =
+    qualityFeatures(docs, textCol)
+      .select(col(domainCol),
+        // score = k/10000 exactly (floor-quantized); +0.5-floor recovers k
+        // with ~1e-12 headroom — engine-invariant integer ticks
+        floor(col("quality_score") * 10000.0 + 0.5).cast("long").as("__ticks"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__ticks").as("sum_ticks"))
+
+  /** Drop every document whose DOMAIN's mean quality score falls below
+    * `minMeanScore` (quantized to ticks): integer cross-multiplied compare
+    * `sum_ticks ≥ round(minMeanScore·10⁴)·n_docs` — no double division, so
+    * the keep/drop decision is exact at the boundary. The surviving-domain
+    * set joins back as a left-semi; it is the post-aggregation rollup
+    * (runtime-tiny next to the corpus), so AQE plans the probe as a
+    * broadcast join — docs never reshuffle.
+    */
+  def domainQualityFilter(docs: DataFrame, minMeanScore: Double,
+      textCol: String = "text", domainCol: String = "source"): DataFrame = {
+    val thrTicks = math.round(minMeanScore * 10000.0)
+    val keep = domainQualityRollup(docs, textCol, domainCol)
+      .filter(col("sum_ticks") >= lit(thrTicks) * col("n_docs"))
+      .select(domainCol)
+    docs.join(keep, Seq(domainCol), "left_semi")
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses and
     * phone-shaped numbers become typed placeholder tokens. Pure
     * regexp_replace chain (codegen'd, map-side, no shuffle); the patterns

@@ -570,6 +570,49 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(0) == r.getString(1),
       s"got '${r.getString(0)}', want '${r.getString(1)}'"))
   }
+
+  test("multi-query exact top-k equals the single-query path per query") {
+    val queries = embs.filter($"vec_id" < 4)
+    val multi = Similarity.bruteForceTopKMulti(embs, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    for (qid <- 0L until 4L) {
+      val q = embs.filter($"vec_id" === qid)
+        .select(transform($"embedding", x => x.cast("double"))).head().getSeq[Double](0)
+      val single = Similarity.bruteForceTopK(embs, q, 5).collect()
+      assert(single.zipWithIndex.forall { case (r, i) =>
+        multi((qid, r.getLong(0))) == ((r.getDouble(1), i + 1))
+      }, s"query $qid: multi disagrees with single")
+    }
+    // every query's own vector is its rank-1 with cosine 1.0
+    for (qid <- 0L until 4L) assert(multi((qid, qid)) == ((1.0, 1)))
+  }
+
+  test("multi-query LSH top-k equals the single-query path; recall@k scores overlap") {
+    val dim = embs.select(size($"embedding")).head().getInt(0)
+    val bucketed = Similarity.lshBuckets(embs, 8, dim)
+    val queries = embs.filter($"vec_id" < 4)
+    val multi = Similarity.lshTopKMulti(bucketed, queries, 5, 8, dim)
+    val multiSets = multi.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSet }
+    for (qid <- 0L until 4L) {
+      val q = embs.filter($"vec_id" === qid)
+        .select(transform($"embedding", x => x.cast("double"))).head().getSeq[Double](0)
+      val single = Similarity.lshTopK(bucketed, q, 5, 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(multiSets(qid) == single, s"query $qid: LSH multi != single")
+    }
+    // recall of the exact path against itself is 1.0 for every query;
+    // recall of LSH against exact is in [0, 1] and self-match guarantees > 0
+    val exact = Similarity.bruteForceTopKMulti(embs, queries, 5)
+    val self = Similarity.recallAtK(exact, exact, 5).collect()
+    assert(self.length == 4 && self.forall(r => r.getDouble(2) == 1.0))
+    val rec = Similarity.recallAtK(exact, multi, 5).collect()
+    assert(rec.length == 4 &&
+      rec.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 5L))
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite {
@@ -640,6 +683,46 @@ class TextOpsSpec extends AnyFunSuite {
         TextOps.bpeishTokenCount($"text").as("bpe")).collect()(0)
     assert(out.getInt(0) == 4)
     assert(out.getInt(1) == 8) // don ' t | stop , | believing | 123 ! => 8
+  }
+
+  test("intraDocLineDedup keeps the FIRST occurrence, preserves order, zero shuffle") {
+    val out = Seq(
+      "nav\nbody one\nnav\nbody two\nnav",      // interleaved repeats
+      "a\na\na",                                 // all same
+      "only line",                               // nothing to do
+      "x\ny\nx\ny"                               // pairwise repeats
+    ).toDF("text").select(TextOps.intraDocLineDedup($"text").as("t"))
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("nav\nbody one\nbody two", "a", "only line", "x\ny"))
+    // map-side only: no Exchange anywhere in the plan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.intraDocLineDedup($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("domain quality: integer tick rollup is exact; filter drops whole domains") {
+    // goodhost docs score high (stopword-rich, long); badhost docs score low
+    val good = "the cat is in the house and it is fine for the dog to stay " * 4
+    val bad = "!!!!! ..... ;;;;; :::::"
+    val docs = (0L until 6L).map(i => (i, good, "goodhost")) ++
+      (6L until 12L).map(i => (i, bad, "badhost"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val roll = TextOps.domainQualityRollup(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(roll("goodhost")._1 == 6L && roll("badhost")._1 == 6L)
+    // identical docs ⇒ sum_ticks divisible by the count (exact integers)
+    assert(roll("goodhost")._2 % 6 == 0 && roll("badhost")._2 % 6 == 0)
+    assert(roll("goodhost")._2 > roll("badhost")._2)
+    // threshold between the two means keeps exactly the good domain
+    val midTicks = (roll("goodhost")._2 + roll("badhost")._2) / 12.0 / 10000.0
+    val kept = TextOps.domainQualityFilter(df, midTicks)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 6L).toSet)
+    // boundary is inclusive: threshold exactly at the good mean still keeps it
+    val atMean = TextOps.domainQualityFilter(df, roll("goodhost")._2 / 6.0 / 10000.0)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(atMean == Set("goodhost"))
   }
 }
 
