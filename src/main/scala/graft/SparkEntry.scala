@@ -8,7 +8,7 @@ import graft.corpus.SyntheticCorpus
 import graft.crawl.CrawlSession
 import graft.model._
 import graft.model.Extraction._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2) over
   * the driver's parquet tables, each with a DuckDB-equivalent oracle SQL.
@@ -983,6 +983,33 @@ object SparkEntry {
       val approx = Similarity.lshTopKMulti(
         Similarity.lshBuckets(embs, 8, 64), queries, 10, 8, 64)
       Similarity.recallAtK(exact, approx, 10)
+    }),
+
+    // CCNet-style unigram LM surprisal: corpus-trained token log-probs in
+    // exact integer millionths, vocab cut at freq ≥ 2 (rarer tokens score
+    // the ln(total) OOV floor)
+    "q_text_lm_surprisal" -> ((s, d) =>
+      TextOps.lmSurprisal(t(s, d, "documents"), minTokenFreq = 2L)),
+
+    // ...and the head/middle/tail perplexity bucketing over those scores
+    // (exact decimal(38,0) cross-multiplied boundaries). Tail factor 51/50:
+    // the synthetic corpus is homogeneous (max doc/corpus surprisal ratio
+    // ~1.09), so the real-data default 5/4 would leave the tail branch
+    // unexercised
+    "q_text_perplexity" -> ((s, d) =>
+      TextOps.perplexityBuckets(t(s, d, "documents"), minTokenFreq = 2L,
+        tailNum = 51, tailDen = 50)),
+
+    // integer PageRank (3 iterations) over a 500-node link graph derived
+    // deterministically from doc_ids — the frontier-prioritization signal
+    "q_graph_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+      val e1 = docs.select((col("doc_id") % 500).as("src"),
+        ((col("doc_id") * 31 + 7) % 500).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 500).as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"))
+      GraphOps.pageRank(e1.unionByName(e2), iterations = 3)
     })
   )
 
@@ -1323,6 +1350,55 @@ object SparkEntry {
        |        (1.0 - round(punct*1.0/greatest(L,1),4))*0.2)*10000) AS BIGINT) AS tk FROM g),
        |roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(tk) AS BIGINT) AS sum_ticks FROM ticks GROUP BY source)""".stripMargin
+  }
+
+  /** shared CTE chain for the LM-surprisal pair ([[TextOps.lmSurprisal]]
+    * twin): corpus unigram counts → per-token surprisal in integer
+    * millionths (vocab cut at freq ≥ 2, OOV floor = ln(total)) → per-doc
+    * integer sums. The ln quantization matches Spark bit-for-bit at 1e-6
+    * granularity (identical double division then floor(x·10⁶+0.5)).
+    */
+  private def lmTicksCtes: String =
+    s"""tk AS (SELECT doc_id, unnest(string_split_regex(lower(text),'\\s+')) AS tok FROM documents),
+       |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(c) AS total FROM cnt),
+       |voc AS (SELECT tok, CAST(floor(-ln(c*1.0/total)*1e6 + 0.5) AS BIGINT) AS ticks
+       |  FROM cnt, tot WHERE c >= 2),
+       |sctok AS (SELECT t.doc_id,
+       |  COALESCE(v.ticks, CAST(floor(ln(tot.total*1.0)*1e6 + 0.5) AS BIGINT)) AS tix
+       |  FROM tk t CROSS JOIN tot LEFT JOIN voc v ON v.tok = t.tok),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tix) AS BIGINT) AS surprisal_ticks FROM sctok GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.GraphOps.pageRank]] (3 iterations unrolled —
+    * recursive CTEs can't aggregate over the recursive table): the identical
+    * integer arithmetic — start ⌊10¹²/N⌋, teleport ⌊3·10¹²/(20N)⌋,
+    * contribution ⌊rank/deg⌋, damped ⌊17·Σ/20⌋ — over the same
+    * doc_id-derived 500-node edge list.
+    */
+  private def pagerankOracle: String = {
+    def step(prev: String, s: String, r: String): String =
+      s"""$s AS (SELECT e.dst AS node, sum(CAST(floor(p.rank*1.0/d.d) AS BIGINT)) AS c
+         |  FROM $prev p JOIN ed e ON e.src = p.node JOIN deg d ON d.node = e.src
+         |  GROUP BY e.dst),
+         |$r AS (SELECT nd.node,
+         |  CAST(floor(3000000000000.0/(20*nn.n)) AS BIGINT) +
+         |  CAST(floor((17*COALESCE($s.c, 0))/20.0) AS BIGINT) AS rank
+         |  FROM nd CROSS JOIN nn LEFT JOIN $s ON $s.node = nd.node)""".stripMargin
+    s"""WITH ed0 AS (
+       |  SELECT doc_id%500 AS src, (doc_id*31+7)%500 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id%500, (doc_id*17+3)%500 FROM documents WHERE doc_id%3 = 0),
+       |ed AS (SELECT DISTINCT src, dst FROM ed0),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |deg AS (SELECT src AS node, count(*) AS d FROM ed GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nd),
+       |r0 AS (SELECT node, CAST(floor(1000000000000.0/n) AS BIGINT) AS rank
+       |  FROM nd CROSS JOIN nn),
+       |${step("r0", "s1", "r1")},
+       |${step("r1", "s2", "r2")},
+       |${step("r2", "s3", "r3")}
+       |SELECT node, rank FROM r3""".stripMargin
   }
 
   /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
@@ -1911,6 +1987,22 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |JOIN roll r ON r.source = d.source AND r.sum_ticks >= 5900*r.n_docs""".stripMargin,
 
-    "q_sim_recall" -> simRecallOracle
+    "q_sim_recall" -> simRecallOracle,
+
+    "q_text_lm_surprisal" ->
+      s"""WITH $lmTicksCtes
+         |SELECT doc_id, n_tokens, surprisal_ticks FROM perdoc""".stripMargin,
+
+    "q_text_perplexity" ->
+      s"""WITH $lmTicksCtes,
+         |co AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS N,
+         |  CAST(sum(surprisal_ticks) AS HUGEINT) AS T FROM perdoc)
+         |SELECT doc_id, n_tokens, surprisal_ticks,
+         |  CASE WHEN CAST(surprisal_ticks AS HUGEINT)*N <= T*n_tokens THEN 'head'
+         |       WHEN CAST(surprisal_ticks AS HUGEINT)*N*50 <= T*n_tokens*51 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM perdoc CROSS JOIN co""".stripMargin,
+
+    "q_graph_pagerank" -> pagerankOracle
   )
 }

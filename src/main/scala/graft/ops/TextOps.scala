@@ -249,6 +249,71 @@ object TextOps {
     docs.join(keep, Seq(domainCol), "left_semi")
   }
 
+  /** Unigram language-model surprisal scoring — the CCNet-style perplexity
+    * filter (Wenzek et al. 2020) with the LM trained ON the corpus itself:
+    * per token, surprisal = −ln(count/total) quantized to integer millionths
+    * ("ticks", exact at 1e-6 with ~1e-10 ulp headroom per distinct token);
+    * per document, the COUNT of tokens and the SUM of ticks. Summing exact
+    * integers makes the per-doc score order-invariant — a double log-prob
+    * sum would differ across partition orders and engines.
+    *
+    * Tokens rarer than `minTokenFreq` fall out of the vocabulary and score
+    * as out-of-vocabulary at the maximum surprisal ln(total) — the standard
+    * OOV floor, and the thing that bounds the vocabulary at web scale
+    * (unique typos/URLs are ~half of all distinct tokens).
+    *
+    * Scale shape: one token-keyed shuffle builds the counts (map-side
+    * partial agg); the frequency-cut vocabulary is orders smaller than the
+    * corpus, so AQE broadcasts it into the scoring join; one doc-keyed
+    * shuffle sums the integer ticks. The 1-row total rides an explicit
+    * broadcast. Returns (idCol, n_tokens, surprisal_ticks).
+    */
+  def lmSurprisal(docs: DataFrame, minTokenFreq: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val totalDf = counts.agg(sum("__cnt").as("__total"))
+    val vocab = counts.filter(col("__cnt") >= minTokenFreq)
+      .crossJoin(broadcast(totalDf))
+      .select(col("__tok"), floor(
+        -log(col("__cnt").cast("double") / col("__total")) * 1e6 + 0.5)
+        .cast("long").as("__ticks"))
+    toks.crossJoin(broadcast(totalDf))
+      .join(vocab, Seq("__tok"), "left")
+      .select(col(idCol), coalesce(col("__ticks"),
+        floor(log(col("__total").cast("double")) * 1e6 + 0.5).cast("long"))
+        .as("__t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__t").as("surprisal_ticks"))
+  }
+
+  /** CCNet head/middle/tail perplexity bucketing over [[lmSurprisal]]
+    * scores: a document is `head` when its mean per-token surprisal is at
+    * most the corpus mean, `tail` when it exceeds `tailNum/tailDen` × the
+    * corpus mean (default 5/4), `middle` between. Every compare is an
+    * integer cross-multiplication in decimal(38,0) — no division, so the
+    * bucket boundary is exact and cluster-size-invariant even where BIGINT
+    * would overflow (corpus tick totals reach ~2×10²⁰ at 100 TB; the
+    * decimal(38,0) products cap at ~10³⁴). The corpus totals are a 1-row
+    * aggregate riding an explicit broadcast — the corpus is scanned by
+    * [[lmSurprisal]] and never reshuffled here.
+    */
+  def perplexityBuckets(docs: DataFrame, minTokenFreq: Long = 1L,
+      tailNum: Int = 5, tailDen: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = lmSurprisal(docs, minTokenFreq, idCol, textCol)
+    val corpus = scored.agg(
+      sum("n_tokens").as("__N"), sum("surprisal_ticks").as("__T"))
+    val dec = "decimal(38,0)"
+    val docSide = col("surprisal_ticks").cast(dec) * col("__N").cast(dec)
+    val corpusSide = col("__T").cast(dec) * col("n_tokens").cast(dec)
+    scored.crossJoin(broadcast(corpus))
+      .select(col(idCol), col("n_tokens"), col("surprisal_ticks"),
+        when(docSide <= corpusSide, "head")
+          .when(docSide * lit(tailDen) <= corpusSide * lit(tailNum), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses and
     * phone-shaped numbers become typed placeholder tokens. Pure
     * regexp_replace chain (codegen'd, map-side, no shuffle); the patterns

@@ -724,6 +724,71 @@ class TextOpsSpec extends AnyFunSuite {
       .select("source").distinct().collect().map(_.getString(0)).toSet
     assert(atMean == Set("goodhost"))
   }
+
+  test("lmSurprisal: hand-computed integer ticks; count-1 vocab cut is a no-op") {
+    // corpus "a a b" / "a c": total 5, counts a=3 b=1 c=1
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val tickA = math.floor(-math.log(3.0 / 5) * 1e6 + 0.5).toLong // 510826
+    val tickRare = math.floor(math.log(5.0) * 1e6 + 0.5).toLong   // 1609438
+    val got = TextOps.lmSurprisal(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 2 * tickA + tickRare)))
+    assert(got(2L) == ((2L, tickA + tickRare)))
+    // cutting count-1 tokens cannot change anything: their in-vocab tick
+    // −ln(1/total) IS the OOV floor ln(total)
+    val cut = TextOps.lmSurprisal(df, minTokenFreq = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cut == got)
+  }
+
+  test("perplexityBuckets: common-token docs head, rare-token docs tail; boundary exact") {
+    // 8 docs of pure filler + 1 doc of singletons: filler docs sit BELOW
+    // the corpus mean (head), the singleton doc far above (tail)
+    val docs = (0L until 8L).map(i => (i, "w w w w w w w w")) :+
+      (8L, "q0 q1 q2 q3 q4 q5 q6 q7")
+    val out = TextOps.perplexityBuckets(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((0L until 8L).forall(out(_) == "head"), out.toString)
+    assert(out(8L) == "tail")
+    // identical docs all land in the same bucket (exact integer compare —
+    // no float-mean ties straddling the boundary)
+    assert(out.filter(_._1 < 8).values.toSet.size == 1)
+  }
+}
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: 3-cycle is a fixed point of the exact integer iteration") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // start ⌊1e12/3⌋; each iteration: ⌊3e12/60⌋ + ⌊17·333333333333/20⌋
+    // = 50000000000 + 283333333333 = the start value again
+    assert(r == Map(0L -> 333333333333L, 1L -> 333333333333L, 2L -> 333333333333L))
+  }
+
+  test("pageRank: star accrues rank at the hub, exact hand-computed integers") {
+    val edges = Seq((1L, 0L), (2L, 0L), (0L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val base = 50000000000L // ⌊3e12/(20·3)⌋
+    assert(r(0L) == base + 17L * (2 * 333333333333L) / 20) // two inbound
+    assert(r(1L) == base + 17L * 333333333333L / 20)
+    assert(r(2L) == base)                                  // dangling inbound none
+  }
+
+  test("pageRank is invariant under input partitioning (integer sums)") {
+    val edges = (0L until 300L).map(i => (i % 40, (i * 13 + 5) % 40)).toDF("src", "dst")
+    val a = GraphOps.pageRank(edges, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges.repartition(17), 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+    // mass sanity: floors only shave ticks, never add
+    assert(a.values.sum <= 1000000000000L && a.values.sum > 900000000000L)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
