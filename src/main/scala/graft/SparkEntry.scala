@@ -8,7 +8,7 @@ import graft.corpus.SyntheticCorpus
 import graft.crawl.CrawlSession
 import graft.model._
 import graft.model.Extraction._
-import graft.ops.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2) over
   * the driver's parquet tables, each with a DuckDB-equivalent oracle SQL.
@@ -1010,7 +1010,36 @@ object SparkEntry {
         .select((col("doc_id") % 500).as("src"),
           ((col("doc_id") * 17 + 3) % 500).as("dst"))
       GraphOps.pageRank(e1.unionByName(e2), iterations = 3)
-    })
+    }),
+
+    // gap-based sessionization over the events log via native
+    // session_window; 8-hour gap (the synthetic log's median per-user gap
+    // is ~7.7 h, so sessions genuinely merge AND split)
+    "q_event_sessionize" -> ((s, d) =>
+      EventOps.sessionize(t(s, d, "events"), gapSeconds = 28800L)),
+
+    // RAG-style fixed-size chunking: 32-token windows, 8-token overlap,
+    // map-side only
+    "q_text_chunks" -> ((s, d) =>
+      TextOps.chunkDocuments(t(s, d, "documents").filter(col("doc_id") < 200),
+        chunkTokens = 32, overlapTokens = 8)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))),
+
+    // ordered view→click→purchase funnel, strictly-increasing event times;
+    // restricted to the log prefix so step counts genuinely decay (the
+    // full log saturates: every user eventually completes)
+    "q_event_funnel" -> ((s, d) =>
+      EventOps.funnel(t(s, d, "events").filter(col("event_id") < 1000),
+        Seq("view", "click", "purchase"))),
+
+    // day-grain cohort retention over the full event log
+    "q_event_retention" -> ((s, d) => EventOps.retention(t(s, d, "events"))),
+
+    // JSON property extraction ($.k) + per-type integer stats
+    "q_event_json" -> ((s, d) => EventOps.jsonPropStats(t(s, d, "events"))),
+
+    // exact lower median / lower p90 of value in integer cents per type
+    "q_event_quantiles" -> ((s, d) => EventOps.valueQuantiles(t(s, d, "events")))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -2003,6 +2032,83 @@ object SparkEntry {
          |       ELSE 'tail' END AS bucket
          |FROM perdoc CROSS JOIN co""".stripMargin,
 
-    "q_graph_pagerank" -> pagerankOracle
+    "q_graph_pagerank" -> pagerankOracle,
+
+    // lag + conditional cumulative sum replays Spark's session-window
+    // semantics: per-event windows [t, t+gap] merge when they touch, so
+    // only a gap STRICTLY GREATER than 28800 s starts a new session; all
+    // time math in integer µs
+    "q_event_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |lagd AS (SELECT user_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
+        |flg AS (SELECT user_id, us,
+        |  CASE WHEN pus IS NULL OR us - pus > 28800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM lagd),
+        |sess AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
+        |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flg)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(text,'\s+') AS l
+        |  FROM documents WHERE doc_id < 200),
+        |ch AS (SELECT doc_id, list_transform(
+        |    range(0, greatest(CAST(ceil((len(l)-8)/24.0) AS BIGINT), 1)),
+        |    i -> array_to_string(l[i*24+1:i*24+32], ' ')) AS cl FROM base),
+        |u AS (SELECT doc_id, unnest(range(0, len(cl))) AS chunk_idx,
+        |  unnest(cl) AS chunk_text FROM ch)
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |  CAST(len(string_split_regex(chunk_text,'\s+')) AS BIGINT) AS chunk_tokens
+        |FROM u""".stripMargin,
+
+    // sequential min-filter CTEs = the greedy earliest-qualifying funnel
+    // (step i+1 strictly after step i's chosen time), all in integer µs
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_id < 1000 AND event_type IN ('view','click','purchase')),
+        |s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type='view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 ON e.user_id=s1.user_id
+        |  WHERE e.event_type='click' AND e.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 ON e.user_id=s2.user_id
+        |  WHERE e.event_type='purchase' AND e.us > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |WHERE users > 0""".stripMargin,
+
+    // integer day arithmetic: // floors, Spark div truncates — equal on
+    // the non-negative epoch range
+    "q_event_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d),
+        |u AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset, user_id FROM f)
+        |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS active_users
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q_event_json" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events)
+        |SELECT event_type, CAST(count(v) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // lower median = rank (n+1)//2, lower p90 = rank (9n+9)//10 of the
+    // (cents, event_id)-sorted group; cents = floor(value*100 + 0.5) in
+    // IEEE double, bit-identical both engines
+    "q_event_quantiles" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id FROM events),
+        |r AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n+1)//2 THEN cents END) AS median_cents,
+        |  max(CASE WHEN rn = (9*n+9)//10 THEN cents END) AS p90_cents
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

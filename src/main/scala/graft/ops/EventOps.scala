@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the crawl/usage event log. The reference
+  * stores raw crawl events and leaves analysis to Elasticsearch queries
+  * (`ScrapingTransformer.java` writes per-access docs); here the engine
+  * owns the canonical first step — gap-based sessionization — as a batch
+  * operator built on Spark's native `session_window`, which is the same
+  * construct Structured Streaming executes incrementally with watermark
+  * state, so the batch and streaming forms share semantics by definition.
+  */
+object EventOps {
+
+  /** Gap-based sessionization: consecutive events of one user belong to
+    * the same session while the gap to the previous event is at most
+    * `gapSeconds` (Spark session-window semantics — per-event windows
+    * `[t, t+gap]` merge when they touch, so an event EXACTLY `gapSeconds`
+    * after its predecessor still extends the session; only a strictly
+    * larger gap starts a new one). Returns one row per session:
+    * (userCol, start_us, end_us, n_events) with microsecond-exact integer
+    * bounds (`unix_micros` — no float time arithmetic, so results are
+    * bit-identical across engines and partitionings; ties in ts can't
+    * flip anything: a zero gap is always the same session and
+    * min/max/count are order-invariant).
+    *
+    * Scale shape: ONE shuffle keyed on the user (the session windows are
+    * derived by an in-partition sort-merge, not a second exchange). The
+    * per-user partition is the inherent sequential unit of sessionization;
+    * a pathological single user with billions of events would need a
+    * (user, time-bucket) pre-split with boundary-session merge — not done
+    * here because real event logs bound per-user volume, and the streaming
+    * form bounds state by watermark instead.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events
+      // parquet event times arrive as TIMESTAMP_NTZ; with the engine-wide
+      // UTC session zone this cast is wall-clock exact, and unix_micros /
+      // session_window require TIMESTAMP
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_micros(col("__w.start")).as("start_us"),
+        // session_window.end = last event + gap; subtract it back so the
+        // bound is the last OBSERVED event, exact in integer µs
+        (unix_micros(col("__w.end")) - gapSeconds * 1000000L).as("end_us"),
+        col("n_events"))
+
+  /** Ordered funnel: for each user, greedily match `steps` in event-time
+    * order — step i+1 must occur STRICTLY after the chosen occurrence of
+    * step i (equal timestamps never advance the funnel, so the result is
+    * independent of tie order). The greedy walk picks the EARLIEST
+    * qualifying time at every step, which is equivalent to the sequential
+    * min-filter definition (t₁ = min time of step 1; tᵢ = min time of
+    * step i strictly after tᵢ₋₁) — the standard conversion-maximizing
+    * funnel. Returns one row per reached step:
+    * (step 1-based, event_type, users).
+    *
+    * Scale shape: non-step events are filtered BEFORE the one per-user
+    * shuffle; the fold over each user's sorted events is a codegen'd
+    * `aggregate` HOF (state = (steps-completed, last-time), O(events)
+    * per user, no driver loop); the per-step rollup aggregates k ≤ |steps|
+    * rows per user map-side. Per-user event lists bound the collect_list —
+    * the same inherent sequential unit as [[sessionize]].
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val perUser = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), unix_micros(col(tsCol)).as("us"),
+        col(typeCol).as("et"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("us"), col("et")))).as("evs"))
+    val completed = perUser.select(
+      aggregate(col("evs"),
+        struct(lit(0).as("c"), lit(Long.MinValue).as("t")),
+        (st, e) => when(
+          st.getField("c") < k &&
+            e.getField("et") === element_at(stepsArr, st.getField("c") + 1) &&
+            e.getField("us") > st.getField("t"),
+          struct((st.getField("c") + 1).as("c"), e.getField("us").as("t")))
+          .otherwise(st),
+        st => st.getField("c")).as("completed"))
+    completed.filter(col("completed") > 0)
+      .select(explode(sequence(lit(1), col("completed"))).as("step"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("users"))
+      .select(col("step").cast("long").as("step"),
+        element_at(stepsArr, col("step")).as("event_type"), col("users"))
+  }
+
+  /** Cohort retention: each user's cohort is the UTC day of their first
+    * event; for every (cohort_day, day_offset) cell, the count of cohort
+    * users active on cohort_day + day_offset. Day arithmetic is integer
+    * µs-since-epoch div 86400e6 (`div` — truncating, equal to floor for
+    * the non-negative epoch range; DuckDB `//` floors, identical here), so
+    * cells are engine-exact. Returns (cohort_day, day_offset,
+    * active_users); day_offset 0 row = cohort size.
+    *
+    * Scale shape: the first-event day is a window min over the same
+    * user-hash shuffle that the day-projection already needs — ONE
+    * exchange, no self-join; the per-cell distinct-user count then
+    * aggregates (cohort_day, offset, user) triples with map-side partial
+    * dedup. Cohort × offset output is tiny relative to input.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .select(col(userCol),
+        expr(s"unix_micros(`$tsCol`) div 86400000000").as("day"))
+    days
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col(userCol))))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col(userCol))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Typed stats over a JSON event-property (the reference stores arbitrary
+    * crawl metadata as JSON in each ES doc — this is the engine-side
+    * projection of such a field): extract `$.path` from `propsCol` as a
+    * long and aggregate per event type. `get_json_object` is Catalyst's
+    * codegen'd JSON path evaluator — no UDF, pushdown-friendly column
+    * pruning on the scan. Returns (event_type, n, sum_v, min_v, max_v);
+    * integer sums are exact across engines.
+    */
+  def jsonPropStats(events: DataFrame, path: String = "$.k",
+      propsCol: String = "props", typeCol: String = "event_type"): DataFrame =
+    events
+      .select(col(typeCol),
+        get_json_object(col(propsCol), path).cast("long").as("v"))
+      .groupBy(col(typeCol))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  /** Exact per-group quantiles of `valueCol` in integer cents (lower
+    * median and lower p90: the element at 1-based rank ⌈n/2⌉ resp.
+    * ⌈9n/10⌉ of the (cents, event_id)-sorted group — ranks computed with
+    * integer arithmetic, `(n+1) div 2` and `(9n+9) div 10`, so the chosen
+    * element is engine-exact; cents = floor(value·100 + 0.5), identical
+    * IEEE double rounding both sides). No approx-percentile sketch:
+    * cross-engine hash-exactness requires picking a real element
+    * deterministically.
+    *
+    * Scale shape: one sort-shuffle per group (the window), then a
+    * conditional-max rollup that collapses map-side. For groups too large
+    * to sort, the scale path is two-pass: a cents-histogram aggregate
+    * (cents cardinality ≤ 10⁴·max_value) then rank lookup — same answer,
+    * no global sort; not needed at this cardinality.
+    */
+  def valueQuantiles(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val cents = events.select(col(typeCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"), col(idCol))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("cents"), col(idCol))
+    cents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(typeCol))))
+      .groupBy(col(typeCol))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("median_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"))
+  }
+}

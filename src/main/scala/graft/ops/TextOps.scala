@@ -212,6 +212,35 @@ object TextOps {
   def intraDocLineDedup(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
+  /** Fixed-size document chunking with overlap — the RAG/long-context
+    * preparation step: each document's whitespace tokens split into
+    * `chunkTokens`-token windows advancing by `chunkTokens − overlapTokens`
+    * (the last chunk may be shorter; a doc shorter than one chunk yields
+    * itself). Entirely map-side — `transform`/`sequence`/`slice` over the
+    * token array then one `posexplode` — zero shuffle, whole-stage codegen,
+    * so at 100 TB it costs one scan and the output order is a pure function
+    * of the input row. Unlike [[Sampling.packSequences]] (corpus-level
+    * concat-and-chunk for training sequences), chunks here never cross
+    * document boundaries. Returns (idCol, chunk_idx, chunk_text,
+    * chunk_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(col(textCol), "\\s+")
+    val n = size(toks)
+    val nChunks = greatest(
+      ceil((n - lit(overlapTokens)) / lit(stride.toDouble)).cast("int"), lit(1))
+    docs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens",
+        size(split(col("chunk_text"), "\\s+")).cast("long"))
+  }
+
   /** Domain-level quality rollup (the FineWeb/DCLM-style curation step:
     * score domains, not just documents): per `domainCol`, the document
     * count and the SUM of per-doc quality scores in integer ten-thousandths

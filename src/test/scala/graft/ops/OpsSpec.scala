@@ -725,6 +725,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(atMean == Set("goodhost"))
   }
 
+  test("chunkDocuments: stride/overlap hand-check, short docs, zero shuffle") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // stride 3: [t1..t4], [t4..t7], [t7..t10] — exactly covers, overlap 1
+    assert(got((1L, 0)) == (("t1 t2 t3 t4", 4L)))
+    assert(got((1L, 1)) == (("t4 t5 t6 t7", 4L)))
+    assert(got((1L, 2)) == (("t7 t8 t9 t10", 4L)))
+    assert(!got.contains((1L, 3)))
+    // docs shorter than one chunk come through whole
+    assert(got((2L, 0)) == (("a b", 2L)) && got((3L, 0)) == (("solo", 1L)))
+    // every token index appears in some chunk (coverage, no gaps)
+    val covered = got.collect { case ((1L, _), (text, _)) => text.split(" ") }
+      .flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // map-side only: no Exchange in the plan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .transform(d => TextOps.chunkDocuments(d, 32, 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lmSurprisal: hand-computed integer ticks; count-1 vocab cut is a no-op") {
     // corpus "a a b" / "a c": total 5, counts a=3 b=1 c=1
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
@@ -753,6 +776,111 @@ class TextOpsSpec extends AnyFunSuite {
     // identical docs all land in the same bucket (exact integer compare —
     // no float-mean ties straddling the boundary)
     assert(out.filter(_._1 < 8).values.toSet.size == 1)
+  }
+}
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(user: Long, us: Long) =
+    (user, new java.sql.Timestamp(us / 1000) match {
+      case t => { t.setNanos(((us % 1000000) * 1000).toInt); t }
+    })
+
+  test("sessionize: exact-gap extends the session; gap+1µs starts a new one") {
+    val gapUs = 10L * 1000000
+    val rows = Seq(
+      ev(1L, 0), ev(1L, gapUs - 1),          // same session (gap − 1 µs)
+      ev(1L, 2 * gapUs - 1),                 // exactly gap after prev → MERGES
+      ev(1L, 3 * gapUs),                     // gap + 1 µs after prev → NEW
+      ev(2L, 5)                              // other user, own session
+    ).toDF("user_id", "ts")
+    val got = EventOps.sessionize(rows, gapSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 2 * gapUs - 1, 3L),
+      (1L, 3 * gapUs, 3 * gapUs, 1L),
+      (2L, 5L, 5L, 1L)), got.toString)
+  }
+
+  test("sessionize is invariant under input partitioning and ordering") {
+    val rows = (0L until 400L)
+      .map(i => ev(i % 7, i * 997 * 1000000 % 86400000000L)).toDF("user_id", "ts")
+    val a = EventOps.sessionize(rows, 1800).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = EventOps.sessionize(rows.orderBy(rand(7)).repartition(13), 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+    // per-user event conservation
+    val n = EventOps.sessionize(rows, 1800)
+      .groupBy("user_id").sum("n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 400L).groupBy(_ % 7).map { case (u, xs) => u -> xs.size.toLong }
+    assert(n == want)
+  }
+
+  private def evt(user: Long, us: Long, et: String) = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    (user, t, et)
+  }
+
+  test("funnel: strict ordering, same-µs never advances, greedy earliest step time") {
+    val rows = Seq(
+      // user 1: full conversion in order
+      evt(1L, 10, "view"), evt(1L, 20, "click"), evt(1L, 30, "purchase"),
+      // user 2: click BEFORE view → stops at view
+      evt(2L, 10, "click"), evt(2L, 20, "view"),
+      // user 3: click at the SAME µs as the view → tie never advances
+      evt(3L, 10, "view"), evt(3L, 10, "click"), evt(3L, 30, "purchase"),
+      // user 4: greedy uses the EARLIEST view (t=5), so the t=8 click counts
+      evt(4L, 5, "view"), evt(4L, 8, "click"), evt(4L, 100, "view"),
+      // user 5: no step-1 event at all
+      evt(5L, 10, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(rows, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "view") -> 4L, (2L, "click") -> 2L,
+      (3L, "purchase") -> 1L), got.toString)
+  }
+
+  test("retention: cohorts from first-event day, offset cells exact") {
+    val day = 86400000000L
+    val rows = Seq(
+      evt(1L, 0, "view"), evt(1L, day + 5, "view"), evt(1L, 3 * day, "view"),
+      evt(2L, day, "view"), evt(2L, day + 10, "view"), // same-day repeat → one cell
+      evt(3L, 0, "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.retention(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L), got.toString)
+  }
+
+  test("jsonPropStats: extracts $.k as long; missing key excluded from count") {
+    val rows = Seq(
+      (1L, "click", """{"k": 3}"""), (2L, "click", """{"k": 7}"""),
+      (3L, "click", """{"other": 1}"""), (4L, "view", """{"k": 10}""")
+    ).toDF("event_id", "event_type", "props")
+    val got = EventOps.jsonPropStats(rows)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("click" -> ((2L, 10L, 3L, 7L)),
+      "view" -> ((1L, 10L, 10L, 10L))), got.toString)
+  }
+
+  test("valueQuantiles: lower median/p90 are real elements at integer ranks") {
+    // group a: cents 100..1000 (n=10) → median rank (10+1) div 2 = 5 → 500;
+    // p90 rank (90+9) div 10 = 9 → 900. group b: n=3 → median rank 2, p90 rank 3
+    val rows = (1 to 10).map(i => ("a", i * 1.0, i.toLong)) ++
+      Seq(("b", 5.0, 11L), ("b", 1.0, 12L), ("b", 9.0, 13L))
+    val df = rows.toDF("event_type", "value", "event_id")
+    val got = EventOps.valueQuantiles(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("a" -> ((10L, 500L, 900L)),
+      "b" -> ((3L, 500L, 900L))), got.toString)
   }
 }
 
