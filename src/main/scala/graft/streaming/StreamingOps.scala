@@ -82,6 +82,29 @@ object StreamingOps {
       .agg(count(lit(1)).as("fetches"))
       .select(col("window.start").as("window_start"), col("host"), col("fetches"))
 
+  /** Streaming gap sessionization — the continuous form of
+    * [[graft.ops.EventOps.sessionize]]: the IDENTICAL `session_window`
+    * construct plus an event-time watermark, so closed sessions emit in
+    * append mode once the watermark passes their end and per-user open
+    * sessions are the only state held. Output schema and µs-exact bounds
+    * match the batch operator row-for-row on the same closed input (the
+    * parity spec asserts equality), which is the point: one sessionization
+    * semantics, two execution modes.
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800L,
+      watermarkDelay: String = "30 seconds",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_micros(col("__w.start")).as("start_us"),
+        (unix_micros(col("__w.end")) - gapSeconds * 1000000L).as("end_us"),
+        col("n_events"))
+
   /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
     * most `hostBudget` URLs per host over the stream's lifetime, tracked in
     * keyed state across micro-batches via flatMapGroupsWithState. Within a

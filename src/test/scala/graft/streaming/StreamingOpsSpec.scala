@@ -95,6 +95,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.toSet == expected, rows.mkString(", "))
   }
 
+  test("streaming sessionize equals the batch operator on the same closed input") {
+    val dir = TestSpark.tmpDir("stream-sess")
+    val base = 1700000000000000L // µs
+    def ev(user: Long, us: Long) = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000) * 1000).toInt)
+      (user, t)
+    }
+    // two data files = two micro-batches; sessions straddle the batch
+    // boundary (user 0's session has events in both files)
+    val f1 = (0L until 40L).map(i => ev(i % 4, base + i * 60000000L))
+    val f2 = (40L until 80L).map(i => ev(i % 4, base + i * 60000000L))
+    f1.toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/f1")
+    f2.toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/f2")
+    // a far-future sentinel in its own LAST batch advances the watermark
+    // past every real session so append mode flushes them all
+    Seq(ev(-1L, base + 365L * 86400000000L)).toDF("user_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/f3")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("user_id", org.apache.spark.sql.types.LongType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    runAvailableNow(
+      StreamingOps.sessionizeStream(stream, gapSeconds = 300L), "ssess")
+    val streamed = spark.table("ssess").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.EventOps.sessionize(
+      (f1 ++ f2).toDF("user_id", "ts"), gapSeconds = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty, s"stream=$streamed batch=$batch")
+    // the boundary-straddling sessions really did merge across batches:
+    // each user's events are 4 min apart (< 5 min gap) → ONE session each
+    assert(batch.size == 4)
+  }
+
   test("politeness gate caps per-host admissions across micro-batches (W2 streaming)") {
     val dir = TestSpark.tmpDir("stream-gate")
     def entries(ids: Range, host: String) = ids.map { i =>
