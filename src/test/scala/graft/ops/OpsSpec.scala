@@ -870,6 +870,95 @@ class EventOpsSpec extends AnyFunSuite {
       "view" -> ((1L, 10L, 10L, 10L))), got.toString)
   }
 
+  test("funnel property: equals the sequential min-filter definition on random logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val steps = Seq("view", "click", "purchase")
+    val evsGen = Gen.listOfN(600, for {
+      u <- Gen.chooseNum(0L, 25L)
+      us <- Gen.chooseNum(0L, 400L) // dense range → many exact ties
+      et <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+    } yield (u, us, et))
+    for (seed <- Seq(3L, 17L, 91L)) {
+      val evs = evsGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val df = evs.map { case (u, us, et) => evt(u, us, et) }
+        .toDF("user_id", "ts", "event_type")
+      val got = EventOps.funnel(df, steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: t_i = min time of step i strictly after t_{i-1}
+      val perUser = evs.groupBy(_._1)
+      val reached = perUser.values.map { es =>
+        var t = Long.MinValue; var done = 0
+        for (s <- steps) {
+          val cand = es.collect { case (_, us, et) if et == s && us > t => us }
+          if (done == steps.indexOf(s) && cand.nonEmpty) { done += 1; t = cand.min }
+        }
+        done
+      }
+      val expect = (1 to steps.length)
+        .map(i => i.toLong -> reached.count(_ >= i).toLong)
+        .filter(_._2 > 0).toMap
+      assert(got == expect, s"seed=$seed got=$got expect=$expect")
+    }
+  }
+
+  test("sessionize property: equals a reference gap-split fold on random logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(400, for {
+      u <- Gen.chooseNum(0L, 12L)
+      us <- Gen.chooseNum(0L, 3000000000L) // 0..50 min in µs
+    } yield (u, us))
+    for (seed <- Seq(5L, 23L)) {
+      // distinct (user, us): duplicate timestamps count as extra events in
+      // both engines, but dedup keeps the reference fold simple
+      val evs = gen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      val df = evs.map { case (u, us) => ev(u, us) }.toDF("user_id", "ts")
+      val gapUs = 60000000L // 60 s
+      val got = EventOps.sessionize(df, gapSeconds = 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        // split AFTER any gap strictly greater than gapUs (exact gap merges)
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gapUs) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        sessions.map(s => (u, s.min, s.max, s.size.toLong))
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("chunkDocuments property: full coverage; overlap=0 reconstructs the doc") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val shapes = Gen.listOfN(80, for {
+      id <- Gen.chooseNum(0L, 9999L)
+      n <- Gen.chooseNum(1, 90)
+    } yield (id, n)).apply(Gen.Parameters.default, Seed(7L)).get.distinctBy(_._1)
+    val docs = shapes.map { case (id, n) =>
+      (id, (0 until n).map(j => s"t${id}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // overlap=0: concatenating chunks in order reconstructs the token stream
+    val flat = TextOps.chunkDocuments(docs, chunkTokens = 7, overlapTokens = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString(" ")
+      }
+    assert(flat == shapes.map { case (id, n) =>
+      id -> (0 until n).map(j => s"t${id}_$j").mkString(" ") }.toMap)
+    // with overlap: every token of every doc appears in some chunk, and
+    // every chunk is ≤ chunkTokens long
+    val over = TextOps.chunkDocuments(docs, chunkTokens = 7, overlapTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(over.forall(_._3 <= 7))
+    val covered = over.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.flatMap(_._2.split(" ")).toSet }
+    assert(covered == shapes.map { case (id, n) =>
+      id -> (0 until n).map(j => s"t${id}_$j").toSet }.toMap)
+  }
+
   test("valueQuantiles: lower median/p90 are real elements at integer ranks") {
     // group a: cents 100..1000 (n=10) → median rank (10+1) div 2 = 5 → 500;
     // p90 rank (90+9) div 10 = 9 → 900. group b: n=3 → median rank 2, p90 rank 3
