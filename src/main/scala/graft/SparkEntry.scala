@@ -1039,7 +1039,17 @@ object SparkEntry {
     "q_event_json" -> ((s, d) => EventOps.jsonPropStats(t(s, d, "events"))),
 
     // exact lower median / lower p90 of value in integer cents per type
-    "q_event_quantiles" -> ((s, d) => EventOps.valueQuantiles(t(s, d, "events")))
+    "q_event_quantiles" -> ((s, d) => EventOps.valueQuantiles(t(s, d, "events"))),
+
+    // epoch-aligned 6-hour tumbling windows per type, integer-cent sums
+    "q_event_timewindow" -> ((s, d) =>
+      EventOps.timeWindowCounts(t(s, d, "events"), windowSeconds = 21600L)),
+
+    // skew-safe two-pass sessionization: identical semantics (and oracle)
+    // as q_event_sessionize, per-task unit bounded by (user, day-bucket)
+    "q_event_sessionize_bucketed" -> ((s, d) =>
+      EventOps.sessionizeBucketed(t(s, d, "events"), gapSeconds = 28800L,
+        bucketSeconds = 86400L))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -2109,6 +2119,29 @@ object SparkEntry {
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
         |  max(CASE WHEN rn = (n+1)//2 THEN cents END) AS median_cents,
         |  max(CASE WHEN rn = (9*n+9)//10 THEN cents END) AS p90_cents
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // epoch-aligned tumbling windows: start = (µs // win)·win, integer
+    // cents summed as BIGINT
+    "q_event_timewindow" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // same sessions as q_event_sessionize — the bucketed two-pass must be
+    // output-identical, so it shares the lag+cumsum oracle
+    "q_event_sessionize_bucketed" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |lagd AS (SELECT user_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
+        |flg AS (SELECT user_id, us,
+        |  CASE WHEN pus IS NULL OR us - pus > 28800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM lagd),
+        |sess AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
+        |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flg)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -28,11 +28,10 @@ object EventOps {
     *
     * Scale shape: ONE shuffle keyed on the user (the session windows are
     * derived by an in-partition sort-merge, not a second exchange). The
-    * per-user partition is the inherent sequential unit of sessionization;
-    * a pathological single user with billions of events would need a
-    * (user, time-bucket) pre-split with boundary-session merge — not done
-    * here because real event logs bound per-user volume, and the streaming
-    * form bounds state by watermark instead.
+    * per-user partition is the sequential unit; for pathological hot
+    * users, [[sessionizeBucketed]] bounds the unit by (user, time-bucket)
+    * with an exact boundary merge, and the streaming form bounds state by
+    * watermark instead.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
@@ -50,6 +49,80 @@ object EventOps {
         // bound is the last OBSERVED event, exact in integer µs
         (unix_micros(col("__w.end")) - gapSeconds * 1000000L).as("end_us"),
         col("n_events"))
+
+  /** Skew-safe sessionization — identical output to [[sessionize]] for
+    * ANY input (the property spec proves equality on random logs), with
+    * the per-task sequential unit bounded by events per (user,
+    * `bucketSeconds`-bucket) instead of events per user. The answer to
+    * the pathological hot key (one user with billions of events) that
+    * [[sessionize]]'s docstring defers:
+    *
+    * Pass 1 sessionizes WITHIN each (user, tumbling bucket) — the same
+    * `session_window` construct with the bucket as an extra group key, so
+    * the sort unit is the bucket's events. Because buckets partition
+    * time, a user's per-bucket sessions are disjoint, time-ordered
+    * intervals. Pass 2 merges intervals across bucket boundaries with
+    * the lag + flag + conditional-cumsum construction over the COMPRESSED
+    * interval stream (per-user interval count ≪ event count): consecutive
+    * intervals merge when start − prev_end ≤ gap — exactly when the
+    * boundary events would have merged under the global window (touching
+    * windows merge; strictly larger gaps split), and a session spanning
+    * k buckets merges through k−1 such links. Cost: one extra (small)
+    * exchange over the compressed intervals. Choose `bucketSeconds` ≫
+    * `gapSeconds` so pass-2 interval counts stay tiny.
+    */
+  def sessionizeBucketed(events: DataFrame, gapSeconds: Long = 1800L,
+      bucketSeconds: Long = 86400L, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSeconds > gapSeconds,
+      "bucketSeconds must exceed gapSeconds (one session never spans a full bucket silently)")
+    val gapUs = gapSeconds * 1000000L
+    val intervals = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("__b",
+        expr(s"unix_micros(`$tsCol`) div ${bucketSeconds * 1000000L}"))
+      .groupBy(col(userCol), col("__b"),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_micros(col("__w.start")).as("s"),
+        (unix_micros(col("__w.end")) - gapUs).as("e"),
+        col("n_events"))
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col("s"))
+    intervals
+      .withColumn("__nf",
+        when(col("s") - lag(col("e"), 1).over(byUser) > gapUs || lag(col("e"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__nf")).over(
+        Window.partitionBy(col(userCol)).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        sum(col("n_events")).as("n_events"))
+      .select(col(userCol), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  /** Event-time tumbling-window rollup — the batch twin of
+    * [[graft.streaming.StreamingOps.hostWindowCounts]] (same `window`
+    * construct; the streaming form only adds the watermark): per
+    * (window, event type), the event count and the exact value sum in
+    * integer cents (floor(value·100 + 0.5) — identical IEEE rounding on
+    * any engine, summed as longs). Windows are epoch-aligned, so
+    * window_start_us = (µs div windowSeconds·10⁶)·windowSeconds·10⁶ —
+    * replayable in plain SQL. One shuffle on the (window, type) key;
+    * partial aggregation collapses map-side, output is windows × types.
+    */
+  def timeWindowCounts(events: DataFrame, windowSeconds: Long = 3600L,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds").as("__w"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("__w.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_cents"))
 
   /** Ordered funnel: for each user, greedily match `steps` in event-time
     * order — step i+1 must occur STRICTLY after the chosen occurrence of

@@ -870,6 +870,55 @@ class EventOpsSpec extends AnyFunSuite {
       "view" -> ((1L, 10L, 10L, 10L))), got.toString)
   }
 
+  test("sessionizeBucketed property: equals sessionize on random logs with straddling sessions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // gap 60 s, bucket 120 s, times over 40 min → plenty of sessions
+    // crossing (and chaining through) bucket boundaries
+    val gen = Gen.listOfN(500, for {
+      u <- Gen.chooseNum(0L, 10L)
+      us <- Gen.chooseNum(0L, 2400000000L)
+    } yield (u, us))
+    for (seed <- Seq(2L, 41L, 77L)) {
+      val evs = gen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      val df = evs.map { case (u, us) => ev(u, us) }.toDF("user_id", "ts")
+      def set(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val plain = set(EventOps.sessionize(df, gapSeconds = 60L))
+      val bucketed = set(EventOps.sessionizeBucketed(df, gapSeconds = 60L,
+        bucketSeconds = 120L))
+      assert(bucketed == plain, s"seed=$seed")
+      // the test is only meaningful if merges really happened: more raw
+      // per-bucket intervals than final sessions
+      assert(plain.nonEmpty)
+    }
+  }
+
+  test("sessionizeBucketed: a session chaining through 3+ buckets merges fully") {
+    // one event every 50 s for 10 min (gap 60 s, bucket 120 s): a single
+    // session spanning 5 buckets
+    val rows = (0 until 13).map(i => ev(1L, i * 50000000L)).toDF("user_id", "ts")
+    val got = EventOps.sessionizeBucketed(rows, gapSeconds = 60L, bucketSeconds = 120L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 600000000L, 13L)), got.mkString(","))
+  }
+
+  test("timeWindowCounts: epoch-aligned, boundary event opens the NEXT window") {
+    val rows = Seq(
+      (evt(1L, 5000000L, "click")._2, "click", 0.335),      // w0; cents from the same IEEE expr below
+      (evt(1L, 9999999L, "click")._2, "click", 1.0),        // w0 last µs
+      (evt(1L, 10000000L, "click")._2, "click", 2.0),       // exactly boundary → w1
+      (evt(1L, 10000001L, "view")._2, "view", 0.5)          // w1
+    ).toDF("ts", "event_type", "value")
+    val got = EventOps.timeWindowCounts(rows, windowSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val c0 = math.floor(0.335 * 100 + 0.5).toLong // exact IEEE value, same both engines
+    assert(got == Map(
+      (0L, "click") -> ((2L, c0 + 100L)),
+      (10000000L, "click") -> ((1L, 200L)),
+      (10000000L, "view") -> ((1L, 50L))), got.toString)
+  }
+
   test("funnel property: equals the sequential min-filter definition on random logs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
