@@ -278,7 +278,7 @@ object Bench {
     * [[graft.ops.EventOps.sessionize]] on both, and the bucketed two-pass
     * on the hot log — the contract is that `sessionizeBucketed` holds the
     * hot leg near the uniform leg (its sort unit is (user, hour-bucket),
-    * ~280 events for the hot user at n=4M, vs 2M for plain).
+    * ~2.8k events for the hot user at n=4M over 30 days, vs 2M for plain).
     */
   private[graft] def sessSkewProbe(spark: SparkSession, n: Long, dir: String,
       reps: Int): (Double, Double, Double) = {

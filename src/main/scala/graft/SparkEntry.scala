@@ -2048,18 +2048,7 @@ object SparkEntry {
     // semantics: per-event windows [t, t+gap] merge when they touch, so
     // only a gap STRICTLY GREATER than 28800 s starts a new session; all
     // time math in integer µs
-    "q_event_sessionize" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |lagd AS (SELECT user_id, us,
-        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
-        |flg AS (SELECT user_id, us,
-        |  CASE WHEN pus IS NULL OR us - pus > 28800000000 THEN 1 ELSE 0 END AS nf
-        |  FROM lagd),
-        |sess AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
-        |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flg)
-        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q_event_sessionize" -> sessionizeOracle,
 
     "q_text_chunks" ->
       """WITH base AS (SELECT doc_id, string_split_regex(text,'\s+') AS l
@@ -2130,18 +2119,23 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // same sessions as q_event_sessionize — the bucketed two-pass must be
-    // output-identical, so it shares the lag+cumsum oracle
-    "q_event_sessionize_bucketed" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |lagd AS (SELECT user_id, us,
-        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
-        |flg AS (SELECT user_id, us,
-        |  CASE WHEN pus IS NULL OR us - pus > 28800000000 THEN 1 ELSE 0 END AS nf
-        |  FROM lagd),
-        |sess AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
-        |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flg)
-        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM sess GROUP BY user_id, sid""".stripMargin
+    // output-identical, so it shares the SAME oracle val (one definition)
+    "q_event_sessionize_bucketed" -> sessionizeOracle
   )
+
+  /** One lag+cumsum replay of Spark's session-window semantics, shared by
+    * the plain and bucketed sessionize queries (output-identity is the
+    * bucketed variant's contract). */
+  private def sessionizeOracle: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |lagd AS (SELECT user_id, us,
+      |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
+      |flg AS (SELECT user_id, us,
+      |  CASE WHEN pus IS NULL OR us - pus > 28800000000 THEN 1 ELSE 0 END AS nf
+      |  FROM lagd),
+      |sess AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
+      |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flg)
+      |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
 }

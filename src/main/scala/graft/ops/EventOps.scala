@@ -35,11 +35,14 @@ object EventOps {
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
-    events
-      // parquet event times arrive as TIMESTAMP_NTZ; with the engine-wide
-      // UTC session zone this cast is wall-clock exact, and unix_micros /
-      // session_window require TIMESTAMP
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+    // parquet event times arrive as TIMESTAMP_NTZ; with the engine-wide
+    // UTC session zone this cast is wall-clock exact, and unix_micros /
+    // session_window require TIMESTAMP. An already-TIMESTAMP column is
+    // left untouched — re-projecting it would strip the event-time
+    // watermark metadata in the streaming path (sessionizeStream).
+    (if (events.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType) events
+     else events.withColumn(tsCol, col(tsCol).cast("timestamp")))
       .groupBy(col(userCol),
         session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
       .agg(count(lit(1)).as("n_events"))
@@ -89,13 +92,12 @@ object EventOps {
         (unix_micros(col("__w.end")) - gapUs).as("e"),
         col("n_events"))
     val byUser = Window.partitionBy(col(userCol)).orderBy(col("s"))
+    val prevEnd = lag(col("e"), 1).over(byUser)
     intervals
       .withColumn("__nf",
-        when(col("s") - lag(col("e"), 1).over(byUser) > gapUs || lag(col("e"), 1).over(byUser).isNull, 1L)
-          .otherwise(0L))
+        when(col("s") - prevEnd > gapUs || prevEnd.isNull, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__nf")).over(
-        Window.partitionBy(col(userCol)).orderBy(col("s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(userCol), col("__sid"))
       .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
         sum(col("n_events")).as("n_events"))

@@ -233,7 +233,9 @@ object TextOps {
     val n = size(toks)
     val nChunks = greatest(
       ceil((n - lit(overlapTokens)) / lit(stride.toDouble)).cast("int"), lit(1))
-    docs.select(col(idCol),
+    // NULL text yields no chunks (greatest(NULL,1)=1 would otherwise emit a
+    // spurious all-NULL row that a SQL unnest-over-NULL-list never produces)
+    docs.filter(col(textCol).isNotNull).select(col(idCol),
       posexplode(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ")))
         .as(Seq("chunk_idx", "chunk_text")))

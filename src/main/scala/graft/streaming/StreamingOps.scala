@@ -94,16 +94,13 @@ object StreamingOps {
   def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800L,
       watermarkDelay: String = "30 seconds",
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
-    events
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(col(userCol),
-        session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col(userCol),
-        unix_micros(col("__w.start")).as("start_us"),
-        (unix_micros(col("__w.end")) - gapSeconds * 1000000L).as("end_us"),
-        col("n_events"))
+    // ONE definition of the sessionization plan: delegate to the batch
+    // operator, inserting only the watermark (identity is structural, not
+    // maintained by a hand-copied plan)
+    graft.ops.EventOps.sessionize(
+      events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        .withWatermark(tsCol, watermarkDelay),
+      gapSeconds, userCol, tsCol)
 
   /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
     * most `hostBudget` URLs per host over the stream's lifetime, tracked in

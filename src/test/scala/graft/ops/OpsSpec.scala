@@ -888,9 +888,16 @@ class EventOpsSpec extends AnyFunSuite {
       val bucketed = set(EventOps.sessionizeBucketed(df, gapSeconds = 60L,
         bucketSeconds = 120L))
       assert(bucketed == plain, s"seed=$seed")
-      // the test is only meaningful if merges really happened: more raw
-      // per-bucket intervals than final sessions
-      assert(plain.nonEmpty)
+      // the test is only meaningful if cross-bucket merges really happened:
+      // strictly more raw pass-1 (user, bucket) intervals than final sessions
+      val rawIntervals = df
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("b", expr("unix_micros(ts) div 120000000"))
+        .groupBy(col("user_id"), col("b"),
+          session_window(col("ts"), "60 seconds"))
+        .agg(count(lit(1))).count()
+      assert(rawIntervals > plain.size,
+        s"seed=$seed: no session straddled a bucket boundary ($rawIntervals raw vs ${plain.size})")
     }
   }
 

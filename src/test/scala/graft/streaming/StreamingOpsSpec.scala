@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -112,6 +114,16 @@ class StreamingOpsSpec extends AnyFunSuite {
     // past every real session so append mode flushes them all
     Seq(ev(-1L, base + 365L * 86400000000L)).toDF("user_id", "ts")
       .coalesce(1).write.parquet(s"$dir/f3")
+    // FileStreamSource orders micro-batches by file mtime; on a coarse-
+    // granularity FS all three writes can land in the same ms, which could
+    // process the sentinel FIRST and drop every real event as late — pin
+    // the intended order explicitly
+    for ((f, i) <- Seq("f1", "f2", "f3").zipWithIndex;
+         p <- java.nio.file.Files.list(java.nio.file.Paths.get(dir, f))
+           .iterator().asScala if p.toString.endsWith(".parquet"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60000L))
     val schema = new org.apache.spark.sql.types.StructType()
       .add("ts", org.apache.spark.sql.types.TimestampType)
       .add("user_id", org.apache.spark.sql.types.LongType)
