@@ -52,6 +52,12 @@ final class JobDaemon(
   // batch is running AND none has arrived for queueTimeoutMs (the
   // reference's --queue-timeout counts poll idleness, not job runtime).
   @volatile private var busy: Boolean = false
+  // true once ANY micro-batch has completed: the reference polls the queue
+  // immediately at startup, so a job already enqueued MUST be claimed even
+  // if stream initialization outlives the idle timeout on a loaded box —
+  // the watchdog may only fire before the first poll when the queue
+  // directory is genuinely empty.
+  @volatile private var anyBatchDone: Boolean = false
 
   /** (config_id, totalClaimed) per completed job, in processing order. */
   def completed: Seq[(String, Long)] = completedJobs.reverse
@@ -94,6 +100,7 @@ final class JobDaemon(
           }
         } finally {
           lastActivity = System.currentTimeMillis()
+          anyBatchDone = true
           busy = false
         }
       }
@@ -106,7 +113,15 @@ final class JobDaemon(
         try {
           while (query.isActive) {
             Thread.sleep(math.max(math.min(queueTimeoutMs / 4, 1000L), 10L))
-            if (query.isActive && !busy &&
+            // before the first completed poll, only an EMPTY queue counts
+            // as idle (a pre-enqueued job must be claimed however slow
+            // stream init is); afterwards, plain poll-idleness applies
+            def queueEmpty: Boolean =
+              try {
+                val s = java.nio.file.Files.list(java.nio.file.Paths.get(queueDir))
+                try !s.findFirst().isPresent finally s.close()
+              } catch { case _: java.io.IOException => true }
+            if (query.isActive && !busy && (anyBatchDone || queueEmpty) &&
                 System.currentTimeMillis() - lastActivity > queueTimeoutMs)
               query.stop()
           }
