@@ -190,9 +190,9 @@ object Bench {
           (url, UrlOps.urlHash(url), host, 1, "probe")
         }
       }.toDF("url", "urlHash", "host", "depth", "parentUrl")
-    def timeClaim(path: String): Double = {
+    def timeClaim(path: String, r: Int = reps): Double = {
       val f = spark.read.parquet(path)
-      val runs = (1 to reps).map { _ =>
+      val runs = (1 to r).map { _ =>
         val t0 = System.nanoTime()
         Politeness.claim(f, hostBudget = 500, remaining = Long.MaxValue,
           saltBuckets = 32).agg(count(lit(1))).head()
@@ -207,7 +207,10 @@ object Bench {
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(uniDir)) frontier(hot = false).write.mode("overwrite").parquet(uniDir)
     if (missing(hotDir)) frontier(hot = true).write.mode("overwrite").parquet(hotDir)
-    timeClaim(uniDir); timeClaim(hotDir) // warm BOTH legs (scan cache, codegen)
+    // warm BOTH legs (scan cache, codegen) with ONE rep each — a full
+    // best-of-reps warm-up loop doubles the probe's wall-clock for no
+    // measurement value (round-4 ADVICE)
+    timeClaim(uniDir, 1); timeClaim(hotDir, 1)
     (timeClaim(uniDir), timeClaim(hotDir))
   }
 
@@ -258,9 +261,9 @@ object Bench {
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(uniDir)) gen(hot = false).write.mode("overwrite").parquet(uniDir)
     if (missing(hotDir)) gen(hot = true).write.mode("overwrite").parquet(hotDir)
-    def time(path: String): Double = {
+    def time(path: String, r: Int = reps): Double = {
       val embs = spark.read.parquet(path)
-      (1 to reps).map { _ =>
+      (1 to r).map { _ =>
         val t0 = System.nanoTime()
         val (kept, release) = graft.ops.Dedup.semanticDedupReleasable(
           embs, centroids, 0.999)
@@ -269,7 +272,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    time(uniDir); time(hotDir) // warm both legs
+    time(uniDir, 1); time(hotDir, 1) // warm both legs, one rep each
     (time(uniDir), time(hotDir), pairsOf(hot = false), pairsOf(hot = true))
   }
 
@@ -299,21 +302,59 @@ object Bench {
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(uniDir)) gen(hot = false).write.mode("overwrite").parquet(uniDir)
     if (missing(hotDir)) gen(hot = true).write.mode("overwrite").parquet(hotDir)
-    def time(path: String, bucketed: Boolean): Double = {
+    def time(path: String, bucketed: Boolean, r: Int = reps): Double = {
       val evs = spark.read.parquet(path)
-      (1 to reps).map { _ =>
+      (1 to r).map { _ =>
         val t0 = System.nanoTime()
         val sess =
           if (bucketed) graft.ops.EventOps.sessionizeBucketed(evs,
             gapSeconds = 60L, bucketSeconds = 3600L)
-          else graft.ops.EventOps.sessionize(evs, gapSeconds = 60L)
+          // probe the PLAIN single-sort form on purpose (hotUserThreshold
+          // off): the probe's contract number is plain-vs-bucketed
+          else graft.ops.EventOps.sessionize(evs, gapSeconds = 60L,
+            hotUserThreshold = Long.MaxValue)
         sess.agg(count(lit(1))).head()
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    // warm all three legs, then measure
-    time(uniDir, bucketed = false); time(hotDir, bucketed = false)
-    time(hotDir, bucketed = true)
+    // warm all three legs with ONE rep each (round-4 ADVICE: a full
+    // best-of-reps warm-up doubles the probe's wall for no value)
+    time(uniDir, bucketed = false, 1); time(hotDir, bucketed = false, 1)
+    time(hotDir, bucketed = true, 1)
+    (time(uniDir, bucketed = false), time(hotDir, bucketed = false),
+      time(hotDir, bucketed = true))
+  }
+
+  /** Funnel hot-user probe over the SAME event inputs as [[sessSkewProbe]]
+    * (event_type derived deterministically from the timestamp hash — no
+    * extra materialized input): plain [[graft.ops.EventOps.funnel]] pays one
+    * collect_list+sort over the hot user's events in a single aggregation
+    * buffer; [[graft.ops.EventOps.funnelBucketed]] bounds the unit by
+    * (user, hour-bucket) partial folds merged across buckets. Contract:
+    * bucketed hot ≈ uniform.
+    */
+  private[graft] def funnelSkewProbe(spark: SparkSession, n: Long, dir: String,
+      reps: Int): (Double, Double, Double) = {
+    val uniDir = s"$dir/sessskew_uni_v$SkewGenVersion" + s"_$n"
+    val hotDir = s"$dir/sessskew_hot_v$SkewGenVersion" + s"_$n"
+    val steps = Seq("s1", "s2", "s3")
+    def withType(path: String): DataFrame =
+      spark.read.parquet(path).withColumn("event_type",
+        concat(lit("s"), (pmod(xxhash64(col("ts")), lit(3)) + 1).cast("string")))
+    def time(path: String, bucketed: Boolean, r: Int = reps): Double = {
+      val evs = withType(path)
+      (1 to r).map { _ =>
+        val t0 = System.nanoTime()
+        val f =
+          if (bucketed) graft.ops.EventOps.funnelBucketed(evs, steps,
+            bucketSeconds = 3600L)
+          else graft.ops.EventOps.funnel(evs, steps)
+        f.agg(count(lit(1))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    time(uniDir, bucketed = false, 1); time(hotDir, bucketed = false, 1)
+    time(hotDir, bucketed = true, 1)
     (time(uniDir, bucketed = false), time(hotDir, bucketed = false),
       time(hotDir, bucketed = true))
   }
@@ -345,7 +386,47 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val frontierN = sys.env.getOrElse("GRAFT_BENCH_N", "8000000").toLong
     val runQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "1") != "0"
+    // time box (round-4 lesson: the driver killed the 25-min+ suite at its
+    // timeout and the end-of-run-only artifact write lost EVERYTHING). The
+    // budget bounds the optional phases — contract scaling legs always run;
+    // probes/queries are skipped once the deadline passes, and every skip is
+    // disclosed in the artifact (no silent truncation).
+    val budgetS = sys.env.getOrElse("GRAFT_BENCH_BUDGET_S", "840").toLong
+    val t0Wall = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0Wall) / 1e9
+    def overBudget: Boolean = elapsedS > budgetS
+    // symmetric best-of-N on both legs of each reported ratio (see note in
+    // the detail line); 3 reps (down from round-4's 5) targets <15 min wall
+    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val hostCount = 2000
+
+    // --- incremental artifact flush ------------------------------------------
+    // The headline JSON is rebuilt and re-flushed (BENCH.json + stdout) after
+    // EVERY phase, so a timeout kill can no longer erase the contract number:
+    // whatever phase completed last has already written a parseable artifact,
+    // and the last full stdout line is always a valid compact headline.
+    // sbt (build.sbt: StdoutOutput + showSuccess=false) keeps these printlns
+    // raw; the driver tails stdout and/or reads BENCH.json.
+    val fields = scala.collection.mutable.LinkedHashMap[String, String]()
+    def flush(phase: String): Unit = {
+      fields("phases_done") = "\"" + phase + "\""
+      fields("elapsed_s") = f"$elapsedS%.1f"
+      val headline = fields.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH.json"), headline)
+      catch { case _: Throwable => () }
+      println(headline)
+      System.out.flush()
+    }
+    // stable field order: the driver-contract keys first, placeholders until
+    // their phase runs ("value" = per-query suite total; -1 = not yet run)
+    fields("metric") = "\"total\""
+    fields("value") = "-1"
+    fields("unit") = "\"sec\""
+    fields("sf") = "\"" + sfDir + "\""
+    fields("frontier_n") = frontierN.toString
+    fields("detail") = "\"BENCH_DETAIL.json\""
 
     // --- scaling evidence: same job, same input, N vs 4N cores --------------
     // JIT warmup at high thread counts takes 2+ full-shape executions (C2
@@ -354,24 +435,30 @@ object Bench {
     // reused across bench invocations (they are seed-deterministic)
     val benchDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-inputs"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(benchDir))
+    // materialize inputs ONCE at full parallelism before any timed leg — the
+    // contract legs now run 1-core-first (earliest flush of the contract
+    // number), and 1-core input generation would be pure fixed overhead
+    locally {
+      val s = session(cpus)
+      materializeInputs(s, frontierN / 8, hostCount, benchDir)
+      materializeInputs(s, frontierN, hostCount, benchDir)
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
     // N vs 4N evidence at two pairs: 1 vs 4 cores (headline — long runs,
     // least distorted by neighbor noise on this shared, oversubscribed VM)
     // and 2 vs 8 cores. Beyond ~8 threads the dedup shuffle saturates this
     // single box's memory bandwidth (8→32 only raises throughput ~1.4× — a
     // hardware wall, not an engine limit; on a real cluster each added
     // executor brings its own memory/IO bandwidth). 32-core numbers are
-    // still reported as peak throughput.
-    val scale = Seq(32, 8, 4, 2, 1).map { c =>
+    // still reported as peak throughput (2 reps — it is not part of any
+    // contract ratio).
+    val scale = Seq(1, 4, 2, 8, 32).map { c =>
       val s = session(c)
-      // warm twice at 1/8 size (JIT/codegen), then best-of-5 full-size runs
+      // warm twice at 1/8 size (JIT/codegen), then best-of-reps full runs
       frontierRound(s, frontierN / 8, hostCount, benchDir)
       frontierRound(s, frontierN / 8, hostCount, benchDir)
-      // SYMMETRIC rep counts: both legs of any reported efficiency ratio get
-      // the same best-of-5 treatment. Asymmetric reps (round 2: best-of-5 on
-      // the numerator leg, best-of-3 on the denominator) systematically bias
-      // the ratio upward; best-of-N with equal N on both legs estimates each
-      // leg's noise-free time without favoring either.
-      val reps = 5
+      val reps = if (c == 32) math.min(2, scaleReps) else scaleReps
       val runs = (1 to reps).map(_ => frontierRound(s, frontierN, hostCount, benchDir))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -387,55 +474,89 @@ object Bench {
     val efficiency2v8 = (thr8 / thr2) / 4.0
     val efficiency8v32 = (thr32 / thr8) / 4.0
     // Headline N→4N efficiency = MEAN of the two independent measurement
-    // pairs (1→4 and 2→8 cores), fixed a priori. Each pair is a valid
-    // N-vs-4N experiment on identical input; the round-3 headline took the
-    // max of the two, which is upward-biased (picking the better of two
-    // noisy estimates post hoc) — the mean carries the same two
-    // measurements without favoring either, and both raw pairs remain in
-    // the detail line.
+    // pairs (1→4 and 2→8 cores), fixed a priori (adopted round 4; a post-hoc
+    // max of the two would be upward-biased). Both raw pairs reported.
     val efficiency = (efficiency1v4 + efficiency2v8) / 2.0
+    fields("urls_per_sec_1") = f"$thr1%.0f"
+    fields("urls_per_sec_4") = f"$thr4%.0f"
+    fields("urls_per_sec_32") = f"$thr32%.0f"
+    fields("scaling_efficiency_NvsN4") = f"$efficiency%.3f"
+    fields("scaling_efficiency_1v4") = f"$efficiency1v4%.3f"
+    fields("scaling_efficiency_2v8") = f"$efficiency2v8%.3f"
+    flush("scaling") // the contract number is now on disk + stdout
 
-    // --- fetch-extract + per-query timings at the driver's parallelism ------
+    // --- skew probes + extract + per-query timings at driver parallelism ----
     val spark = session(cpus)
-    val (skewUni, skewHot) = skewProbe(spark, frontierN, benchDir, reps = 5)
-    val skewRatio = skewHot / skewUni
-    val (semUni, semHot, semPairsUni, semPairsHot) =
-      semSkewProbe(spark, 16384, benchDir, reps = 3)
-    val semPairRatio = (semHot / semPairsHot) / (semUni / semPairsUni)
-    val (sessUni, sessHotPlain, sessHotBucketed) =
-      sessSkewProbe(spark, 4000000L, benchDir, reps = 3)
-    val (exSec, exPages) = extractBench(spark, 200000L)
-    val results =
-      if (!runQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var skewUni, skewHot = -1.0
+    if (!overBudget) {
+      val r = skewProbe(spark, frontierN, benchDir, reps = 3)
+      skewUni = r._1; skewHot = r._2
+      fields("skew_ratio_hot50") = f"${skewHot / skewUni}%.2f"
+      flush("scaling,skew")
+    }
+    var semUni, semHot = -1.0; var semPairsUni, semPairsHot = 0L
+    if (!overBudget) {
+      val r = semSkewProbe(spark, 16384, benchDir, reps = 3)
+      semUni = r._1; semHot = r._2; semPairsUni = r._3; semPairsHot = r._4
+      fields("sem_skew_per_pair_ratio") =
+        f"${(semHot / semPairsHot) / (semUni / semPairsUni)}%.2f"
+      flush("scaling,skew,sem")
+    }
+    var sessUni, sessHotPlain, sessHotBucketed = -1.0
+    if (!overBudget) {
+      val r = sessSkewProbe(spark, 4000000L, benchDir, reps = 3)
+      sessUni = r._1; sessHotPlain = r._2; sessHotBucketed = r._3
+      fields("sess_skew_bucketed_ratio") = f"${sessHotBucketed / sessUni}%.2f"
+      flush("scaling,skew,sem,sess")
+    }
+    var funUni, funHotPlain, funHotBucketed = -1.0
+    if (!overBudget) {
+      val r = funnelSkewProbe(spark, 4000000L, benchDir, reps = 2)
+      funUni = r._1; funHotPlain = r._2; funHotBucketed = r._3
+      fields("funnel_skew_bucketed_ratio") = f"${funHotBucketed / funUni}%.2f"
+      flush("scaling,skew,sem,sess,funnel")
+    }
+    var exSec = -1.0; var exPages = 0L
+    if (!overBudget) {
+      val r = extractBench(spark, 200000L)
+      exSec = r._1; exPages = r._2
+      fields("extract_pages_per_sec") = f"${exPages / exSec}%.0f"
+      flush("scaling,skew,sem,sess,funnel,extract")
+    }
+    // per-query loop checks the deadline per query: a partial suite is
+    // reported as such (queries_run/queries_skipped), never passed off as
+    // a full total
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    if (runQueries) {
+      val it = allQueries.iterator
+      while (it.hasNext && !overBudget) {
+        val (name, fn) = it.next()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        results += (name -> (System.nanoTime() - t0) / 1e9)
       }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Full detail (51 per-query timings + all 5 parallelism legs) goes to an
+    val qSkipped = (if (runQueries) allQueries.size else 0) - results.size
+    fields("value") = f"$total%.2f"
+    fields("queries_run") = results.size.toString
+    fields("queries_skipped") = qSkipped.toString
+    // Full detail (per-query timings + all 5 parallelism legs) goes to an
     // EARLY stdout line and BENCH_DETAIL.json; the driver captures only a
     // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
     // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
     val detail =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-5 with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth"},"extract":{"pages":$exPages,"sec":$exSec%.2f,"pages_per_sec":${exPages / exSec}%.0f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"ratio":$skewRatio%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"per_pair_ratio":$semPairRatio%.2f,"note":"semanticDedup, one cell owning 50%% of vectors vs uniform cells; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput (AQE skew-join splits the hot cell) - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"ratio_plain":${sessHotPlain / sessUni}%.2f,"ratio_bucketed":${sessHotBucketed / sessUni}%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge - the scale path; all legs warmed, best-of-3"}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"funnel_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case _: Throwable => () }
-    // final line: compact driver-contract headline, <1 KB. Also mirrored to
-    // BENCH.json so a file-reading driver can pick it up even if stdout
-    // capture mangles the tail. sbt is configured (build.sbt: StdoutOutput +
-    // showSuccess=false) so this println IS the last stdout line, raw.
-    val headline =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","frontier_n":$frontierN,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"skew_ratio_hot50":$skewRatio%.2f,"sem_skew_per_pair_ratio":$semPairRatio%.2f,"sess_skew_bucketed_ratio":${sessHotBucketed / sessUni}%.2f,"extract_pages_per_sec":${exPages / exSec}%.0f,"detail":"BENCH_DETAIL.json"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH.json"), headline)
-    catch { case _: Throwable => () }
     spark.stop()
-    println(headline)
-    System.out.flush()
+    // final line: compact driver-contract headline, <1 KB, now complete
+    flush(if (qSkipped == 0 && exSec >= 0) "all"
+          else "partial (budget hit; see queries_skipped / -1 fields)")
   }
 }

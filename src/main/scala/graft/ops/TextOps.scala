@@ -288,6 +288,15 @@ object TextOps {
     * integers makes the per-doc score order-invariant — a double log-prob
     * sum would differ across partition orders and engines.
     *
+    * CORPUS-DEPENDENT exactness caveat (unlike the genuinely integer-exact
+    * operators): the tick quantization assumes JVM `Math.log` and the
+    * oracle engine's `ln` agree to within the ~1e-10 headroom. libm
+    * implementations differ by ulps, so a (count, total) pair whose
+    * −ln(p)·1e6 + 0.5 lands within an ulp of an integer COULD flip floor()
+    * between engines — probability ~1e-10 per distinct vocabulary ratio,
+    * zero observed on the test corpora, but not a structural guarantee.
+    * Downstream compares ([[perplexityBuckets]]) are exact GIVEN the ticks.
+    *
     * Tokens rarer than `minTokenFreq` fall out of the vocabulary and score
     * as out-of-vocabulary at the maximum surprisal ln(total) — the standard
     * OOV floor, and the thing that bounds the vocabulary at web scale

@@ -109,19 +109,35 @@ final class JobDaemon(
     if (!availableNow && queueTimeoutMs > 0) {
       // Z5 wall-clock idle self-termination (--queue-timeout)
       lastActivity = System.currentTimeMillis()
+      val started = System.currentTimeMillis()
       val watchdog = new Thread(() => {
         try {
           while (query.isActive) {
             Thread.sleep(math.max(math.min(queueTimeoutMs / 4, 1000L), 10L))
             // before the first completed poll, only an EMPTY queue counts
             // as idle (a pre-enqueued job must be claimed however slow
-            // stream init is); afterwards, plain poll-idleness applies
+            // stream init is); afterwards, plain poll-idleness applies.
+            // "Empty" mirrors FileStreamSource's listing: only regular
+            // files not starting with '.' or '_' are jobs the source will
+            // ever process — a stray _SUCCESS/dotfile/subdir must not hold
+            // the daemon open forever.
             def queueEmpty: Boolean =
               try {
                 val s = java.nio.file.Files.list(java.nio.file.Paths.get(queueDir))
-                try !s.findFirst().isPresent finally s.close()
+                try !s.anyMatch { p =>
+                  val n = p.getFileName.toString
+                  !n.startsWith(".") && !n.startsWith("_") &&
+                    java.nio.file.Files.isRegularFile(p)
+                } finally s.close()
               } catch { case _: java.io.IOException => true }
-            if (query.isActive && !busy && (anyBatchDone || queueEmpty) &&
+            // the startup grace is CAPPED: if a job file is enqueued but the
+            // stream never completes a batch (checkpoint corruption, source
+            // failure), fall back to plain poll-idleness after
+            // StartupGraceTimeouts×queueTimeoutMs so Z5 self-termination is
+            // never disabled forever
+            val graceOver = System.currentTimeMillis() - started >
+              JobDaemon.StartupGraceTimeouts * queueTimeoutMs
+            if (query.isActive && !busy && (anyBatchDone || queueEmpty || graceOver) &&
                 System.currentTimeMillis() - lastActivity > queueTimeoutMs)
               query.stop()
           }
@@ -132,4 +148,14 @@ final class JobDaemon(
     }
     query
   }
+}
+
+object JobDaemon {
+  /** Startup-grace ceiling for the idle watchdog, in units of
+    * `queueTimeoutMs`: with a pre-enqueued job but no completed batch yet,
+    * the daemon waits at most this many timeouts for stream initialization
+    * before plain poll-idleness applies again (a wedged source must not
+    * disable Z5 self-termination forever).
+    */
+  private[streaming] val StartupGraceTimeouts = 20L
 }

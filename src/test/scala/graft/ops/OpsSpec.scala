@@ -1027,6 +1027,102 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((10L, 500L, 900L)),
       "b" -> ((3L, 500L, 900L))), got.toString)
   }
+
+  test("valueQuantiles histogram path equals the sorted form (and the router routes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(400, for {
+      et <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0, 5000) // duplicate-heavy cents on purpose
+    } yield (et, v / 100.0))
+    for (seed <- Seq(11L, 29L, 63L)) {
+      val rows = gen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((et, v), i) => (et, v, i.toLong) }
+      val df = rows.toDF("event_type", "value", "event_id")
+      def set(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val sorted = set(EventOps.valueQuantilesSorted(df))
+      assert(set(EventOps.valueQuantilesHistogram(df)) == sorted, s"seed=$seed")
+      // router: forced-histogram (maxSortGroup=0) and forced-sort agree
+      assert(set(EventOps.valueQuantiles(df, maxSortGroup = 0L)) == sorted)
+      assert(set(EventOps.valueQuantiles(df, maxSortGroup = 1L)) == sorted)
+    }
+  }
+
+  test("funnelBucketed property: equals funnel on random logs spanning buckets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val steps = Seq("view", "click", "purchase")
+    // bucket = 100 µs over a 0..2000 µs range: step sequences routinely
+    // thread through many buckets, with dense exact-tie timestamps
+    val evsGen = Gen.listOfN(600, for {
+      u <- Gen.chooseNum(0L, 25L)
+      us <- Gen.chooseNum(0L, 2000L)
+      et <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+    } yield (u, us, et))
+    for (seed <- Seq(7L, 19L, 83L)) {
+      val evs = evsGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val df = evs.map { case (u, us, et) => evt(u, us, et) }
+        .toDF("user_id", "ts", "event_type")
+      def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val plain = m(EventOps.funnel(df, steps))
+      // bucketSeconds is whole seconds, so the µs-dense log would land in
+      // ONE bucket; re-time each µs to a second (monotone, tie-preserving)
+      // and bucket at 100 s — sequences then span many buckets
+      val dfSec = evs.map { case (u, us, et) => evt(u, us * 1000000L, et) }
+        .toDF("user_id", "ts", "event_type")
+      val plainSec = m(EventOps.funnel(dfSec, steps))
+      val bucketedSec = m(EventOps.funnelBucketed(dfSec, steps, bucketSeconds = 100L))
+      assert(bucketedSec == plainSec, s"seed=$seed")
+      // sanity: second-scaling preserves the funnel (pure monotone re-time)
+      assert(plainSec == plain, s"seed=$seed retime changed the funnel")
+    }
+  }
+
+  test("funnelBucketed: one step per bucket threads through the boundary merges") {
+    // view@10s, click@110s, purchase@210s with 100 s buckets: every
+    // transition crosses a bucket boundary; and a same-µs tie inside a
+    // later bucket must still never advance
+    val rows = Seq(
+      evt(1L, 10000000L, "view"), evt(1L, 110000000L, "click"),
+      evt(1L, 210000000L, "purchase"),
+      evt(2L, 10000000L, "view"),
+      evt(2L, 110000000L, "click"), evt(2L, 110000000L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelBucketed(rows, Seq("view", "click", "purchase"),
+      bucketSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "view") -> 2L, (2L, "click") -> 2L,
+      (3L, "purchase") -> 1L), got.toString)
+  }
+
+  test("sessionize auto-routes hot users through the bucketed form, same output") {
+    val rows = ((0 until 200).map(i => ev(1L, i * 30000000L)) ++
+      (0 until 10).map(i => ev(2L, i * 400000000L))).toDF("user_id", "ts")
+    def set(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = set(EventOps.sessionize(rows, gapSeconds = 60L,
+      hotUserThreshold = Long.MaxValue))
+    // threshold 50 < user 1's 200 events → routes bucketed; output identical
+    val routed = set(EventOps.sessionize(rows, gapSeconds = 60L,
+      hotUserThreshold = 50L))
+    assert(routed == plain)
+  }
+
+  test("retention floors pre-1970 days like DuckDB's // (not truncating div)") {
+    val day = 86400000000L
+    // the ev() helper assumes non-negative µs; build pre-epoch instants directly
+    def evi(user: Long, us: Long) = (user,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L, us * 1000L)))
+    val rows = Seq(
+      evi(1L, -1L),      // 1969-12-31T23:59:59.999999 → day −1 (floor), not 0
+      evi(1L, day + 5)   // day 1 → offset 2 from cohort day −1
+    ).toDF("user_id", "ts")
+    val got = EventOps.retention(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((-1L, 0L) -> 1L, (-1L, 2L) -> 1L), got.toString)
+  }
 }
 
 class GraphOpsSpec extends AnyFunSuite {

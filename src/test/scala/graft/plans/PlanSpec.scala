@@ -204,6 +204,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("histogram quantiles never sort raw rows: aggregate BELOW the window") {
+    val dir = TestSpark.tmpDir("plan-quant")
+    (0 until 500).map(i => (s"t${i % 3}", (i % 97) / 10.0, i.toLong))
+      .toDF("event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(dir)
+    val events = spark.read.parquet(dir)
+    val hist = planOf(graft.ops.EventOps.valueQuantilesHistogram(events))
+    // no per-row ranking anywhere; the only Window/Sort operates on the
+    // OUTPUT of the (type, cents) HashAggregate — the compressed histogram
+    assert(!hist.contains("row_number"), hist)
+    val windowIdx = hist.indexOf("Window")
+    val aggIdx = hist.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"expected a HashAggregate below the window\n$hist")
+    // the sorted twin DOES rank raw rows — the contrast locking the routing
+    val sorted = planOf(graft.ops.EventOps.valueQuantilesSorted(events))
+    assert(sorted.contains("row_number"), sorted)
+  }
+
   test("semantic dedup candidate join shuffles on the CELL id, never cross-joins") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
