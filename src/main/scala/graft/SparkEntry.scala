@@ -99,7 +99,15 @@ object SparkEntry {
     * write-mode queries vary it between runs).
     */
   private def docCorpus(s: SparkSession, d: String,
-      lastMod: Column => Column): DataFrame = {
+      lastMod: Column => Column,
+      // id -> redirect target url (null = not a redirect); a redirect doc
+      // becomes a 301 page whose only span is the `redirect` Location
+      redirectOf: Column => Column = _ => lit(null).cast("string"),
+      // id -> HTTP status of a non-redirect doc
+      statusOf: Column => Column = _ => lit(200),
+      // (id, tokenPos) -> linked doc id for `a` spans
+      linkOf: (Column, Column) => Column =
+        (id, i) => pmod(id * 7 + i * 13, lit(500))): DataFrame = {
     val kinds = typedLit(Seq("title", "h2", "p", "a", "img"))
     val toks = split(col("text"), " ")
     // rename the numeric id first: aliasing the url AS "doc_id" in the same
@@ -112,15 +120,21 @@ object SparkEntry {
         concat(lit("d"), pmod(col("id"), lit(4)).cast("string"),
           lit(".example.com")).as("host"),
         lastMod(col("id")).as("lastModified"),
-        transform(toks, (x, i) => struct(
-          element_at(kinds, pmod(i, lit(5)).cast("int") + 1).as("kind"),
-          x.as("text"),
-          when(pmod(i, lit(5)) === 3,
-            urlOfId(pmod(col("id") * 7 + i.cast("long") * 13, lit(500))))
-            .when(pmod(i, lit(5)) === 4,
-              concat(lit("http://m/"), x, lit("/"), i.cast("string")))
-            .cast("string").as("media_ref"),
-          i.cast("int").as("offset"))).as("spans"))
+        when(redirectOf(col("id")).isNotNull,
+          array(struct(lit("redirect").as("kind"),
+            lit(null).cast("string").as("text"),
+            redirectOf(col("id")).as("media_ref"), lit(0).as("offset"))))
+          .otherwise(transform(toks, (x, i) => struct(
+            element_at(kinds, pmod(i, lit(5)).cast("int") + 1).as("kind"),
+            x.as("text"),
+            when(pmod(i, lit(5)) === 3,
+              urlOfId(linkOf(col("id"), i.cast("long"))))
+              .when(pmod(i, lit(5)) === 4,
+                concat(lit("http://m/"), x, lit("/"), i.cast("string")))
+              .cast("string").as("media_ref"),
+            i.cast("int").as("offset")))).as("spans"),
+        when(redirectOf(col("id")).isNotNull, lit(301))
+          .otherwise(statusOf(col("id"))).as("httpStatus"))
   }
 
   /** Persisted [[docCorpus]] views, shared across the three queries that
@@ -153,6 +167,69 @@ object SparkEntry {
     session.docsTable.read().select(
       col("url"), col("parentUrl"), col("title"),
       array_join(col("headings"), " ").as("headings"))
+  }
+
+  /** Redirect semantics driver-visible (reference `auto_redirect`,
+    * RiverWeb.java:302-303). The redirect corpus variant makes the
+    * follow/off distinction OBSERVABLE in the output: normal `a` links
+    * target only EVEN doc ids (2·((id·7+pos·13)%250)), redirect docs are
+    * the even ids with id%10==8 (reachable through the normal graph), and
+    * each redirects to the ODD doc id+1 — odd docs are reachable ONLY
+    * through a redirect hop, so `q_redirect_follow` stores them (plus
+    * everything they link onward) and `q_redirect_off` cannot. maxDepth is
+    * unlimited so the stored-doc set is pure transitive reachability
+    * (depth-free — the same-depth-hop bookkeeping is pinned separately by
+    * the maxDepth-binding sbt spec), which DuckDB replays as a recursive
+    * CTE where a redirect node's single out-edge is its target when
+    * `follow`, and a dead end when autoRedirect=false.
+    */
+  private def runRedirectCrawl(s: SparkSession, d: String,
+      follow: Boolean): DataFrame = {
+    val corpus = cachedCorpus2(s, d, "redir",
+      docCorpus(s, d, identity,
+        redirectOf = id => when(pmod(id, lit(10)) === 8, urlOfId(id + 1)),
+        linkOf = (id, i) => pmod(id * 7 + i * 13, lit(250)) * 2))
+    val cfg = CrawlConfig(
+      sessionId = s"redir-$follow",
+      seeds = Seq("http://d0.example.com/page/0", "http://d1.example.com/page/1"),
+      maxDepth = -1, maxAccessCount = 100000L, hostBudgetPerRound = 1000000,
+      http = HttpSettings(autoRedirect = Some(follow)),
+      rules = Seq(ScrapingRule(".*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    runDocsOnly(s, cfg, corpus, "graft-redir")
+  }
+
+  /** Non-200 status flow driver-visible (P5 through a full crawl round,
+    * crawler/rule+.xml:36-41): docs with id%7==3 return 404, id%7==5
+    * return 304 — both are claimed but store no document and emit no
+    * children; reachability flows only through 200 pages.
+    */
+  private def runStatusCrawl(s: SparkSession, d: String): DataFrame = {
+    val corpus = cachedCorpus2(s, d, "status",
+      docCorpus(s, d, identity,
+        statusOf = id => when(pmod(id, lit(7)) === 3, 404)
+          .when(pmod(id, lit(7)) === 5, 304).otherwise(200)))
+    val cfg = CrawlConfig(
+      sessionId = "statusflow",
+      seeds = Seq("http://d0.example.com/page/0", "http://d1.example.com/page/1"),
+      maxDepth = -1, maxAccessCount = 100000L, hostBudgetPerRound = 1000000,
+      rules = Seq(ScrapingRule(".*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    runDocsOnly(s, cfg, corpus, "graft-status")
+  }
+
+  private def cachedCorpus2(s: SparkSession, d: String, variant: String,
+      build: => DataFrame): DataFrame =
+    corpusCache.getOrElseUpdate((s, d, variant), build.persist())
+
+  private def runDocsOnly(s: SparkSession, cfg: CrawlConfig,
+      corpus: DataFrame, tmpPrefix: String): DataFrame = {
+    import s.implicits._
+    val robots = s.emptyDataset[RobotsRules].toDF()
+    val work = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val session = new CrawlSession(s, cfg, corpus, robots, work, recordOrder = false)
+    session.run()
+    session.docsTable.read().select(col("url"), col("title"))
   }
 
   /** J2/J3/S8 driver-visible: TWO CrawlSessions share one workDir docs
@@ -820,6 +897,18 @@ object SparkEntry {
     // recursive CTE (the synthetic-corpus crawl stays covered by entry() and
     // CrawlParitySpec in sbt)
     "q_crawl_e2e" -> ((s, d) => runCrawlT(s, d)),
+
+    // HTTP redirect remap through full crawl rounds (auto_redirect default
+    // true): 301 sources store nothing, their targets are crawled
+    "q_redirect_follow" -> ((s, d) => runRedirectCrawl(s, d, follow = true)),
+
+    // auto_redirect=false: redirect responses are dead ends
+    "q_redirect_off" -> ((s, d) => runRedirectCrawl(s, d, follow = false)),
+
+    // non-200 statuses through full crawl rounds: 404/304 pages claimed but
+    // store nothing and emit no children (P5 as crawl behavior, not just a
+    // row filter)
+    "q_status_crawl" -> ((s, d) => runStatusCrawl(s, d)),
 
     // J3/S8 end-to-end: overlapping second run merges by url
     "q_mode_overwrite" -> ((s, d) =>
@@ -1908,6 +1997,32 @@ object SparkEntry {
         |LEFT JOIN par p ON p.node = v.node
         |LEFT JOIN aggs a ON a.doc_id = v.node""".stripMargin,
 
+    // redirect crawl replay: plain transitive reachability (maxDepth
+    // unlimited ⇒ depth-free), where a redirect doc's single out-edge is
+    // its Location target; stored docs = reachable non-redirect corpus
+    // docs. Normal links hit only EVEN ids; odd ids enter only through a
+    // redirect hop, so the follow and off answers genuinely differ.
+    "q_redirect_follow" -> reachabilityOracle(
+      edgesExtra = "UNION ALL SELECT doc_id AS src, doc_id + 1 AS dst " +
+        "FROM corpus WHERE doc_id%10 = 8",
+      contentDocs = "doc_id%10 <> 8",
+      storedDocs = "c.doc_id%10 <> 8",
+      normalDst = "((doc_id*7 + pos*13)%250)*2"),
+
+    // auto_redirect=false: redirect nodes have no out-edges at all
+    "q_redirect_off" -> reachabilityOracle(
+      edgesExtra = "",
+      contentDocs = "doc_id%10 <> 8",
+      storedDocs = "c.doc_id%10 <> 8",
+      normalDst = "((doc_id*7 + pos*13)%250)*2"),
+
+    // status crawl replay: 404 (id%7=3) and 304 (id%7=5) pages neither
+    // store nor link onward — reachability flows only through 200 pages
+    "q_status_crawl" -> reachabilityOracle(
+      edgesExtra = "",
+      contentDocs = "doc_id%7 NOT IN (3,5)",
+      storedDocs = "c.doc_id%7 NOT IN (3,5)"),
+
     // run 1 crawled 0..39 at ts1; run 2 re-crawled 20..39 and added 40..59
     // at ts2 with lastModified id+id%2 — merge-by-url keeps run 2's rows
     // wherever it re-crawled
@@ -2118,6 +2233,37 @@ object SparkEntry {
     "q_event_funnel_bucketed" -> funnelOracle,
     "q_event_quantiles_hist" -> quantilesOracle
   )
+
+  /** Depth-free crawl-reachability replay (the redirect/status crawls run
+    * with unlimited maxDepth, so their stored-doc set is pure transitive
+    * closure) over the token-derived link graph. `contentDocs` picks the
+    * docs whose body is parsed (token spans → out-edges + a stored doc);
+    * `edgesExtra` appends non-content edges (the redirect remap);
+    * `storedDocs` filters the stored-doc set (redirect/non-200 pages are
+    * claimed but never stored).
+    */
+  private def reachabilityOracle(edgesExtra: String, contentDocs: String,
+      storedDocs: String,
+      normalDst: String = "(doc_id*7 + pos*13)%500"): String =
+    s"""WITH RECURSIVE
+      |corpus AS (SELECT doc_id FROM documents WHERE length(text) > 0),
+      |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |  unnest(range(0, len(string_split(text,' ')))) AS pos
+      |  FROM documents WHERE length(text) > 0 AND $contentDocs),
+      |edges AS (SELECT DISTINCT doc_id AS src, $normalDst AS dst
+      |  FROM toks WHERE pos%5 = 3 AND $normalDst <> doc_id
+      |  $edgesExtra),
+      |reach(node) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node UNION ALL SELECT CAST(1 AS BIGINT)
+      |  UNION
+      |  SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      |aggs AS (SELECT doc_id,
+      |  string_agg(tok, ' ' ORDER BY pos) FILTER (pos%5=0) AS title
+      |  FROM toks GROUP BY doc_id)
+      |SELECT 'http://d'||(c.doc_id%4)||'.example.com/page/'||c.doc_id AS url,
+      |  coalesce(a.title, '') AS title
+      |FROM reach r JOIN corpus c ON c.doc_id = r.node AND $storedDocs
+      |LEFT JOIN aggs a ON a.doc_id = r.node""".stripMargin
 
   /** Sequential min-filter funnel replay, shared by the plain and the
     * bounded-state bucketed funnel queries (output-identity is the bucketed

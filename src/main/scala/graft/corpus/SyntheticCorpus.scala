@@ -84,12 +84,43 @@ object SyntheticCorpus {
   def hostOfDoc(i: Long, seed: Long, cdf: Array[Double]): String =
     hostName(pickZipf(cdf, rngFor(seed, i)))
 
+  /** Is doc `i` an HTTP redirect page (opt-in via `redirectEvery`)?
+    * Sitemap docs are never redirects (disjoint by construction).
+    */
+  def isRedirectDoc(i: Long, redirectEvery: Int): Boolean =
+    redirectEvery > 0 && i % redirectEvery == redirectEvery - 1 && !isSitemapDoc(i)
+
+  /** Redirect target of redirect doc `i`: a deterministic other doc
+    * (possibly itself a redirect — chains and even cycles are legal; the
+    * seen set terminates them).
+    */
+  def redirectTargetOf(i: Long, n: Long, seed: Long, cdf: Array[Double]): String = {
+    val j = math.floorMod(i * 31 + 7, n)
+    urlOf(j, hostOfDoc(j, seed, cdf))
+  }
+
+  /** Non-200 status of doc `i` (opt-in via `errorEvery`): cycles
+    * 404 / 500 / 304 — the reference's status routing surface
+    * (crawler/rule+.xml:36-41). Redirect docs carry 301 regardless.
+    */
+  def statusOf(i: Long, errorEvery: Int): Int =
+    if (errorEvery > 0 && i % errorEvery == 0 && i > 0)
+      Array(404, 500, 304)(((i / errorEvery) % 3).toInt)
+    else 200
+
   /** Deterministic page for index `i` of an `n`-page corpus. */
-  def page(i: Long, n: Long, seed: Long, cdf: Array[Double]): PageDoc = {
+  def page(i: Long, n: Long, seed: Long, cdf: Array[Double],
+      redirectEvery: Int = 0, errorEvery: Int = 0): PageDoc = {
     val r = rngFor(seed, i)
     val hostRank = pickZipf(cdf, r)
     val host = hostName(hostRank)
     val url = urlOf(i, host)
+    if (isRedirectDoc(i, redirectEvery))
+      // HTTP redirect: one `redirect` span carrying the Location target;
+      // no content (a 301 body is never parsed)
+      return PageDoc(UrlOps.canonicalize(url), host, lastModifiedOf(i),
+        Seq(Span("redirect", null, redirectTargetOf(i, n, seed, cdf), 0)),
+        httpStatus = 301)
     val sb = Seq.newBuilder[Span]
     var off = 0
     def add(kind: String, text: String, ref: String): Unit = {
@@ -128,7 +159,8 @@ object SyntheticCorpus {
       }
       add("a", "self", url + "/") // self dup-variant, must be dropped (U2)
     }
-    PageDoc(UrlOps.canonicalize(url), host, lastModifiedOf(i), sb.result())
+    PageDoc(UrlOps.canonicalize(url), host, lastModifiedOf(i), sb.result(),
+      httpStatus = statusOf(i, errorEvery))
   }
 
   /** Deterministic outgoing link target: mostly same-host-cluster neighbors
@@ -183,14 +215,18 @@ object SyntheticCorpus {
       seed: Long = 42L,
       hostCount: Int = 200,
       zipfS: Double = 1.1,
-      includeGolden: Boolean = false) {
+      includeGolden: Boolean = false,
+      // opt-in: every redirectEvery-th doc is an HTTP redirect (301 + a
+      // `redirect` span); every errorEvery-th doc returns 404/500/304
+      redirectEvery: Int = 0,
+      errorEvery: Int = 0) {
 
     def corpus(spark: SparkSession): Dataset[PageDoc] = {
       import spark.implicits._
-      val (nn, s, hc, zs) = (n, seed, hostCount, zipfS)
+      val (nn, s, hc, zs, re, ee) = (n, seed, hostCount, zipfS, redirectEvery, errorEvery)
       val base = spark.range(nn).as[Long].mapPartitions { it =>
         val c = zipfCdf(hc, zs)
-        it.map(i => page(i, nn, s, c))
+        it.map(i => page(i, nn, s, c, re, ee))
       }
       if (includeGolden) base.union(spark.createDataset(Seq(goldenPage))) else base
     }

@@ -235,6 +235,15 @@ final class CrawlSession(
     // size-GATED on the known claimedCount — an unconditional broadcast OOMs
     // once hosts×budget reaches 10^7+ rows (see fetchJoin) — falling through
     // to an AQE-planned shuffle join above the cap.
+    // Response status comes from the corpus when it carries one (PageDoc
+    // .httpStatus); a status-less corpus is all-200. Non-200 pages flow
+    // through the round but the P5 gate stores no document and emits no
+    // children (304 = the incremental-skip route, crawler/rule+.xml:39-40;
+    // 4xx/5xx = fetch failure).
+    val statusCol =
+      if (corpus.columns.contains("httpStatus"))
+        coalesce(corpus("httpStatus"), lit(200))
+      else lit(200)
     val fetched = fetchJoin(corpus, claimed, claimedCount)
       .select(
         claimed("url"), claimed("parentUrl"), claimed("depth"),
@@ -242,7 +251,7 @@ final class CrawlSession(
         lit("GET").as("method"),
         lit("text/html").as("mimeType"),
         lit("UTF-8").as("charSet"),
-        lit(200).as("httpStatusCode"),
+        statusCol.as("httpStatusCode"),
         graft.functions.SpanFieldColumns.spanTextLength(corpus("spans"))
           .as("contentLength"),
         pmod(claimed("urlHash"), lit(500)).as("executionTime"),
@@ -250,30 +259,57 @@ final class CrawlSession(
         corpus("spans").as("spans"))
       .persist()
 
-    val isSitemap = col("url").rlike(sitemapRe)
+    // HTTP redirect classification (reference `auto_redirect`,
+    // RiverWeb.java:302-303): a page whose spans carry a `redirect` span is
+    // a 3xx response — Location = the span's media_ref. Redirects are
+    // HTTP-layer, so they bypass rule matching AND the P5 status gate:
+    // no document is stored, no content children are extracted, and (with
+    // autoRedirect on, the reference's default) the target is enqueued at
+    // the SOURCE's depth — a redirect hop costs no depth, exactly like the
+    // reference's transparent HttpClient follow. Both source and target
+    // end up seen (the source was claimed; the target goes through the
+    // normal candidate anti-join). autoRedirect=false drops the target:
+    // the 3xx response simply fails the 200 gate, like the reference with
+    // redirect handling off. Targets pass robots + include/exclude like
+    // any enqueued URL (the declarative analog of never fetching them).
+    val redirectRefs = Extractor.spanRefs(col("spans"), "redirect")
+    val isRedirect = size(redirectRefs) > 0
+    val followRedirects = config.http.autoRedirect.getOrElse(true)
+    val isSitemap = col("url").rlike(sitemapRe) && !isRedirect
 
     // --- extract + store docs (P3-F9, X4, S8, J2/J3) ------------------------
     // persisted: Overwrite/Incremental modes reference the extraction twice
     // (merge/skip join + count) — without it the whole fetch-join + extract
     // DAG re-executes per reference
-    val docs = Extractor.extract(fetched.filter(!isSitemap), config)
+    val docs = Extractor.extract(fetched.filter(!isSitemap && !isRedirect), config)
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
       .persist()
     val docsWritten = timed("docs-write")(writeDocs(writeShape(docs), writeShape))
 
-    // --- children (X5 + S6 sitemaps) → candidates → J1 anti-join ------------
+    // --- children (X5 + S6 sitemaps + redirect remap) → J1 anti-join ---------
+    // each branch carries its CHILD's depth: content/sitemap children are
+    // one level deeper; redirect targets inherit the source's depth
     val scrapedChildren = Extractor
-      .childLinks(fetched.filter(!isSitemap), config)
-      .select(col("child"), col("depth"), col("parentUrl"))
-    val sitemapChildren = fetched.filter(isSitemap)
+      .childLinks(fetched.filter(!isSitemap && !isRedirect), config)
+      .select(col("child"), (col("depth") + 1).as("cdepth"), col("parentUrl"))
+    // sitemap children obey the same P5 status gate as content children
+    // (a 4xx/304 sitemap response has no body to parse)
+    val sitemapChildren = fetched
+      .filter(isSitemap && col("httpStatusCode") === 200)
       .select(explode(Extractor.spanRefs(col("spans"), "sitemap-loc")).as("child"),
-        col("depth"), col("url").as("parentUrl"))
+        (col("depth") + 1).as("cdepth"), col("url").as("parentUrl"))
+    val redirectChildren =
+      if (!followRedirects)
+        sitemapChildren.limit(0)
+      else fetched.filter(isRedirect)
+        .select(explode(redirectRefs).as("child"),
+          col("depth").as("cdepth"), col("url").as("parentUrl"))
     // persist: the seen-filter's bloom routing scans candidates twice
     // (definitely-new branch ∪ maybe-seen anti-join branch)
     val cand = toCandidates(
-      scrapedChildren.unionByName(sitemapChildren),
-      col("depth") + 1, col("parentUrl"), applyIncludeExclude = true)
+      scrapedChildren.unionByName(sitemapChildren).unionByName(redirectChildren),
+      col("cdepth"), col("parentUrl"), applyIncludeExclude = true)
       .persist()
 
     var releaseRoute: () => Unit = () => ()

@@ -86,14 +86,30 @@ object Oracle {
         .take(math.min(remaining, Int.MaxValue.toLong).toInt)
       if (claimed.isEmpty) return Result(order.result(), seen.toSet, processed, rounds)
 
+      val autoRedirect = config.http.autoRedirect.getOrElse(true)
+      // the whole round's candidates, batched: the engine dedups a round's
+      // candidate set by url with MIN depth (mixed depths occur when
+      // politeness defers rows, and redirect targets arrive at the SOURCE's
+      // depth while content children arrive one deeper), so the oracle must
+      // take the per-round min too — first-occurrence insertion would pin a
+      // tied url to whichever parent sorted first
+      val roundCands = mutable.Map.empty[String, Int]
       claimed.foreach { case (u, d) =>
         order += ((u, d))
         frontier.remove(u)
         processed += 1
         pages.get(u).foreach { page =>
-          val isSitemap = sitemapRe.matcher(u).matches()
+          // HTTP redirect: bypasses rule matching and the status gate; the
+          // target (Location) is enqueued at the SOURCE's depth when
+          // autoRedirect (default true), else dropped
+          val redirectTargets = page.spans.filter(_.kind == "redirect")
+            .sortBy(_.offset).map(_.media_ref).filter(_ != null)
+          val isRedirect = redirectTargets.nonEmpty
+          val isSitemap = !isRedirect && sitemapRe.matcher(u).matches()
           val rawChildren: Seq[String] =
-            if (isSitemap)
+            if (isRedirect) { if (autoRedirect) redirectTargets else Seq.empty }
+            else if (page.httpStatus != 200) Seq.empty // P5: no body, no children
+            else if (isSitemap)
               page.spans.filter(_.kind == "sitemap-loc").sortBy(_.offset)
                 .map(_.media_ref).filter(_ != null)
             else if (ruleMatches(u)) {
@@ -104,19 +120,23 @@ object Oracle {
               refs.distinct.filterNot(r => r == u || r == u + "/")
             } else Seq.empty // P4: no rule → no scrape → no children
 
-          val cands = rawChildren
+          val childDepth = if (isRedirect) d else d + 1
+          rawChildren
             .map(UrlOps.canonicalize)
             .filter(_.trim.nonEmpty)
             .filter(includeExcludeOk)
-            .filter(c => config.maxDepth < 0 || d + 1 <= config.maxDepth)
+            .filter(c => config.maxDepth < 0 || childDepth <= config.maxDepth)
             .filter(allowedByRobots)
-            .distinct
-          cands.filterNot(seen.contains).foreach { c =>
-            seen += c
-            frontier(c) = d + 1
-          }
+            .foreach { c =>
+              if (roundCands.get(c).forall(childDepth < _)) roundCands(c) = childDepth
+            }
         }
       }
+      roundCands.toSeq.filterNot { case (c, _) => seen.contains(c) }
+        .foreach { case (c, cd) =>
+          seen += c
+          frontier(c) = cd
+        }
     }
     Result(order.result(), seen.toSet, processed, rounds)
   }

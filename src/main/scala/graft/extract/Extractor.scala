@@ -84,6 +84,7 @@ object Extractor {
     case NamedTransform.Lower               => lower(x)
     case NamedTransform.Upper               => upper(x)
     case NamedTransform.ContainsFlag(n)     => when(x.contains(n), "true").otherwise("false")
+    case NamedTransform.Custom(ref)         => TransformRegistry.resolve(ref)(x)
   }
 
   /** Whole raw page text (F8, `source` property type) — one codegen pass

@@ -108,6 +108,11 @@ object ConfigLoader {
               case "prepend" => NamedTransform.Prepend(asStr(m.getOrElse("arg", JString("")), ""))
               case "append" => NamedTransform.Append(asStr(m.getOrElse("arg", JString("")), ""))
               case "contains_flag" => NamedTransform.ContainsFlag(asStr(m.getOrElse("arg", JString("")), ""))
+              // X1 escape hatch: reference a caller-registered
+              // Column => Column by name (graft.extract.TransformRegistry)
+              // for scripts with no whitelisted equivalent
+              case "custom" => NamedTransform.Custom(
+                asStr(m.getOrElse("ref", JString("")), ""))
             }
           }
       case _ => None

@@ -15,8 +15,19 @@ package graft.model
   */
 final case class Span(kind: String, text: String, media_ref: String, offset: Int)
 
-/** One fetched+parsed page. doc_id is the canonical URL. */
-final case class PageDoc(doc_id: String, host: String, lastModified: Long, spans: Seq[Span])
+/** One fetched+parsed page. doc_id is the canonical URL.
+  *
+  * `httpStatus` models the response status the synthetic fetch join
+  * returns for this page (the reference sees it on ResponseData,
+  * RwCrawlerThread.java:24-49): 200 = normal; 304 routes the
+  * incremental-skip path (crawler/rule+.xml:39-40 — no re-store, no
+  * children); 4xx/5xx store nothing and emit nothing. A corpus DataFrame
+  * WITHOUT this column is treated as all-200 (backward compatible).
+  * Pages whose spans contain a `redirect` span are HTTP redirects — see
+  * [[graft.crawl.CrawlSession]]'s redirect remap.
+  */
+final case class PageDoc(doc_id: String, host: String, lastModified: Long,
+    spans: Seq[Span], httpStatus: Int = 200)
 
 /** Frontier entry — the rebuild of fess-crawler's ES UrlQueue record
   * (RiverWeb.java:392-398,484). Canonical crawl order is
@@ -95,6 +106,15 @@ object NamedTransform {
   case object Upper extends NamedTransform
   /** contains→flag rewrite: value becomes "true"/"false". */
   final case class ContainsFlag(needle: String) extends NamedTransform
+  /** Escape hatch for reference configs whose JSR-223 property script has
+    * no whitelisted equivalent (ScrapingTransformer.java:266-299): `ref`
+    * names a caller-registered `Column => Column` in
+    * [[graft.extract.TransformRegistry]]. The config file stays
+    * declarative (it carries only the name); the transform itself is
+    * plan-time Catalyst expression construction — still codegen'd, never
+    * a per-row script engine.
+    */
+  final case class Custom(ref: String) extends NamedTransform
 }
 
 /** One property rule (README.md:396-472; ScrapingTransformer.java:222-322).

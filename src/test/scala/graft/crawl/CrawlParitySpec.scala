@@ -313,3 +313,157 @@ class WriteModeSpec extends AnyFunSuite {
     s.cleanup()
   }
 }
+
+/** HTTP redirect remap + non-200 status flow (reference `auto_redirect`,
+  * RiverWeb.java:302-303; status routing crawler/rule+.xml:36-41): redirect
+  * targets are enqueued at the SOURCE's depth, non-200 pages store nothing
+  * and emit nothing, and oracle parity holds on a corpus mixing both.
+  */
+class RedirectStatusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // redirect/status-bearing corpus: every 10th doc is a 301, every 7th a
+  // 404/500/304 (sitemap docs can carry errors too — the gate covers S6)
+  val builder = SyntheticCorpus.Builder(n = 400, hostCount = 25,
+    redirectEvery = 10, errorEvery = 7)
+  lazy val corpusDf = builder.corpus(spark).toDF().persist()
+  lazy val pagesMap: Map[String, PageDoc] =
+    builder.corpus(spark).collect().map(p => p.doc_id -> p).toMap
+  lazy val robotsDf = builder.robots(spark)
+  lazy val robotsMap: Map[String, Seq[String]] =
+    robotsDf.collect().map(r => r.host -> r.disallow_prefixes).toMap
+
+  def seedUrls(idxs: Long*): Seq[String] = idxs.map { i =>
+    UrlOps.canonicalize(SyntheticCorpus.urlOf(i,
+      SyntheticCorpus.hostOfDoc(i, 42L, SyntheticCorpus.zipfCdf(25, 1.1))))
+  }
+
+  def cfg(id: String, follow: Option[Boolean] = None): CrawlConfig = CrawlConfig(
+    sessionId = id,
+    seeds = seedUrls(0L, 5L, 96L),
+    maxDepth = 3,
+    maxAccessCount = 150,
+    hostBudgetPerRound = 3,
+    http = HttpSettings(autoRedirect = follow),
+    rules = Seq(ScrapingRule(
+      urlPattern = ".*/page/.*",
+      properties = Seq(PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+
+  def runEngine(c: CrawlConfig): (CrawlSession.CrawlResult, Set[String], CrawlSession) = {
+    val dir = TestSpark.tmpDir(s"crawl-${c.sessionId}")
+    val session = new CrawlSession(spark, c, corpusDf, robotsDf.toDF(), dir)
+    val result = session.run()
+    val seen = session.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    (result, seen, session)
+  }
+
+  test("oracle parity on a redirect+error corpus (auto_redirect default on)") {
+    val c = cfg("redir-parity")
+    val (engine, engineSeen, session) = runEngine(c)
+    val oracle = Oracle.crawl(pagesMap, robotsMap, c)
+    assert(engine.crawlOrder == oracle.crawlOrder,
+      s"order diverged at ${engine.crawlOrder.zip(oracle.crawlOrder).indexWhere(p => p._1 != p._2)}")
+    assert(engineSeen == oracle.seen)
+    assert(engine.totalClaimed == oracle.processed)
+    // the corpus actually exercised both branches: some claimed url is a
+    // redirect, some claimed url is non-200
+    val claimed = engine.crawlOrder.map(_._1).toSet
+    assert(claimed.exists(u => pagesMap.get(u).exists(_.httpStatus == 301)))
+    assert(claimed.exists(u => pagesMap.get(u).exists(p =>
+      p.httpStatus != 200 && p.httpStatus != 301)))
+    // no document stored for any non-200 page
+    val docUrls = session.docsTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    docUrls.foreach(u => assert(pagesMap(u).httpStatus == 200, s"stored non-200 $u"))
+    session.cleanup()
+  }
+
+  test("oracle parity with auto_redirect=false (redirects are dead ends)") {
+    val cOn = cfg("redir-on2", follow = Some(true))
+    val cOff = cfg("redir-off", follow = Some(false))
+    val (_, seenOff, sOff) = runEngine(cOff)
+    val oracleOff = Oracle.crawl(pagesMap, robotsMap, cOff)
+    assert(seenOff == oracleOff.seen)
+    // following redirects reaches strictly more than not following
+    val oracleOn = Oracle.crawl(pagesMap, robotsMap, cOn)
+    assert(oracleOff.seen.size < oracleOn.seen.size)
+    sOff.cleanup()
+  }
+
+  test("redirect target inherits the SOURCE's depth (a +1 would be dropped at maxDepth)") {
+    import graft.model.Span
+    def pd(i: Int, spans: Seq[Span], status: Int = 200) =
+      PageDoc(s"http://s.example.com/page/$i", "s.example.com", 1L, spans, status)
+    val pages = Seq(
+      pd(0, Seq(Span("title", "s", null, 0),
+        Span("a", "x", "http://s.example.com/page/1", 1),
+        Span("a", "y", "http://s.example.com/page/2", 2))),
+      pd(1, Seq(Span("redirect", null, "http://s.example.com/page/3", 0)), 301),
+      pd(2, Seq(Span("title", "c", null, 0),
+        Span("a", "z", "http://s.example.com/page/4", 1))),
+      pd(3, Seq(Span("title", "b", null, 0))),
+      pd(4, Seq(Span("title", "d", null, 0))))
+    import spark.implicits._
+    val corpus = spark.createDataset(pages).toDF()
+    val robots = spark.emptyDataset[RobotsRules].toDF()
+    val c = CrawlConfig(
+      sessionId = "redir-depth",
+      seeds = Seq("http://s.example.com/page/0"),
+      maxDepth = 1, maxAccessCount = 100, hostBudgetPerRound = 100,
+      rules = Seq(ScrapingRule(".*",
+        properties = Seq(PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    val dir = TestSpark.tmpDir("crawl-redir-depth")
+    val session = new CrawlSession(spark, c, corpus, robots, dir)
+    session.run()
+    val docUrls = session.docsTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    def u(i: Int) = s"http://s.example.com/page/$i"
+    // page/3 reached THROUGH the depth-1 redirect at depth 1 → stored;
+    // page/4 (normal child of depth-1 page/2, depth 2) → dropped;
+    // page/1 is the redirect itself → never stored
+    assert(docUrls == Set(u(0), u(2), u(3)), docUrls.toString)
+    val seen = session.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(seen == Set(u(0), u(1), u(2), u(3)), seen.toString)
+    // oracle agrees on the hand-built corpus too
+    val oracle = Oracle.crawl(pages.map(p => p.doc_id -> p).toMap, Map.empty, c)
+    assert(seen == oracle.seen)
+    session.cleanup()
+  }
+
+  test("304 re-crawl takes the incremental-skip route (no re-store, J2)") {
+    import graft.model.Span
+    def corpusOf(status: Int, lastMod: Long) = {
+      import spark.implicits._
+      spark.createDataset(Seq(PageDoc("http://s.example.com/page/0",
+        "s.example.com", lastMod, Seq(Span("title", "t", null, 0)), status))).toDF()
+    }
+    import spark.implicits._
+    val robots = spark.emptyDataset[RobotsRules].toDF()
+    def c(id: String) = CrawlConfig(
+      sessionId = id, seeds = Seq("http://s.example.com/page/0"),
+      maxDepth = 0, maxAccessCount = 10, mode = WriteMode.Incremental,
+      rules = Seq(ScrapingRule(".*",
+        properties = Seq(PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    val t1 = new Timestamp(1700000001000L)
+    val t2 = new Timestamp(1700000002000L)
+    // run 1: 200 → stored. run 2: server answers 304 with a NEWER
+    // lastModified — the status gate must skip it BEFORE the lastModified
+    // comparison would have re-indexed it
+    val dir = TestSpark.tmpDir("crawl-304")
+    new CrawlSession(spark, c("r304-1"), corpusOf(200, 100L), robots, dir, () => t1).run()
+    val s2 = new CrawlSession(spark, c("r304-2"), corpusOf(304, 200L), robots, dir, () => t2)
+    s2.run()
+    val rows = s2.docsTable.read().select("url", "@timestamp").collect()
+    assert(rows.length == 1 && rows(0).getTimestamp(1) == t1, rows.mkString(","))
+    s2.docsTable.drop()
+    // control: the same newer lastModified with a 200 DOES re-index
+    val dir2 = TestSpark.tmpDir("crawl-304c")
+    new CrawlSession(spark, c("r200-1"), corpusOf(200, 100L), robots, dir2, () => t1).run()
+    val s4 = new CrawlSession(spark, c("r200-2"), corpusOf(200, 200L), robots, dir2, () => t2)
+    s4.run()
+    assert(s4.docsTable.read().count() == 2)
+    s4.docsTable.drop()
+  }
+}

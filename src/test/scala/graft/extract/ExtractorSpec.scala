@@ -169,6 +169,28 @@ class ExtractorSpec extends AnyFunSuite {
     assert(r.getAs[String]("upper") == "FEATURES")
   }
 
+  test("custom registered transform (X1 escape hatch) mirrors the reference script example") {
+    // reference README.md:396-410: "flag": { "text": "body",
+    //   "script": "value.indexOf('Elasticsearch') > 0 ? 'yes' : 'no';" }
+    // — the same conditional registered as a named Column => Column
+    TransformRegistry.register("es_flag",
+      x => when(x.contains("Elasticsearch"), "yes").otherwise("no"))
+    try {
+      val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+        PropertyRule("flag", SpanText("p"), isArray = true,
+          transform = Some(NamedTransform.Custom("es_flag")))))))
+      val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
+      assert(r.getAs[scala.collection.Seq[String]]("flag") == Seq("no", "no", "no", "no"))
+      // unregistered ref fails at plan-compile time with the names listed
+      val bad = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+        PropertyRule("flag", SpanText("p"),
+          transform = Some(NamedTransform.Custom("nope")))))))
+      val e = intercept[IllegalArgumentException](
+        Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), bad))
+      assert(e.getMessage.contains("nope") && e.getMessage.contains("es_flag"))
+    } finally TransformRegistry.unregister("es_flag")
+  }
+
   test("first matching rule wins (P3 when-chain order)") {
     val cfg = goldenConfig.copy(rules = Seq(
       ScrapingRule(".*codelibs.*", properties = Seq(PropertyRule("which", Value(Seq("first"))))),

@@ -57,6 +57,17 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.seenRoute == graft.model.SeenRoute.Auto) // unset → Auto
   }
 
+  test("parses a custom-transform script ref (X1 escape hatch)") {
+    val json =
+      """{ "url": ["http://h/1"], "target": [ { "pattern": { "url": ".*" },
+        |  "properties": {
+        |    "flag": { "text": "p", "script": { "name": "custom", "ref": "es_flag" } } } } ] }"""
+        .stripMargin
+    val cfg = ConfigLoader.fromJson(json, "s")
+    assert(cfg.rules.head.properties.head.transform
+      .contains(graft.model.NamedTransform.Custom("es_flag")))
+  }
+
   test("parses seen_route variants") {
     def route(v: String) =
       ConfigLoader.fromJson(s"""{ "url": [], "seen_route": $v }""", "s").seenRoute
