@@ -745,6 +745,32 @@ object SparkEntry {
         array_join(col("img_gt0"), " ").as("img_gt0"))
     }),
 
+    // F4+ multi-step query navigation (ScrapingTransformer.java:442-463):
+    // irregular pos%7 span kinds — h2 at BOTH 1 and 3, p only at 2 — so
+    // every second section region is EMPTY and the reference's null
+    // placeholder (array-property position alignment) actually fires
+    "q_extract_path" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val fetched = t(s, d, "documents").filter(length(col("text")) > 0).select(
+        concat(lit("http://d/"), col("doc_id")).as("url"),
+        lit("seed").as("parentUrl"), lit(0).as("depth"),
+        lit("GET").as("method"), lit("text/html").as("mimeType"),
+        lit("UTF-8").as("charSet"), lit(200).as("httpStatusCode"),
+        lit(0L).as("contentLength"), lit(0L).as("executionTime"),
+        lit(0L).as("lastModified"),
+        transform(toks, (x, i) => struct(
+          when(pmod(i, lit(7)) === 1 || pmod(i, lit(7)) === 3, "h2")
+            .when(pmod(i, lit(7)) === 2, "p").otherwise("x").as("kind"),
+          x.as("text"),
+          lit(null).cast("string").as("media_ref"),
+          i.cast("int").as("offset"))).as("spans"))
+      val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
+        rules = Seq(ScrapingRule(".*", properties = Seq(
+          PropertyRule("sections", SpanPath("h2", "p"), isArray = true)))))
+      graft.extract.Extractor.extract(fetched, cfg).select(
+        col("url"), array_join(col("sections"), " ", "null").as("sections"))
+    }),
+
     // P5 driver-visible: the HTTP-status gate inside the REAL Extractor —
     // every 10th page 404s and must not emit a document
     "q_p5_status" -> ((s, d) => {
@@ -1877,6 +1903,28 @@ object SparkEntry {
         |  coalesce(array_to_string(p[1:2], ' '), '') AS p_lt2,
         |  coalesce(array_to_string(img[2:len(img)], ' '), '') AS img_gt0
         |FROM lists""".stripMargin,
+
+    // per-region scoped child selection: each h2 (pos%7 ∈ {1,3}) opens a
+    // region to the next h2; its p tokens (pos%7=2) aggregate in order,
+    // an empty region renders the 'null' placeholder
+    "q_extract_path" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |  unnest(range(0, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |h2s AS (SELECT doc_id, pos,
+        |  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+        |  FROM toks WHERE pos%7 IN (1,3)),
+        |regions AS (SELECT h.doc_id, h.pos,
+        |    string_agg(p.tok, ' ' ORDER BY p.pos) AS body
+        |  FROM h2s h LEFT JOIN toks p ON p.doc_id = h.doc_id AND p.pos%7 = 2
+        |    AND p.pos > h.pos AND (h.npos IS NULL OR p.pos < h.npos)
+        |  GROUP BY h.doc_id, h.pos),
+        |secs AS (SELECT doc_id,
+        |    string_agg(coalesce(body, 'null'), ' ' ORDER BY pos) AS sections
+        |  FROM regions GROUP BY doc_id)
+        |SELECT 'http://d/'||d.doc_id AS url, coalesce(s.sections, '') AS sections
+        |FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+        |LEFT JOIN secs s ON s.doc_id = d.doc_id""".stripMargin,
 
     "q_x1_transform" ->
       s"""WITH $spanCtes

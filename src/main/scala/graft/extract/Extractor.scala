@@ -87,6 +87,38 @@ object Extractor {
     case NamedTransform.Custom(ref)         => TransformRegistry.resolve(ref)(x)
   }
 
+  /** Multi-step query navigation over the span model
+    * (ScrapingTransformer.java:442-463): each `parentKind` span opens a
+    * region ending at the next `parentKind` span; `childKind` spans inside
+    * the region are selected (positional per region, like the reference's
+    * per-step :eq), extracted (`field`), and flattened in document order.
+    * An empty region yields a NULL placeholder when `isArray` — the
+    * reference's alignment quirk for array properties (`:446-452`).
+    *
+    * Declarative HOF composition (no UDF): spans are stored offset-dense
+    * ascending, so region arithmetic is pure offset comparison. The
+    * lambdas evaluate interpreted, which is fine off the hot path — pages
+    * have tens of parent spans; the hot single-step selectors stay on the
+    * codegen SpanField kernel.
+    */
+  def spanPath(spans: Column, parentKind: String, childKind: String,
+      field: String, pos: Option[Positional], isArray: Boolean): Column = {
+    val parentOffs = transform(
+      filter(spans, s => s.getField("kind") === parentKind),
+      s => s.getField("offset"))
+    flatten(transform(parentOffs, (o, i) => {
+      val next = get(parentOffs, i + 1) // null past the last parent
+      val inRegion = filter(spans, s =>
+        s.getField("kind") === childKind && s.getField("offset") > o &&
+          (next.isNull || s.getField("offset") < next))
+      val kids0 = transform(inRegion, s => s.getField(field))
+      val kids = pos.fold(kids0)(p => positional(kids0, p))
+      if (isArray)
+        when(size(kids) === 0, array(lit(null).cast("string"))).otherwise(kids)
+      else kids
+    }))
+  }
+
   /** Whole raw page text (F8, `source` property type) — one codegen pass
     * (`SpanTextJoin`); the filter/transform/array_join composition
     * evaluates its lambdas interpreted.
@@ -124,6 +156,16 @@ object Extractor {
     val trimmed = pr.extraction match {
       case Extraction.SpanText(kind, pos) => spanSide(kind, "text", pos)
       case Extraction.SpanRef(kind, pos) => spanSide(kind, "media_ref", pos)
+      case Extraction.SpanPath(pk, ck, f, pos) =>
+        if (!htmlParsed) EmptyStrArray
+        else {
+          val base = spanPath(spans, pk, ck, f, pos, pr.isArray)
+          // trim WITHOUT dropping: the null placeholders carry position
+          // alignment, so the blank-drop half of trim_spaces cannot apply
+          if (pr.trimSpaces)
+            transform(base, x => when(x.isNotNull, trim(regexp_replace(x, "\\s+", " "))))
+          else base
+        }
       case Extraction.Value(vs) =>
         val base = array(vs.map(lit): _*)
         if (pr.trimSpaces) trimSpacesArr(base) else base

@@ -125,7 +125,15 @@ object ConfigLoader {
       val pos = eq.orElse(ltv).orElse(gt)
       val extraction: Extraction =
         (spec \ "text", spec \ "attr", spec \ "value", spec \ "source", spec \ "data") match {
+          // multi-step query navigation (ScrapingTransformer.java:442-463):
+          // a JSON array of steps scopes the second step inside the first's
+          // regions; two steps supported (the span model has one structural
+          // nesting level — section parent → member child)
+          case (JArray(steps), _, _, _, _) if steps.size >= 2 =>
+            Extraction.SpanPath(asStr(steps(0), ""), asStr(steps(1), ""), "text", pos)
           case (t, _, _, _, _) if t != JNothing => Extraction.SpanText(asStr(t, ""), pos)
+          case (_, JArray(steps), _, _, _) if steps.size >= 2 =>
+            Extraction.SpanPath(asStr(steps(0), ""), asStr(steps(1), ""), "media_ref", pos)
           case (_, a, _, _, _) if a != JNothing => Extraction.SpanRef(asStr(a, ""), pos)
           case (_, _, v, _, _) if v != JNothing => Extraction.Value(strs(v))
           case (_, _, _, s, _) if s != JNothing => Extraction.Source

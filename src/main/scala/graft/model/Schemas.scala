@@ -74,6 +74,20 @@ object Extraction {
     * (ScrapingTransformer.java:412-418,429-440).
     */
   final case class SpanRef(kind: String, positional: Option[Positional] = None) extends Extraction
+  /** Multi-step CSS query navigation, span-model analog
+    * (ScrapingTransformer.java:442-463 `getElements(elements, queries,
+    * isArrayProperty)`): step 1 selects the spans of `parentKind`; each
+    * defines a REGION running to the next parentKind span (document
+    * order, the columnar stand-in for jsoup subtree scoping); step 2
+    * selects `childKind` spans INSIDE each region, optionally positional
+    * per region (the reference applies :eq/:lt/:gt within each step).
+    * Results flatten in document order; an empty region contributes a
+    * NULL placeholder when the property is an array — the reference's
+    * position-alignment quirk (`:446-452`), reproduced exactly. `field`
+    * picks text vs media_ref like SpanText/SpanRef.
+    */
+  final case class SpanPath(parentKind: String, childKind: String,
+      field: String = "text", positional: Option[Positional] = None) extends Extraction
   /** Literal value property (ScrapingTransformer.java:232-243). */
   final case class Value(values: Seq[String]) extends Extraction
   /** Whole raw page text (ScrapingTransformer.java:255-260). */

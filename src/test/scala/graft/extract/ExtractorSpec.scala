@@ -169,6 +169,34 @@ class ExtractorSpec extends AnyFunSuite {
     assert(r.getAs[String]("upper") == "FEATURES")
   }
 
+  test("multi-step query navigation (SpanPath) scopes children per section with null placeholders") {
+    // golden page sections: "What is Fess?" (2 p), "Features" (0 p, 12 li),
+    // "News" (1 p), "Download" (1 p) — ScrapingTransformer.java:442-463
+    val cfg = goldenConfig.copy(rules = Seq(goldenConfig.rules.head.copy(properties = Seq(
+      PropertyRule("secp", SpanPath("h2", "p"), isArray = true),
+      PropertyRule("secli", SpanPath("h2", "li"), isArray = true),
+      PropertyRule("firstli", SpanPath("h2", "li", "text", Some(Eq(0))), isArray = true),
+      PropertyRule("flat", SpanPath("h2", "p"))))))
+    val r = Extractor.extract(fetchedOf(Seq(SyntheticCorpus.goldenPage)), cfg).collect()(0)
+    // empty "Features" region → ONE null placeholder (array alignment quirk)
+    assert(r.getAs[scala.collection.Seq[String]]("secp") == Seq(
+      "Fess is very powerful and easily deployable Enterprise Search Server.",
+      "You can install and run Fess quickly on any platforms.",
+      null, "Fess 9.1 released.", "Download the latest Fess."))
+    val li = r.getAs[scala.collection.Seq[String]]("secli")
+    assert(li.length == 15 && li.head == null &&
+      li(1) == "Feature 1" && li(12) == "Feature 12" &&
+      li(13) == null && li(14) == null, li.toString)
+    // positional applies PER REGION (the reference's per-step :eq)
+    assert(r.getAs[scala.collection.Seq[String]]("firstli") ==
+      Seq(null, "Feature 1", null, null))
+    // non-array: flat join, no placeholders
+    assert(r.getAs[String]("flat") ==
+      "Fess is very powerful and easily deployable Enterprise Search Server. " +
+        "You can install and run Fess quickly on any platforms. " +
+        "Fess 9.1 released. Download the latest Fess.")
+  }
+
   test("custom registered transform (X1 escape hatch) mirrors the reference script example") {
     // reference README.md:396-410: "flag": { "text": "body",
     //   "script": "value.indexOf('Elasticsearch') > 0 ? 'yes' : 'no';" }

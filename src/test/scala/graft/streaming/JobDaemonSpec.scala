@@ -57,6 +57,22 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.seenRoute == graft.model.SeenRoute.Auto) // unset → Auto
   }
 
+  test("parses multi-step query navigation (text/attr as a step array)") {
+    val json =
+      """{ "url": ["http://h/1"], "target": [ { "pattern": { "url": ".*" },
+        |  "properties": {
+        |    "secs": { "text": ["h2", "p"], "is_array": true },
+        |    "refs": { "attr": ["h2", "img"], "eq": 0 } } } ] }""".stripMargin
+    val props = ConfigLoader.fromJson(json, "s").rules.head.properties
+      .map(p => p.name -> p).toMap
+    assert(props("secs").extraction ==
+      graft.model.Extraction.SpanPath("h2", "p", "text", None))
+    assert(props("secs").isArray)
+    assert(props("refs").extraction ==
+      graft.model.Extraction.SpanPath("h2", "img", "media_ref",
+        Some(graft.model.Positional.Eq(0))))
+  }
+
   test("parses a custom-transform script ref (X1 escape hatch)") {
     val json =
       """{ "url": ["http://h/1"], "target": [ { "pattern": { "url": ".*" },
