@@ -348,7 +348,10 @@ object Bench {
         val f =
           if (bucketed) graft.ops.EventOps.funnelBucketed(evs, steps,
             bucketSeconds = 3600L)
-          else graft.ops.EventOps.funnel(evs, steps)
+          // force the PLAIN single-buffer form (threshold off): the probe's
+          // contract number is plain-vs-bucketed
+          else graft.ops.EventOps.funnel(evs, steps,
+            hotUserThreshold = Long.MaxValue)
         f.agg(count(lit(1))).head()
         (System.nanoTime() - t0) / 1e9
       }.min
@@ -511,7 +514,11 @@ object Bench {
     }
     var funUni, funHotPlain, funHotBucketed = -1.0
     if (!overBudget) {
-      val r = funnelSkewProbe(spark, 4000000L, benchDir, reps = 2)
+      // 2× the sessionize probe's n: at 4M rows the plain funnel's hot
+      // buffer (2M events) is not yet wall-clock-painful and the two forms
+      // measure within noise of each other — the 4M-event buffer at n=8M
+      // is where the single-task penalty separates from the bounded form
+      val r = funnelSkewProbe(spark, 8000000L, benchDir, reps = 2)
       funUni = r._1; funHotPlain = r._2; funHotBucketed = r._3
       fields("funnel_skew_bucketed_ratio") = f"${funHotBucketed / funUni}%.2f"
       flush("scaling,skew,sem,sess,funnel")

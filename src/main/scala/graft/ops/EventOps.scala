@@ -168,17 +168,35 @@ object EventOps {
     * hot-key exposure: ONE user with billions of step events is one
     * aggregation buffer. [[funnelBucketed]] is the scale path (identical
     * output, property-proven): per-(user, time-bucket) partial folds whose
-    * completed-prefix states merge across buckets.
+    * completed-prefix states merge across buckets. Like [[sessionize]],
+    * this entry point AUTO-ROUTES there when the largest per-user STEP
+    * event count exceeds `hotUserThreshold` (one cheap
+    * map-side-combinable count-agg pre-pass over the step-filtered rows);
+    * `Long.MaxValue` forces the plain form (the bench probe does, to
+    * measure it). Measured on the bench's hot-user probe: one user owning
+    * 50% of 4M step events costs the plain form a single 2M-element
+    * aggregation buffer; the bucketed form bounds it per (user, day).
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      hotUserThreshold: Long = 1048576L): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
-    val perUser = events
+    val stepped = events.filter(col(typeCol).isin(steps: _*))
+    val routeBucketed =
+      !events.isStreaming && hotUserThreshold > 0 &&
+        hotUserThreshold < Long.MaxValue && {
+          val m = stepped.groupBy(col(userCol)).count()
+            .agg(max(col("count"))).head().get(0)
+          m != null && m.asInstanceOf[Long] > hotUserThreshold
+        }
+    if (routeBucketed)
+      return funnelBucketed(events, steps, bucketSeconds = 86400L,
+        userCol, tsCol, typeCol)
+    val perUser = stepped
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol), unix_micros(col(tsCol)).as("us"),
         col(typeCol).as("et"))
       .groupBy(col(userCol))

@@ -1097,6 +1097,20 @@ class EventOpsSpec extends AnyFunSuite {
       (3L, "purchase") -> 1L), got.toString)
   }
 
+  test("funnel auto-routes hot users through the bucketed form, same output") {
+    val steps = Seq("view", "click", "purchase")
+    val rows = ((0 until 120).map(i =>
+      evt(1L, i * 1000000L, steps(i % 3))) ++
+      (0 until 6).map(i => evt(2L, i * 7000000L, steps(2 - i % 3))))
+      .toDF("user_id", "ts", "event_type")
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val plain = m(EventOps.funnel(rows, steps, hotUserThreshold = Long.MaxValue))
+    // threshold 50 < user 1's 120 step events → routes bucketed
+    val routed = m(EventOps.funnel(rows, steps, hotUserThreshold = 50L))
+    assert(routed == plain)
+  }
+
   test("sessionize auto-routes hot users through the bucketed form, same output") {
     val rows = ((0 until 200).map(i => ev(1L, i * 30000000L)) ++
       (0 until 10).map(i => ev(2L, i * 400000000L))).toDF("user_id", "ts")
