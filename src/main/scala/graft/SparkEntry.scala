@@ -583,6 +583,14 @@ object SparkEntry {
       Dedup.duplicatedWindowStats(t(s, d, "documents"), k = 5,
         hashShingles = false)),
 
+    // exact substring REMOVAL (Lee et al. 2021's removal step over the
+    // scored windows above): keep-first canonical occurrence, merged
+    // removal intervals, md5 of the rebuilt text as the compact witness
+    "q_dedup_substr_remove" -> ((s, d) =>
+      Dedup.substringDedup(t(s, d, "documents"), k = 5, hashShingles = false)
+        .select(col("doc_id"), col("spans_removed"), col("tokens_removed"),
+          col("tokens_kept"), md5(col("cleaned_text")).as("cleaned_hash"))),
+
     // benchmark decontamination: docs vs a probe (benchmark) split of the
     // same table — per-doc shared-5-gram and probes-hit counts
     // (string-keyed so the DuckDB twin can reproduce it; production keys
@@ -1125,6 +1133,16 @@ object SparkEntry {
         .select((col("doc_id") % 500).as("src"),
           ((col("doc_id") * 17 + 3) % 500).as("dst"))
       GraphOps.pageRank(e1.unionByName(e2), iterations = 3)
+    }),
+
+    // inbound anchor-text aggregation over the same synthetic link graph:
+    // each doc links src -> dst with its first token as the anchor text
+    "q_graph_anchors" -> ((s, d) => {
+      val links = t(s, d, "documents").select(
+        (col("doc_id") % 500).as("src"),
+        ((col("doc_id") * 31 + 7) % 500).as("dst"),
+        element_at(graft.ops.TextOps.tokens(col("text")), 1).as("anchor"))
+      GraphOps.anchorStats(links)
     }),
 
     // gap-based sessionization over the events log via native
@@ -1746,6 +1764,49 @@ object SparkEntry {
         |  round(count(CASE WHEN n >= 2 THEN 1 END)::DOUBLE / count(*), 4) AS dup_frac
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // substring removal: non-canonical occurrences (row_number > 1 by
+    // (doc_id, pos) per window) become [s, e) intervals, merged per doc by
+    // gaps-and-islands, then the text is rebuilt from surviving tokens
+    "q_dedup_substr_remove" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
+        |  FROM documents),
+        |occ AS (SELECT doc_id, i AS s, least(i+5, len(l)) AS e,
+        |      l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5] AS w
+        |      FROM (SELECT doc_id, l, unnest(range(0, len(l)-4)) AS i
+        |            FROM base WHERE len(l) >= 5)
+        |      UNION ALL
+        |      SELECT doc_id, 0 AS s, len(l) AS e, array_to_string(l, ' ') AS w
+        |      FROM base WHERE len(l) < 5),
+        |rem AS (SELECT doc_id, s, e FROM (
+        |      SELECT doc_id, s, e, count(*) OVER (PARTITION BY w) AS n,
+        |             row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+        |      FROM occ) WHERE n >= 2 AND rn > 1),
+        |isl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+        |      PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS ni FROM rem),
+        |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+        |      SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id
+        |        ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
+        |      GROUP BY doc_id, grp),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS spans_removed,
+        |      CAST(sum(e - s) AS BIGINT) AS tokens_removed
+        |      FROM merged GROUP BY doc_id),
+        |toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+        |      FROM base),
+        |kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+        |      FROM toks t LEFT JOIN merged m
+        |        ON t.doc_id = m.doc_id AND t.pos >= m.s AND t.pos < m.e
+        |      WHERE m.doc_id IS NULL GROUP BY t.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(s.spans_removed, 0) AS BIGINT) AS spans_removed,
+        |  CAST(coalesce(s.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+        |  CAST(len(b.l) - coalesce(s.tokens_removed, 0) AS BIGINT) AS tokens_kept,
+        |  md5(coalesce(k.cleaned, '')) AS cleaned_hash
+        |FROM base b
+        |LEFT JOIN stats s USING (doc_id)
+        |LEFT JOIN kept k ON b.doc_id = k.doc_id""".stripMargin,
+
     "q_sample_split" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
@@ -2219,6 +2280,22 @@ object SparkEntry {
          |FROM perdoc CROSS JOIN co""".stripMargin,
 
     "q_graph_pagerank" -> pagerankOracle,
+
+    // anchor aggregation: mode-by-target via the padded count|text sort key
+    "q_graph_anchors" ->
+      """WITH links AS (SELECT doc_id % 500 AS src, (doc_id*31 + 7) % 500 AS dst,
+        |    string_split_regex(lower(text), '\s+')[1] AS anchor FROM documents),
+        |per AS (SELECT dst, anchor, count(*) AS cnt FROM links GROUP BY dst, anchor),
+        |top AS (SELECT dst,
+        |    max(lpad(CAST(cnt AS VARCHAR), 12, '0')||'|'||anchor) AS k
+        |  FROM per GROUP BY dst),
+        |base AS (SELECT dst, CAST(count(*) AS BIGINT) AS inlinks,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS sources
+        |  FROM links GROUP BY dst)
+        |SELECT b.dst, b.inlinks, b.sources,
+        |  substr(t.k, 14) AS top_anchor,
+        |  CAST(substr(t.k, 1, 12) AS BIGINT) AS top_cnt
+        |FROM base b JOIN top t USING (dst)""".stripMargin,
 
     // lag + conditional cumulative sum replays Spark's session-window
     // semantics: per-event windows [t, t+gap] merge when they touch, so

@@ -453,6 +453,90 @@ object Dedup {
     (out, () => { w.unpersist(blocking = false); () })
   }
 
+  /** Exact substring-removal dedup — the REMOVAL step of Lee et al. 2021
+    * (arXiv:2107.06499, public construction) that
+    * [[duplicatedWindowStats]] only scores: every k-token window that
+    * occurs at least twice anywhere in the corpus is removed from every
+    * occurrence EXCEPT the canonical first one (minimum (doc_id, pos) —
+    * keep-first, deterministic), overlapping removal windows are merged
+    * per document, and the document text is rebuilt from the surviving
+    * tokens. Documents shorter than k tokens contribute one whole-document
+    * window (the [[shingles]] convention), so an exact short-doc duplicate
+    * is removed entirely.
+    *
+    * Scale shape: ONE shuffle on the window key (8-byte xxhash64 by
+    * default — a collision can only merge two window groups, which removes
+    * a non-duplicated occurrence: the conservative direction for dedup;
+    * pass `hashShingles = false` for the string-keyed DuckDB-replayable
+    * form) carrying a map-side-partial (count, min-occurrence) aggregate,
+    * re-joined to occurrences on the SAME key (exchange reuse, no second
+    * wide shuffle). Interval merging is a gaps-and-islands window
+    * partitioned BY DOCUMENT — per-partition work is bounded by a single
+    * document's window count, never corpus-sized. The rebuild is a doc_id
+    * equi-join plus a codegen higher-order `filter` over the token array
+    * against the (few) merged intervals; kept tokens are never exploded.
+    * The occurrence explosion feeds two plan branches, so it is persisted;
+    * use [[substringDedupReleasable]] in long-lived sessions.
+    *
+    * Returns (idCol, spans_removed, tokens_removed, tokens_kept,
+    * cleaned_text) — cleaned_text is the surviving tokens joined by single
+    * spaces (token-space normalization, same as the oracle replay).
+    */
+  def substringDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5,
+      hashShingles: Boolean = true): DataFrame =
+    substringDedupReleasable(docs, idCol, textCol, k, hashShingles)._1
+
+  def substringDedupReleasable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5,
+      hashShingles: Boolean = true): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    def sh(text: Column): Column =
+      if (hashShingles)
+        graft.functions.LshExpressions.shingleXxHashes(
+          TextOps.tokens(text), k, Long.MaxValue)
+      else shingles(text, k)
+    val occ = docs
+      .select(col(idCol).as("doc_id"), size(TextOps.tokens(col(textCol))).as("n"),
+        posexplode(sh(col(textCol))).as(Seq("pos", "w")))
+      .persist()
+    // (count, canonical first occurrence) per window, one map-side-partial agg
+    val winAgg = occ.groupBy("w").agg(count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    // non-canonical occurrences of duplicated windows -> removal intervals
+    val rem = occ.join(winAgg.filter(col("cnt") >= 2), Seq("w"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + lit(k), col("n")).as("e"))
+    // gaps-and-islands merge of overlapping intervals, per document only
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = rem
+      .withColumn("ni", when(col("s") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl").agg(min("s").as("s"), max("e").as("e"))
+    val perDoc = merged.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+      count(lit(1)).as("spans_removed"),
+      sum(col("e") - col("s")).cast("long").as("tokens_removed"))
+    val toks = TextOps.tokens(col(textCol))
+    val out = docs.select(col(idCol), col(textCol))
+      .join(perDoc.withColumnRenamed("doc_id", "__pd_id"),
+        col(idCol) === col("__pd_id"), "left")
+      .select(col(idCol),
+        coalesce(col("spans_removed"), lit(0L)).as("spans_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (size(toks) - coalesce(col("tokens_removed"), lit(0L))).cast("long")
+          .as("tokens_kept"),
+        when(col("ivs").isNull, concat_ws(" ", toks))
+          .otherwise(concat_ws(" ", filter(toks, (_, i) =>
+            !exists(col("ivs"), iv =>
+              i >= iv.getField("s") && i < iv.getField("e")))))
+          .as("cleaned_text"))
+    (out, () => { occ.unpersist(blocking = false); () })
+  }
+
   // --- duplicate clusters ----------------------------------------------------
 
   /** Connected components over an undirected near-dup pair list

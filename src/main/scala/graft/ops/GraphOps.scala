@@ -79,4 +79,38 @@ object GraphOps {
     outDeg.unpersist(blocking = false)
     ranks
   }
+
+  /** Inbound anchor-text aggregation — the classic web-search link signal
+    * (anchor text describes the TARGET better than the target's own words;
+    * Brin & Page 1998 §2.2, public): per link target, the inlink count,
+    * the distinct-source count, and the most frequent anchor text with its
+    * frequency.
+    *
+    * The mode ("most frequent text") is computed as a TWO-LEVEL aggregate —
+    * count per (target, text), then max per target — never a per-target
+    * sort or `collect_list`: both exchanges carry map-side partials and
+    * per-group state is one row, so a target with a billion inlinks costs
+    * a streaming reduce, not a buffered array (the funnel lesson). Ties
+    * break deterministically to the lexicographically greatest text via a
+    * zero-padded `count|text` sort key — the same trick is replayable in
+    * ANSI SQL, which a float-scored or hash-tied arg_max is not. The
+    * distinct-source count is exact and shares the target-keyed exchange.
+    *
+    * Returns (dstCol, inlinks, sources, top_anchor, top_cnt).
+    */
+  def anchorStats(links: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", textCol: String = "anchor"): DataFrame = {
+    val key = max(concat(lpad(col("__cnt").cast("string"), 12, "0"),
+      lit("|"), col(textCol))).as("__k")
+    val top = links.groupBy(col(dstCol), col(textCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(dstCol)).agg(key)
+    links.groupBy(col(dstCol))
+      .agg(count(lit(1)).as("inlinks"),
+        count_distinct(col(srcCol)).as("sources"))
+      .join(top, Seq(dstCol))
+      .select(col(dstCol), col("inlinks"), col("sources"),
+        col("__k").substr(lit(14), length(col("__k"))).as("top_anchor"),
+        substring(col("__k"), 1, 12).cast("long").as("top_cnt"))
+  }
 }

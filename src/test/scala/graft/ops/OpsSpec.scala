@@ -298,6 +298,37 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(hashed = true) == rows(hashed = false))
   }
 
+  test("substringDedup: keep-first removal, interval merge, short-doc wipe; hashed == string-keyed") {
+    val shared = "alpha beta gamma delta epsilon" // duplicated 5-token window
+    val docs = Seq(
+      (1L, s"$shared zeta eta"),                  // canonical owner (pos 0)
+      (2L, s"intro words here now too $shared"),  // loses [5,10)
+      (3L, "totally unique text with no repeats anywhere at all"),
+      (4L, s"$shared and filler then $shared"),   // loses [0,5) and [8,13)
+      (5L, "one two three four five six seven"),  // canonical owner of a 6-run
+      (6L, "pad one two three four five six"),    // overlapping windows merge to [1,7)
+      (7L, "tiny pair"),                          // short-doc whole window, canonical
+      (8L, "tiny pair")                           // exact short dup: wiped entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((0L, 0L, 7L, s"$shared zeta eta")))
+    assert(got(2L) == ((1L, 5L, 5L, "intro words here now too")))
+    assert(got(3L)._1 == 0L && got(3L)._3 == 9L)
+    assert(got(4L) == ((2L, 10L, 3L, "and filler then")))
+    assert(got(5L) == ((0L, 0L, 7L, "one two three four five six seven")))
+    assert(got(6L) == ((1L, 6L, 1L, "pad")))      // [1,6)+[2,7) merged
+    assert(got(7L) == ((0L, 0L, 2L, "tiny pair")))
+    assert(got(8L) == ((1L, 2L, 0L, "")))
+    // the hashed production path and the string-keyed oracle path agree
+    def rows(hashed: Boolean) =
+      Dedup.substringDedup(docs, k = 5, hashShingles = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    assert(rows(hashed = true) == rows(hashed = false))
+  }
+
   test("connectedComponents: chains, cliques, disjoint pairs → component-min reps") {
     // component {1,2,3,4} as a CHAIN (worst diameter for label propagation),
     // component {10,11,12} as a clique, isolated pair {20,21}
@@ -1171,6 +1202,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a == b)
     // mass sanity: floors only shave ticks, never add
     assert(a.values.sum <= 1000000000000L && a.values.sum > 900000000000L)
+  }
+
+  test("anchorStats: counts, exact distinct sources, deterministic mode tie-break") {
+    val links = Seq(
+      (1L, 100L, "blue"), (2L, 100L, "blue"), (3L, 100L, "red"),
+      (1L, 100L, "red"),                      // tie 2-2 → "red" (lexic. max)
+      (9L, 200L, "solo")
+    ).toDF("src", "dst", "anchor")
+    val got = GraphOps.anchorStats(links).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got(100L) == ((4L, 3L, "red", 2L)))
+    assert(got(200L) == ((1L, 1L, "solo", 1L)))
   }
 }
 
