@@ -283,8 +283,13 @@ object Bench {
     * hot leg near the uniform leg (its sort unit is (user, hour-bucket),
     * ~2.8k events for the hot user at n=4M over 30 days, vs 2M for plain).
     */
-  private[graft] def sessSkewProbe(spark: SparkSession, n: Long, dir: String,
-      reps: Int): (Double, Double, Double) = {
+  /** Generate-if-missing the (uniform, hot) sessionization-skew event
+    * inputs at size n — shared by [[sessSkewProbe]] and
+    * [[funnelSkewProbe]], which run at DIFFERENT n (the funnel probe must
+    * not assume the sessionize probe already materialized its size).
+    */
+  private def ensureSessSkewInputs(spark: SparkSession, n: Long,
+      dir: String): (String, String) = {
     import spark.implicits._
     val span = 30L * 86400000000L
     def gen(hot: Boolean): DataFrame = spark.range(n).mapPartitions { it =>
@@ -302,6 +307,12 @@ object Bench {
     def missing(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (missing(uniDir)) gen(hot = false).write.mode("overwrite").parquet(uniDir)
     if (missing(hotDir)) gen(hot = true).write.mode("overwrite").parquet(hotDir)
+    (uniDir, hotDir)
+  }
+
+  private[graft] def sessSkewProbe(spark: SparkSession, n: Long, dir: String,
+      reps: Int): (Double, Double, Double) = {
+    val (uniDir, hotDir) = ensureSessSkewInputs(spark, n, dir)
     def time(path: String, bucketed: Boolean, r: Int = reps): Double = {
       val evs = spark.read.parquet(path)
       (1 to r).map { _ =>
@@ -335,8 +346,11 @@ object Bench {
     */
   private[graft] def funnelSkewProbe(spark: SparkSession, n: Long, dir: String,
       reps: Int): (Double, Double, Double) = {
-    val uniDir = s"$dir/sessskew_uni_v$SkewGenVersion" + s"_$n"
-    val hotDir = s"$dir/sessskew_hot_v$SkewGenVersion" + s"_$n"
+    // generate-if-missing at THIS n: the funnel probe runs at 2× the
+    // sessionize probe's size, so it cannot rely on that probe's cache
+    // (reading blind here crashed the whole bench run post-scale-up,
+    // taking the query phase with it)
+    val (uniDir, hotDir) = ensureSessSkewInputs(spark, n, dir)
     val steps = Seq("s1", "s2", "s3")
     def withType(path: String): DataFrame =
       spark.read.parquet(path).withColumn("event_type",
@@ -489,31 +503,41 @@ object Bench {
     flush("scaling") // the contract number is now on disk + stdout
 
     // --- skew probes + extract + per-query timings at driver parallelism ----
+    // An optional-phase crash must DISCLOSE and continue, never kill the
+    // run: the funnel probe's post-scale-up missing-input crash took the
+    // whole query phase with it — exactly the all-or-nothing artifact
+    // failure the incremental flush exists to prevent.
     val spark = session(cpus)
+    def phaseError(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      fields(s"phase_error_$name") = "\"" + msg + "\""
+      System.err.println(s"[bench] phase $name failed: $msg")
+    }
     var skewUni, skewHot = -1.0
-    if (!overBudget) {
+    if (!overBudget) try {
       val r = skewProbe(spark, frontierN, benchDir, reps = 3)
       skewUni = r._1; skewHot = r._2
       fields("skew_ratio_hot50") = f"${skewHot / skewUni}%.2f"
-      flush("scaling,skew")
-    }
+    } catch { case e: Throwable => phaseError("skew", e) }
+    flush("scaling,skew")
     var semUni, semHot = -1.0; var semPairsUni, semPairsHot = 0L
-    if (!overBudget) {
+    if (!overBudget) try {
       val r = semSkewProbe(spark, 16384, benchDir, reps = 3)
       semUni = r._1; semHot = r._2; semPairsUni = r._3; semPairsHot = r._4
       fields("sem_skew_per_pair_ratio") =
         f"${(semHot / semPairsHot) / (semUni / semPairsUni)}%.2f"
-      flush("scaling,skew,sem")
-    }
+    } catch { case e: Throwable => phaseError("sem", e) }
+    flush("scaling,skew,sem")
     var sessUni, sessHotPlain, sessHotBucketed = -1.0
-    if (!overBudget) {
+    if (!overBudget) try {
       val r = sessSkewProbe(spark, 4000000L, benchDir, reps = 3)
       sessUni = r._1; sessHotPlain = r._2; sessHotBucketed = r._3
       fields("sess_skew_bucketed_ratio") = f"${sessHotBucketed / sessUni}%.2f"
-      flush("scaling,skew,sem,sess")
-    }
+    } catch { case e: Throwable => phaseError("sess", e) }
+    flush("scaling,skew,sem,sess")
     var funUni, funHotPlain, funHotBucketed = -1.0
-    if (!overBudget) {
+    if (!overBudget) try {
       // 2× the sessionize probe's n: at 4M rows the plain funnel's hot
       // buffer (2M events) is not yet wall-clock-painful and the two forms
       // measure within noise of each other — the 4M-event buffer at n=8M
@@ -521,15 +545,15 @@ object Bench {
       val r = funnelSkewProbe(spark, 8000000L, benchDir, reps = 2)
       funUni = r._1; funHotPlain = r._2; funHotBucketed = r._3
       fields("funnel_skew_bucketed_ratio") = f"${funHotBucketed / funUni}%.2f"
-      flush("scaling,skew,sem,sess,funnel")
-    }
+    } catch { case e: Throwable => phaseError("funnel", e) }
+    flush("scaling,skew,sem,sess,funnel")
     var exSec = -1.0; var exPages = 0L
-    if (!overBudget) {
+    if (!overBudget) try {
       val r = extractBench(spark, 200000L)
       exSec = r._1; exPages = r._2
       fields("extract_pages_per_sec") = f"${exPages / exSec}%.0f"
-      flush("scaling,skew,sem,sess,funnel,extract")
-    }
+    } catch { case e: Throwable => phaseError("extract", e) }
+    flush("scaling,skew,sem,sess,funnel,extract")
     // per-query loop checks the deadline per query: a partial suite is
     // reported as such (queries_run/queries_skipped), never passed off as
     // a full total
@@ -556,7 +580,7 @@ object Bench {
     // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
     // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
     val detail =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"funnel_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"funnel_skew":{"n":8000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)

@@ -223,6 +223,35 @@ class PlanSpec extends AnyFunSuite {
     assert(sorted.contains("row_number"), sorted)
   }
 
+  test("substring removal: occurrences cross the wire once; interval merge is per-doc") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 40).map(i =>
+        (i.toLong, if (i % 4 == 0) "alpha beta gamma delta epsilon tail" + i
+        else s"unique words $i only here never repeated elsewhere $i"))
+        .toDF("doc_id", "text")
+      val (out, release) = graft.ops.Dedup.substringDedupReleasable(docs, k = 5)
+      val plan = planOf(out)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the window-keyed exchanges: raw occurrences shuffle ONCE (the join
+      // side); the aggregate side carries map-side partials and its output
+      // partitioning is reused by the join — never a third w-exchange
+      val wExchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("w#") => e
+      }
+      assert(wExchanges.size <= 2, s"expected <=2 w exchanges:\n$plan")
+      // the gaps-and-islands merge windows BY DOCUMENT, never corpus-wide
+      assert(plan.contains("Window"), plan)
+      assert(!plan.matches("(?s).*Window [^\\n]*\\[\\], \\[.*"),
+        s"unpartitioned (corpus-global) Window found:\n$plan")
+      release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("semantic dedup candidate join shuffles on the CELL id, never cross-joins") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
