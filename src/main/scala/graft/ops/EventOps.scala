@@ -173,9 +173,13 @@ object EventOps {
     * event count exceeds `hotUserThreshold` (one cheap
     * map-side-combinable count-agg pre-pass over the step-filtered rows);
     * `Long.MaxValue` forces the plain form (the bench probe does, to
-    * measure it). Measured on the bench's hot-user probe: one user owning
-    * 50% of 4M step events costs the plain form a single 2M-element
-    * aggregation buffer; the bucketed form bounds it per (user, day).
+    * measure it). Measured on the bench's hot-user probe (one user owning
+    * 50% of 8M step events, two clean round-5 passes): the bucketed form
+    * pays ~1.1× the plain form's WALL here — its second exchange — while
+    * plain holds one 4M-element aggregation buffer. The routing is not a
+    * wall-clock optimization at this n; it is the memory bound: the
+    * plain buffer grows linearly with the hot user (an OOM at 10×), the
+    * bucketed per-(user, bucket) group does not.
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
