@@ -807,6 +807,32 @@ object SparkEntry {
         .select("url", "depth", "urlHash")
     }),
 
+    // rank-prioritized politeness claim: the politeness-limited budget
+    // goes to high-PageRank pages first (ties → canonical BFS order);
+    // ranks are integer-exact so the claim is engine-reproducible
+    "q_w2_priority_claim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e1 = docs.select((col("doc_id") % 500).as("src"),
+        ((col("doc_id") * 31 + 7) % 500).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 500).as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"))
+      val ranks = GraphOps.pageRank(e1.unionByName(e2), iterations = 3)
+        .withColumnRenamed("rank", "priority")
+      val frontier = docs.select(
+        urlOfId(col("doc_id")).as("url"),
+        concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(".example.com")).as("host"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("depth"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("urlHash"),
+        (col("doc_id") % 500).as("node"))
+      val prioritized = frontier
+        .join(broadcast(ranks), Seq("node")).drop("node")
+      graft.frontier.Politeness
+        .claimPrioritized(prioritized, hostBudget = 40, remaining = 100)
+        .select("url", "depth", "urlHash", "priority")
+    }),
+
     // X1: whitelisted per-element value-rewrite transforms (script analog)
     "q_x1_transform" -> ((s, d) => {
       val cfg = CrawlConfig(sessionId = "q", seeds = Seq(),
@@ -1561,7 +1587,11 @@ object SparkEntry {
     * contribution ⌊rank/deg⌋, damped ⌊17·Σ/20⌋ — over the same
     * doc_id-derived 500-node edge list.
     */
-  private def pagerankOracle: String = {
+  /** CTE chain replaying 3 integer-exact PageRank iterations over the
+    * synthetic doc-graph; final ranks in `r3(node, rank)`. Shared by the
+    * pagerank oracle and the priority-claim oracle.
+    */
+  private def pagerankCtes: String = {
     def step(prev: String, s: String, r: String): String =
       s"""$s AS (SELECT e.dst AS node, sum(CAST(floor(p.rank*1.0/d.d) AS BIGINT)) AS c
          |  FROM $prev p JOIN ed e ON e.src = p.node JOIN deg d ON d.node = e.src
@@ -1570,7 +1600,7 @@ object SparkEntry {
          |  CAST(floor(3000000000000.0/(20*nn.n)) AS BIGINT) +
          |  CAST(floor((17*COALESCE($s.c, 0))/20.0) AS BIGINT) AS rank
          |  FROM nd CROSS JOIN nn LEFT JOIN $s ON $s.node = nd.node)""".stripMargin
-    s"""WITH ed0 AS (
+    s"""ed0 AS (
        |  SELECT doc_id%500 AS src, (doc_id*31+7)%500 AS dst FROM documents
        |  UNION ALL
        |  SELECT doc_id%500, (doc_id*17+3)%500 FROM documents WHERE doc_id%3 = 0),
@@ -1582,9 +1612,11 @@ object SparkEntry {
        |  FROM nd CROSS JOIN nn),
        |${step("r0", "s1", "r1")},
        |${step("r1", "s2", "r2")},
-       |${step("r2", "s3", "r3")}
-       |SELECT node, rank FROM r3""".stripMargin
+       |${step("r2", "s3", "r3")}""".stripMargin
   }
+
+  private def pagerankOracle: String =
+    s"WITH $pagerankCtes\nSELECT node, rank FROM r3"
 
   /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
     * frame offsets span the REAL header-parsed duration (WAV: dataSize/
@@ -2280,6 +2312,23 @@ object SparkEntry {
          |FROM perdoc CROSS JOIN co""".stripMargin,
 
     "q_graph_pagerank" -> pagerankOracle,
+
+    // rank-prioritized claim: per-host top-40 by (rank DESC, canonical
+    // BFS order), then the global top-100 by the same order
+    "q_w2_priority_claim" ->
+      s"""WITH $pagerankCtes,
+        |f AS (SELECT
+        |    'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    'd'||(doc_id%4)||'.example.com' AS host,
+        |    CAST(doc_id%3 AS INT) AS depth,
+        |    (doc_id*2654435761)%4294967296 AS urlHash,
+        |    doc_id%500 AS node
+        |  FROM documents),
+        |pf AS (SELECT f.*, r3.rank AS priority FROM f JOIN r3 ON r3.node = f.node),
+        |ph AS (SELECT *, row_number() OVER
+        |    (PARTITION BY host ORDER BY priority DESC, depth, urlHash, url) AS r FROM pf)
+        |SELECT url, depth, urlHash, priority FROM ph WHERE r <= 40
+        |ORDER BY priority DESC, depth, urlHash, url LIMIT 100""".stripMargin,
 
     // anchor aggregation: mode-by-target via the padded count|text sort key
     "q_graph_anchors" ->

@@ -25,14 +25,46 @@ object Politeness {
 
   val OrderCols = Seq("depth", "urlHash", "url")
 
-  /** Claim up to `hostBudget` rows per host and `remaining` rows overall. */
+  /** Claim up to `hostBudget` rows per host and `remaining` rows overall,
+    * in the canonical BFS order (depth, urlHash, url).
+    */
   def claim(
       frontier: DataFrame,
       hostBudget: Int,
       remaining: Long,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16): DataFrame =
+    claimOrdered(frontier,
+      Seq(col("depth").asc, col("urlHash").asc, col("url").asc),
+      hostBudget, remaining, saltBuckets)
 
-    val order = Seq(col("depth").asc, col("urlHash").asc, col("url").asc)
+  /** Priority-aware claim — frontier prioritization, the reason a crawler
+    * computes link authority at all (see [[graft.ops.GraphOps.pageRank]]):
+    * under a politeness-limited fetch budget, high-`priorityCol` URLs are
+    * claimed first (descending), ties broken by the canonical BFS order so
+    * the claim stays fully deterministic. The caller attaches the priority
+    * column (typically a broadcast join against the node-count-sized rank
+    * table — ranks are one row per node, orders smaller than the
+    * frontier). Identical two-phase salted shape as [[claim]]: the
+    * per-salt-top-k ⊇ per-host-top-k containment argument holds for ANY
+    * total order, so the skew bound and exactness carry over unchanged.
+    */
+  def claimPrioritized(
+      frontier: DataFrame,
+      hostBudget: Int,
+      remaining: Long,
+      saltBuckets: Int = 16,
+      priorityCol: String = "priority"): DataFrame =
+    claimOrdered(frontier,
+      Seq(col(priorityCol).desc, col("depth").asc, col("urlHash").asc,
+        col("url").asc),
+      hostBudget, remaining, saltBuckets)
+
+  private def claimOrdered(
+      frontier: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      hostBudget: Int,
+      remaining: Long,
+      saltBuckets: Int): DataFrame = {
 
     val phase1 = Window
       .partitionBy(col("host"), pmod(col("urlHash"), lit(saltBuckets)))
