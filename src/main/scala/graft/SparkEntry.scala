@@ -1171,6 +1171,48 @@ object SparkEntry {
       GraphOps.anchorStats(links)
     }),
 
+    // URL link graph collapsed to a weighted host graph (the unit the
+    // politeness budget and site authority actually work at); host strings
+    // parsed from real URLs by the codegen urlHost kernel
+    "q_graph_hostgraph" -> ((s, d) => {
+      val links = t(s, d, "documents").select(
+        concat(lit("http://d"), (col("doc_id") % 4).cast("string"),
+          lit(".example.com/page/"), col("doc_id").cast("string")).as("src"),
+        concat(lit("http://d"), ((col("doc_id") * 31 + 7) % 5).cast("string"),
+          lit(".example.com/page/"),
+          ((col("doc_id") * 31 + 7) % 500).cast("string")).as("dst"))
+      GraphOps.hostGraph(links)
+    }),
+
+    // integer-exact HITS hubs/authorities over the same 500-node doc graph
+    // as q_graph_pagerank; 2 iterations, division-free
+    "q_graph_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+      val e1 = docs.select((col("doc_id") % 500).as("src"),
+        ((col("doc_id") * 31 + 7) % 500).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 500).as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"))
+      GraphOps.hits(e1.unionByName(e2), iterations = 2)
+    }),
+
+    // adaptive recrawl scheduling over a synthetic 4-fetch history per URL
+    // (hash pattern varies the change position by doc_id, so streaks 0-2
+    // and all backoff branches occur); base interval 1 day
+    "q_recrawl_schedule" -> ((s, d) => {
+      val hist = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+        .select(
+          concat(lit("http://d"), (col("doc_id") % 4).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")).as("url"),
+          (lit(1600000000000000L) + col("doc_id") * 1000000L +
+            col("i") * 86400000000L).as("fetch_us"),
+          (col("doc_id") * 10 +
+            expr("(i + doc_id % 3) div 3")).as("content_hash"))
+      graft.frontier.RecrawlScheduler.schedule(hist,
+        baseIntervalUs = 86400000000L, maxExp = 6)
+    }),
+
     // gap-based sessionization over the events log via native
     // session_window; 8-hour gap (the synthetic log's median per-user gap
     // is ~7.7 h, so sessions genuinely merge AND split)
@@ -1617,6 +1659,37 @@ object SparkEntry {
 
   private def pagerankOracle: String =
     s"WITH $pagerankCtes\nSELECT node, rank FROM r3"
+
+  /** DuckDB twin of [[graft.ops.GraphOps.hits]] (2 iterations unrolled over
+    * the q_graph_pagerank edge list): division-free integer sums, so the
+    * replay is exact in BIGINT — authority(v) = Σ hub over in-edges, then
+    * hub(u) = Σ authority over out-edges, from hub₀ = 1000.
+    */
+  private def hitsOracle: String = {
+    def aStep(hPrev: String, a: String): String =
+      s"""$a AS (SELECT nd.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS authority
+         |  FROM nd LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a
+         |    FROM ed e JOIN $hPrev h ON h.node = e.src GROUP BY e.dst) s
+         |  ON s.node = nd.node)""".stripMargin
+    def hStep(aCur: String, h: String): String =
+      s"""$h AS (SELECT nd.node, CAST(COALESCE(s.h, 0) AS BIGINT) AS hub
+         |  FROM nd LEFT JOIN (SELECT e.src AS node, sum(a.authority) AS h
+         |    FROM ed e JOIN $aCur a ON a.node = e.dst GROUP BY e.src) s
+         |  ON s.node = nd.node)""".stripMargin
+    s"""WITH ed0 AS (
+       |  SELECT doc_id%500 AS src, (doc_id*31+7)%500 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id%500, (doc_id*17+3)%500 FROM documents WHERE doc_id%3 = 0),
+       |ed AS (SELECT DISTINCT src, dst FROM ed0),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT node, CAST(1000 AS BIGINT) AS hub FROM nd),
+       |${aStep("h0", "a1")},
+       |${hStep("a1", "h1")},
+       |${aStep("h1", "a2")},
+       |${hStep("a2", "h2")}
+       |SELECT nd.node, a2.authority, h2.hub
+       |FROM nd JOIN a2 ON a2.node = nd.node JOIN h2 ON h2.node = nd.node""".stripMargin
+  }
 
   /** DuckDB twin of [[Multimodal.frameSample]] over [[Multimodal.syntheticMedia]]:
     * frame offsets span the REAL header-parsed duration (WAV: dataSize/
@@ -2345,6 +2418,46 @@ object SparkEntry {
         |  substr(t.k, 14) AS top_anchor,
         |  CAST(substr(t.k, 1, 12) AS BIGINT) AS top_cnt
         |FROM base b JOIN top t USING (dst)""".stripMargin,
+
+    // host-graph collapse: the oracle regenerates the host strings by the
+    // same doc_id arithmetic the Spark side embeds in its URLs
+    "q_graph_hostgraph" ->
+      """WITH links AS (SELECT
+        |    'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS src,
+        |    'd'||(doc_id%4)||'.example.com' AS src_host,
+        |    'd'||((doc_id*31+7)%5)||'.example.com' AS dst_host
+        |  FROM documents)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS src_pages
+        |FROM links WHERE src_host <> dst_host
+        |GROUP BY src_host, dst_host""".stripMargin,
+
+    // HITS: 2 iterations unrolled; division-free integer sums replay
+    // bit-for-bit in BIGINT (DuckDB sum() widens to HUGEINT — cast back)
+    "q_graph_hits" -> hitsOracle,
+
+    // recrawl backoff: the same lag-window change marking + streak-from-
+    // max-changed-idx aggregate, all integer, so the replay is exact
+    "q_recrawl_schedule" ->
+      """WITH hist AS (
+        |  SELECT 'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    1600000000000000 + doc_id*1000000 + i*86400000000 AS fetch_us,
+        |    doc_id*10 + (i + doc_id%3) // 3 AS content_hash
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+        |m AS (SELECT url, fetch_us, content_hash,
+        |    CAST(row_number() OVER w AS BIGINT) AS idx,
+        |    CASE WHEN lag(content_hash) OVER w IS NULL
+        |         OR content_hash <> lag(content_hash) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM hist WINDOW w AS (PARTITION BY url ORDER BY fetch_us))
+        |SELECT url, CAST(count(*) AS BIGINT) AS fetches,
+        |  max(fetch_us) AS last_fetch_us,
+        |  CAST(count(*) - max(CASE WHEN chg = 1 THEN idx END) AS BIGINT)
+        |    AS unchanged_streak,
+        |  max(fetch_us) + 86400000000 * (CAST(1 AS BIGINT) <<
+        |    CAST(least(count(*) - max(CASE WHEN chg = 1 THEN idx END), 6) AS INT))
+        |    AS next_fetch_us
+        |FROM m GROUP BY url""".stripMargin,
 
     // lag + conditional cumulative sum replays Spark's session-window
     // semantics: per-event windows [t, t+gap] merge when they touch, so

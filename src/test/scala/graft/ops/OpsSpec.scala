@@ -1216,6 +1216,52 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(100L) == ((4L, 3L, "red", 2L)))
     assert(got(200L) == ((1L, 1L, "solo", 1L)))
   }
+
+  test("hits: hand-computed integer scores on a tiny hub/authority graph") {
+    // 0→2, 1→2, 2→3 : node 2 is the authority of {0,1} and the hub of {3}
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.hits(edges, iterations = 1, scale = 1000L).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // a1: 2 ← h0(0)+h0(1) = 2000; 3 ← h0(2) = 1000; 0,1 ← 0
+    // h1: 0,1 ← a1(2) = 2000; 2 ← a1(3) = 1000; 3 ← 0
+    assert(r(0L) == ((0L, 2000L)) && r(1L) == ((0L, 2000L)))
+    assert(r(2L) == ((2000L, 1000L)))
+    assert(r(3L) == ((1000L, 0L)))
+  }
+
+  test("hits is invariant under input partitioning and duplicate edges") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 13 + 5) % 37)).toDF("src", "dst")
+    val a = GraphOps.hits(edges, 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val b = GraphOps.hits(edges.unionByName(edges).repartition(17), 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(a == b)
+  }
+
+  test("hits overflow bound rejects an iteration depth the degrees can't carry") {
+    val hub = (0L until 64L).map(i => (0L, i + 1)) ++ (0L until 64L).map(i => (i + 1, 0L))
+    val edges = hub.toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, iterations = 5, scale = 1L << 40)
+    }
+  }
+
+  test("hostGraph collapses URL edges to weighted host edges, drops intra-host") {
+    val links = Seq(
+      ("http://a.com/1", "http://b.com/x"),
+      ("http://a.com/1", "http://b.com/y"),   // same page, same host pair
+      ("http://a.com/2", "http://b.com/x"),
+      ("http://a.com/3", "http://a.com/4"),   // intra-host → dropped
+      ("http://b.com/9", "http://a.com/1")
+    ).toDF("src", "dst")
+    val got = GraphOps.hostGraph(links).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("a.com", "b.com")) == ((3L, 2L)))  // 3 URL edges from 2 distinct pages
+    assert(got(("b.com", "a.com")) == ((1L, 1L)))
+    assert(!got.contains(("a.com", "a.com")))
+    val kept = GraphOps.hostGraph(links, keepIntraHost = true).collect()
+    assert(kept.length == 3)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
