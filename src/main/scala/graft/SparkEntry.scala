@@ -715,6 +715,14 @@ object SparkEntry {
         .toDF().select("doc_id", "media_type", "byte_len",
           "width", "height", "duration_ms")),
 
+    // resize (factor 4) then decode: image headers re-derived to
+    // ⌈dim/4⌉, payload decimated to ⌈n/4⌉ bytes; audio/video pass through
+    "q_mm_resize" -> ((s, d) =>
+      Multimodal.decode(Multimodal.resize(
+          Multimodal.syntheticMedia(s, t(s, d, "documents")), factor = 4))
+        .toDF().select("doc_id", "media_type", "byte_len",
+          "width", "height", "duration_ms")),
+
     // features + frame sampling (rows-only: fake codec arithmetic isn't SQL)
     "q_mm_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
@@ -2158,6 +2166,23 @@ object SparkEntry {
         |       + strlen(text) AS INT) AS byte_len,
         |  CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 16 + strlen(text)%512 END AS INT) AS width,
         |  CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 16 + (3*strlen(text))%512 END AS INT) AS height,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN 0
+        |       WHEN 1 THEN strlen(text)*1000//16000
+        |       ELSE (10 + strlen(text)%240)*40 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // resize twin: image dims/payload go through the exact ⌈·/4⌉ the
+    // Spark-side header re-derivation computes; audio/video rows are the
+    // q_mm_decode passthrough
+    "q_mm_resize" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN 54 + (strlen(text)+3)//4
+        |       WHEN 1 THEN 44 + strlen(text) ELSE 84 + strlen(text) END AS INT) AS byte_len,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN (16 + strlen(text)%512 + 3)//4
+        |       WHEN 1 THEN 0 ELSE 16 + strlen(text)%512 END AS INT) AS width,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN (16 + (3*strlen(text))%512 + 3)//4
+        |       WHEN 1 THEN 0 ELSE 16 + (3*strlen(text))%512 END AS INT) AS height,
         |  CAST(CASE doc_id%3 WHEN 0 THEN 0
         |       WHEN 1 THEN strlen(text)*1000//16000
         |       ELSE (10 + strlen(text)%240)*40 END AS BIGINT) AS duration_ms

@@ -130,6 +130,32 @@ object Multimodal {
       buf.array()
     }
 
+    /** Nearest-neighbor BMP downsample by an integer factor: header fields
+      * re-derived exactly (out dims ⌈w/f⌉×⌈h/f⌉ — the source index of out
+      * pixel x is x·f, and ⌈w/f⌉ is the largest count keeping every source
+      * index < w), payload decimated to every f-th byte, re-encoded through
+      * [[encodeBmp]]. The header arithmetic and re-encode are REAL; the
+      * payload step is the clearly-marked deterministic stand-in — the
+      * synthetic payload is not a w·h·3 pixel grid, so byte decimation
+      * stands in for row/column sampling, and a real image library
+      * replaces exactly this loop (and only it).
+      */
+    def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, "factor must be >= 1")
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP blob")
+      if (factor == 1) return b
+      val w = leInt(b, 18)
+      val h = leInt(b, 22)
+      val off = leInt(b, 10) // bfOffBits — trust the header, not a constant
+      require(off >= 54 && off <= b.length, s"corrupt bfOffBits $off")
+      val n = b.length - off
+      val outLen = (n + factor - 1) / factor
+      val sampled = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { sampled(i) = b(off + i * factor); i += 1 }
+      encodeBmp((w + factor - 1) / factor, (h + factor - 1) / factor, sampled)
+    }
+
     private def leInt(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
@@ -232,6 +258,28 @@ object Multimodal {
     media.mapPartitions(_.map(r =>
       (r.doc_id, r.media_ref, fakeFeatures(r.bytes, dim).toSeq)))
       .toDF("doc_id", "media_ref", "embedding")
+  }
+
+  /** Resize image rows by an integer factor — a blob→blob stage
+    * (MediaRow → MediaRow), so it composes with [[decode]]/[[features]]/
+    * [[frameSample]] downstream exactly like a thumbnailing step in a real
+    * media pipeline. Images go through [[Codec.resizeBmp]] (real header
+    * arithmetic, marked-fake pixel decimation); audio/video rows pass
+    * through unchanged — resize is an image transform, and silently
+    * re-coding other modalities would corrupt them. Dispatch is on the
+    * container magic, not the untrusted `media_type` column, mirroring
+    * [[decode]]. Same partition-batch shape as [[decode]] (mapPartitions,
+    * rows streamed).
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    if (factor == 1) media
+    else media.mapPartitions(_.map { r =>
+      val isBmp = r.bytes.length >= 54 && r.bytes(0) == 'B' && r.bytes(1) == 'M'
+      if (!isBmp) r
+      else r.copy(bytes = Codec.resizeBmp(r.bytes, factor))
+    })
   }
 
   /** Frame-sample video/audio rows: n evenly spaced frames per blob

@@ -1364,4 +1364,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(byDoc.nonEmpty)
   }
+
+  test("resizeBmp: exact ceil dims, decimated payload, re-parses as image") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val bmp = Multimodal.Codec.encodeBmp(33, 17, payload)
+    val out = Multimodal.Codec.resizeBmp(bmp, 3)
+    val (t, w, h, _) = Multimodal.Codec.parse(out)
+    assert(t == "image" && w == 11 && h == 6)      // ⌈33/3⌉, ⌈17/3⌉
+    assert(out.length == 54 + 34)                  // ⌈100/3⌉ sampled bytes
+    assert((0 until 34).forall(i => out(54 + i) == payload(3 * i)))
+    // factor 1 is byte-identical; empty payload survives
+    assert(Multimodal.Codec.resizeBmp(bmp, 1).sameElements(bmp))
+    assert(Multimodal.Codec.parse(
+      Multimodal.Codec.resizeBmp(Multimodal.Codec.encodeBmp(16, 16,
+        Array.empty[Byte]), 4)) == (("image", 4, 4, 0L)))
+  }
+
+  test("resize: images re-coded, audio/video byte-identical, composes with decode") {
+    val resized = Multimodal.resize(media, factor = 4)
+    val before = media.collect().map(r => r.doc_id -> r).toMap
+    resized.collect().foreach { r =>
+      val orig = before(r.doc_id)
+      if (orig.media_type == "image") {
+        assert(r.bytes.length < orig.bytes.length || orig.bytes.length <= 54)
+      } else assert(r.bytes.sameElements(orig.bytes))
+    }
+    val dec = Multimodal.decode(resized).collect()
+    val origDec = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    dec.foreach { d =>
+      val o = origDec(d.doc_id)
+      if (d.media_type == "image") {
+        assert(d.width == (o.width + 3) / 4 && d.height == (o.height + 3) / 4)
+      } else assert(d.width == o.width && d.duration_ms == o.duration_ms)
+    }
+  }
 }
