@@ -701,6 +701,21 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")),
 
+    // exact per-stratum bottom-k (md5-priority draw, two-phase salted
+    // windows); DuckDB replays it as the naive single window — the
+    // single-node luxury the salted shape avoids on a hot stratum
+    "q_sample_bottomk" -> ((s, d) =>
+      graft.ops.Sampling.bottomK(t(s, d, "documents"), "doc_id", "lang", k = 20)
+        .select("doc_id", "lang")),
+
+    // exact distinct-cardinality per group — the oracle twin of the HLL
+    // sketch path (Sketches.distinctPerGroupApprox, sbt-bounded): exact
+    // carries every distinct (group, value) pair through the exchange,
+    // the sketch a fixed register array per group
+    "q_sketch_distinct" -> ((s, d) =>
+      graft.ops.Sketches.distinctPerGroup(t(s, d, "events"), "event_type",
+        "user_id", outCol = "users")),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -1930,6 +1945,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, ((doc_id*2654435761)%4294967296)%10000 AS b FROM documents)
         |WHERE b < CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END""".stripMargin,
+
+    "q_sample_bottomk" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 20""".stripMargin,
+
+    "q_sketch_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // status-gated extraction: 404 pages (doc_id%10=0) emit nothing
     "q_p5_status" ->

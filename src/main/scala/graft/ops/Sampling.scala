@@ -114,6 +114,43 @@ object Sampling {
       textCol: String = "text", partitions: Int = 0): DataFrame =
     packSequencesReleasable(docs, seqLen, idCol, textCol, partitions)._1
 
+  /** Exact per-stratum bottom-k sample: the k rows with the smallest
+    * `md5(id)` in each stratum. Unlike [[stratifiedSample]] (a FRACTION —
+    * the kept count varies with stratum size), this yields exactly
+    * `min(k, |stratum|)` rows per stratum, the shape needed for per-domain
+    * spot-check sets, eval-holdout carving, and bounded per-host URL
+    * sampling at crawl scale. md5 as the priority makes the choice a
+    * deterministic uniform draw — stable across runs, partitionings, and
+    * engines (md5 of the decimal id string is bit-identical in ANSI SQL),
+    * with no `rand()` and no seed plumbing.
+    *
+    * Scale shape — the two-phase salted window proven for the politeness
+    * claim ([[graft.frontier.Politeness.claim]]): phase 1 takes top-k per
+    * (stratum, salt) so a hot stratum spreads over `saltBuckets` tasks;
+    * phase 2 re-ranks the ≤ k·saltBuckets survivors per stratum. Exact
+    * for any total order by the containment argument (every true top-k row
+    * is top-k within its salt bucket). The naive single window puts an
+    * entire stratum in one task — at 100 TB a head domain is billions of
+    * rows.
+    */
+  def bottomK(df: DataFrame, idCol: String, strataCol: String, k: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("__pri").asc, col(idCol).asc)
+    val phase1 = Window
+      .partitionBy(col(strataCol), pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col(strataCol)).orderBy(order: _*)
+    df.withColumn("__pri", md5(col(idCol).cast("string")))
+      .withColumn("__r1", row_number().over(phase1))
+      .filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("__r2", row_number().over(phase2))
+      .filter(col("__r2") <= k)
+      .drop("__r2", "__pri")
+  }
+
   /** [[packSequences]] plus a release handle for the internal persisted
     * counts frame (same discipline as
     * [[Dedup.ngramContaminationReleasable]] — the plain form leans on LRU

@@ -1399,3 +1399,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 }
+
+class SamplingSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed strata: "hot" owns 70% of ids, two mid strata, one singleton
+  lazy val strat = (0L until 2000L).map { i =>
+    val s = if (i < 1400) "hot" else if (i < 1700) "mid_a"
+            else if (i < 1999) "mid_b" else "solo"
+    (i, s)
+  }.toDF("doc_id", "lang")
+
+  test("bottomK equals the naive single-window form and yields exact per-stratum counts") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.bottomK(strat, "doc_id", "lang", k = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = strat
+      .withColumn("__p", md5($"doc_id".cast("string")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy($"lang").orderBy($"__p", $"doc_id")))
+      .filter($"__r" <= 25).drop("__r", "__p")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    val counts = got.groupBy(_._2).map { case (s, rs) => s -> rs.size }
+    assert(counts == Map("hot" -> 25, "mid_a" -> 25, "mid_b" -> 25, "solo" -> 1))
+  }
+
+  test("bottomK is invariant to input partitioning and salt-bucket count") {
+    val base = Sampling.bottomK(strat, "doc_id", "lang", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rep = Sampling.bottomK(strat.repartition(7), "doc_id", "lang", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val salt1 = Sampling.bottomK(strat, "doc_id", "lang", k = 10, saltBuckets = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(base == rep && base == salt1)
+  }
+
+  // 5 groups with known distinct cardinalities (values repeat 3x)
+  lazy val vals = (0L until 30000L).map { i =>
+    (s"g${i % 5}", s"v${(i / 3) % (1000 * (i % 5 + 1))}")
+  }.toDF("host", "url")
+
+  test("exact distinctPerGroup matches ground truth; HLL within rsd bound") {
+    val exact = Sketches.distinctPerGroup(vals, "host", "url")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = vals.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+    assert(exact == truth)
+    val approx = Sketches.distinctPerGroupApprox(vals, "host", "url", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (g, est) =>
+      val rel = math.abs(est.toDouble - truth(g)) / truth(g)
+      assert(rel <= 0.10, s"$g: est $est vs ${truth(g)} (rel $rel)")
+    }
+  }
+
+  test("HLL estimate is partition-invariant (register merge is commutative)") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.distinctPerGroupApprox(df, "host", "url")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(vals.repartition(1)) == run(vals.repartition(13)))
+  }
+
+  test("quantilesApprox honors the rank-error bound vs exact quantiles") {
+    val rows = (0L until 20000L).map(i => ("t", (i * 37 % 20000).toDouble))
+      .toDF("event_type", "value")
+    val qs = Sketches.quantilesApprox(rows, "event_type", "value",
+      Seq(0.5, 0.99), accuracy = 10000).collect()
+    val got = qs.head.getSeq[Double](1)
+    // exact medians of 0..19999: rank error 1/accuracy * n = 2 ranks
+    assert(math.abs(got(0) - 10000.0) <= 37 * 3)
+    assert(math.abs(got(1) - 19800.0) <= 37 * 3)
+  }
+}

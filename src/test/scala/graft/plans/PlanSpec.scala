@@ -314,3 +314,57 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"expected a whole-stage-codegen span:\n$plan")
   }
 }
+
+/** Storage-layout contract: two tables bucketed on the recurring join key
+  * join (inner AND the J1 left_anti shape) with ZERO shuffle exchanges —
+  * the write-once shuffle amortized over every crawl round. Separate suite
+  * so the catalog tables it creates are dropped even if PlanSpec grows.
+  */
+class BucketedStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("equal-bucketed tables join and anti-join with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = graft.TestSpark.tmpDir("bucketed")
+    try {
+      val seen = (0L until 5000L).map(i => (i * 7919 % 100000, s"http://h/$i"))
+        .toDF("urlHash", "url")
+      val cand = (0L until 800L).map(i => (i * 7919 % 100000, i))
+        .toDF("urlHash", "depth")
+      graft.sources.BucketedStore.write(seen, "seen_b", s"$dir/seen", 8, "urlHash")
+      graft.sources.BucketedStore.write(cand, "cand_b", s"$dir/cand", 8, "urlHash")
+      val s = graft.sources.BucketedStore.read(spark, "seen_b")
+      val c = graft.sources.BucketedStore.read(spark, "cand_b")
+
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e }
+
+      val inner = c.join(s, "urlHash")
+      assert(exchanges(inner).isEmpty,
+        inner.queryExecution.executedPlan.toString)
+      val anti = c.join(s, Seq("urlHash"), "left_anti")   // the J1 shape
+      assert(exchanges(anti).isEmpty,
+        anti.queryExecution.executedPlan.toString)
+      // and the answers are the plain-join answers
+      val plainAnti = cand.join(seen, Seq("urlHash"), "left_anti").count()
+      assert(anti.count() == plainAnti)
+
+      // mismatched bucket counts CANNOT prove co-location: Spark must
+      // re-shuffle at least one side (the contract is n-equal buckets)
+      graft.sources.BucketedStore.write(cand, "cand_b4", s"$dir/cand4", 4, "urlHash")
+      val mixed = graft.sources.BucketedStore.read(spark, "cand_b4").join(s, "urlHash")
+      assert(exchanges(mixed).nonEmpty)
+    } finally {
+      Seq("seen_b", "cand_b", "cand_b4").foreach(
+        graft.sources.BucketedStore.drop(spark, _))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
