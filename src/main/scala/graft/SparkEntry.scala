@@ -716,6 +716,24 @@ object SparkEntry {
       graft.ops.Sketches.distinctPerGroup(t(s, d, "events"), "event_type",
         "user_id", outCol = "users")),
 
+    // ranked retrieval over the doc store (the reference's ES-index query
+    // surface): integer-exact rational-idf BM25 — every per-term
+    // contribution is one DECIMAL(38,0) floor-division, the per-doc score
+    // a sum of BIGINTs, so ranking is bit-identical across engines;
+    // Lucene-form BM25 (SearchOps.bm25TopK) is the float production twin
+    "q_search_topk" -> ((s, d) =>
+      graft.ops.SearchOps.searchTopK(t(s, d, "documents"),
+        Seq("dup", "spark", "merge"), k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "rank")),
+
+    // exact heavy hitters: top-5 most active users per event type via the
+    // two-phase salted window (a hot group ranks across 16 tasks first)
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketches.heavyHitters(t(s, d, "events"), "event_type",
+        "user_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -1958,6 +1976,41 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_search_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         len(string_split(lower(text), ' ')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(lower(text), ' '))) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      AS score_ticks
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, score_ticks, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, score_ticks,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 15""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT event_type, user_id, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+        |  FROM c)
+        |WHERE rank <= 5""".stripMargin,
 
     // status-gated extraction: 404 pages (doc_id%10=0) emit nothing
     "q_p5_status" ->

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over the crawled document store — the query
+  * surface the reference delegates to its search backend (the river's
+  * whole sink is an Elasticsearch index: RiverWeb.java:183-195 writes
+  * docs so users can run ranked term queries over them). A user switching
+  * from the reference needs that capability from the engine itself, so
+  * this family provides the index build (posting lists + length norms,
+  * the Lucene shape re-expressed relationally) and BM25-family top-k
+  * search as Spark plans.
+  *
+  * Two scoring forms, the engine's exact/scale dual-path pattern:
+  *
+  *  - [[searchTopK]] / [[searchAllTopK]] — **integer-exact rational-idf
+  *    BM25**. The tf-saturation factor is textbook BM25 (k1=1.2, b=0.75)
+  *    cross-multiplied to a ratio of integers: with L = total corpus
+  *    tokens, N = docs, dl = doc length,
+  *    `tfsat = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *           = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)`.
+  *    The idf is the RATIONAL variant `(N−df+0.5)/(df+0.5)
+  *    = (2N−2df+1)/(2df+1)` — the argument of BM25's log, without the
+  *    log. Omitting the log keeps every per-term contribution a single
+  *    integer floor-division (computed in DECIMAL(38,0), exact up to
+  *    10^38 — fits 100 TB: 1e6·22·tf·L·2N ≈ 1e31 at L=1e13, N=1e10),
+  *    so the per-doc score is a SUM OF BIGINTs — order-independent,
+  *    bit-identical across engines, partitionings, and cluster sizes,
+  *    where a sum of ln()-weighted doubles is neither (libm ulp drift +
+  *    float addition non-associativity). Per term the rational idf is a
+  *    monotone transform of the log idf (same df ordering); across terms
+  *    it weights rare terms more aggressively — documented deviation,
+  *    ranking-quality-acceptable for corpus curation queries and the
+  *    price of an engine-exact contract.
+  *  - [[bm25TopK]] — textbook BM25 (ln idf, double arithmetic), the
+  *    drop-in-familiar production scorer; sbt-tested for rank agreement
+  *    with the exact form on planted corpora, not oracle-hashable by
+  *    design.
+  *
+  * Scale shape (both forms): the query-term filter is pushed BELOW the
+  * tf aggregation, so the (doc, term) shuffle carries only postings that
+  * match the query — work is proportional to matching postings, not the
+  * corpus. Document length comes from `size(tokens)` map-side (no
+  * second corpus-wide explode), corpus stats (N, L) and per-term df are
+  * broadcast scalars/tiny dims, and the final top-k is the two-phase
+  * salted window (phase 1 per (query, salt) so one hot query spreads
+  * over `saltBuckets` tasks; phase 2 re-ranks ≤ k·saltBuckets
+  * survivors). [[buildIndex]] persists the posting lists bucketed by
+  * term via [[graft.sources.BucketedStore]] so repeated query batches
+  * skip the tokenize+tf stage entirely.
+  */
+object SearchOps {
+
+  /** Posting lists + corpus stats: `postings(idCol, term, tf, dl)` and
+    * `stats(n, l)` (doc count, total token count). `termFilter`, when
+    * non-empty, pushes the query-term filter below the tf aggregation —
+    * the searcher's path; leave empty to materialize the full index.
+    */
+  final case class SearchIndex(postings: DataFrame, stats: DataFrame,
+      idCol: String)
+
+  def index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", termFilter: Seq[String] = Nil): SearchIndex = {
+    val toks0 = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"),
+        size(col("__toks")).as("dl"))
+    val toks =
+      if (termFilter.isEmpty) toks0
+      else toks0.filter(col("term").isin(termFilter: _*))
+    val postings = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(TextOps.tokens(col(textCol)))).as("l"))
+    SearchIndex(postings, stats, idCol)
+  }
+
+  /** Materialize the full index as a term-bucketed catalog table (the
+    * persistent analog of Lucene's inverted index): repeated query
+    * batches read postings pre-partitioned by term — the tokenize +
+    * (doc, term) shuffle is paid once at build. Returns the reloaded
+    * index; `stats` is recomputed from the postings (one tiny agg).
+    */
+  def buildIndex(docs: DataFrame, table: String, path: String,
+      nBuckets: Int, idCol: String = "doc_id",
+      textCol: String = "text"): SearchIndex = {
+    val idx = index(docs, idCol, textCol)
+    graft.sources.BucketedStore.write(idx.postings, table, path, nBuckets,
+      "term", sortKeys = Seq("term", idCol))
+    loadIndex(docs.sparkSession, table, idCol)
+  }
+
+  /** Reload a [[buildIndex]] table; stats derive from the postings
+    * (n = distinct docs, l = Σ tf — every token is in exactly one
+    * posting, so the sums agree with the build-time scan).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String = "doc_id"): SearchIndex = {
+    val postings = graft.sources.BucketedStore.read(spark, table)
+    val stats = postings.agg(
+      count_distinct(col(idCol)).as("n"), sum(col("tf")).as("l"))
+    SearchIndex(postings, stats, idCol)
+  }
+
+  /** Integer-exact per-(query, doc, term) score contribution in ticks of
+    * 1e-6 — see the object doc for the derivation. All factors positive,
+    * so DECIMAL(38,0) `div` (truncating) equals floor in both engines.
+    */
+  private val tickExpr: Column = expr(
+    """CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * tf * l * (2*n - 2*df + 1)) div
+      |     ((CAST(10 AS DECIMAL(38,0)) * tf * l + 3*l + 9*dl*n) * (2*df + 1))
+      |AS BIGINT)""".stripMargin)
+
+  /** Top-k docs for one term query, integer-exact (the oracle form). */
+  def searchTopK(docs: DataFrame, query: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16): DataFrame = {
+    val qdf = queryFrame(docs, query)
+    searchAllTopK(index(docs, idCol, textCol, termFilter = query), qdf, k,
+      saltBuckets).drop("query_id")
+  }
+
+  /** Batch form: `queries(query_id, term)` (exploded term list) against a
+    * prebuilt or ad-hoc index. Returns (query_id, idCol, score_ticks,
+    * rank ≤ k). One plan for the whole batch: postings ⋈ broadcast
+    * queries, per-(query, doc) BIGINT sum, two-phase salted top-k.
+    */
+  def searchAllTopK(idx: SearchIndex, queries: DataFrame, k: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    val id = col(idx.idCol)
+    val p = idx.postings.join(broadcast(queries), "term")
+    val dfreq = idx.postings
+      .join(broadcast(queries.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = p
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("__ticks", tickExpr)
+      .groupBy(col("query_id"), id)
+      .agg(sum(col("__ticks")).as("score_ticks"))
+    val order = Seq(col("score_ticks").desc, id.asc)
+    val phase1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(id), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
+  /** Lucene-form BM25 (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))
+    * — the `1 +` keeps idf positive for df > N/2, exactly as the
+    * reference's Elasticsearch/Lucene scorer does) top-k — the
+    * production scorer; double-precision, so rank-stable but not
+    * engine-hashable. Same plan shape as [[searchTopK]].
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    val idx = index(docs, idCol, textCol, termFilter = query)
+    val id = col(idCol)
+    val dfreq = idx.postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = idx.postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("__c",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + 0.3 + (col("dl") * 0.9 * col("n")) / col("l")))
+      .groupBy(id).agg(sum(col("__c")).as("score"))
+    val order = Seq(col("score").desc, id.asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(id), lit(saltBuckets))).orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
+  private def queryFrame(docs: DataFrame, query: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    query.map(("q", _)).toDF("query_id", "term")
+  }
+}

@@ -44,6 +44,35 @@ object Sketches {
       .agg(approx_count_distinct(col(valueCol), rsd).as(outCol),
         count(lit(1)).as("n"))
 
+  /** Exact heavy hitters: the `k` most frequent values per group (ties
+    * broken by the value ascending) — "hottest URLs per host", "top error
+    * pages per status". One count aggregation (map-side partials, the
+    * exchange carries distinct (group, value) pairs once) then the
+    * two-phase salted top-k window ([[Sampling.bottomK]]'s shape): a
+    * group with millions of distinct values ranks across `saltBuckets`
+    * tasks in phase 1, and phase 2 re-ranks ≤ k·saltBuckets survivors.
+    * Exact by containment: a true top-k value is top-k within its salt
+    * bucket. For a sketch-only pass at extreme cardinality, compose
+    * [[distinctPerGroupApprox]] to size groups first; the count exchange
+    * here is already the minimal exact form.
+    */
+  def heavyHitters(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col(valueCol).asc)
+    val phase1 = Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col(valueCol)), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    counts
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
   /** Approximate per-group percentiles via the PercentileDigest sketch
     * (`approx_percentile`) — the scale twin of
     * [[EventOps.valueQuantiles]]: where the exact form needs the

@@ -1462,6 +1462,24 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(run(vals.repartition(1)) == run(vals.repartition(13)))
   }
 
+  test("heavyHitters: exact top-k value counts per group, salt-invariant") {
+    // g0: values 0..9 with count = 10-v; g1: uniform counts, tie-break by value
+    val rows = (0 until 10).flatMap(v => Seq.fill(10 - v)(("g0", s"u$v"))) ++
+      (0 until 6).map(v => ("g1", s"u$v"))
+    val df = rows.toDF("host", "url")
+    val got = Sketches.heavyHitters(df, "host", "url", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val expect = Set(
+      ("g0", "u0", 10L, 1), ("g0", "u1", 9L, 2), ("g0", "u2", 8L, 3),
+      ("g1", "u0", 1L, 1), ("g1", "u1", 1L, 2), ("g1", "u2", 1L, 3))
+    assert(got == expect)
+    val salt1 = Sketches.heavyHitters(df.repartition(5), "host", "url",
+      k = 3, saltBuckets = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(salt1 == expect)
+  }
+
   test("quantilesApprox honors the rank-error bound vs exact quantiles") {
     val rows = (0L until 20000L).map(i => ("t", (i * 37 % 20000).toDouble))
       .toDF("event_type", "value")
@@ -1471,5 +1489,95 @@ class SamplingSketchSpec extends AnyFunSuite {
     // exact medians of 0..19999: rank error 1/accuracy * n = 2 ranks
     assert(math.abs(got(0) - 10000.0) <= 37 * 3)
     assert(math.abs(got(1) - 19800.0) <= 37 * 3)
+  }
+}
+
+class SearchOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // planted corpus: doc 1 is dense in the rare term "zebra"; docs 2-4
+  // carry it once among filler; filler terms are corpus-wide
+  lazy val docs = Seq(
+    (1L, "zebra zebra zebra scan filter"),
+    (2L, "scan filter join hash hash"),
+    (3L, "scan filter join"),
+    (4L, "join hash scan filter filter join hash"),
+    (5L, "scan filter join hash"),
+    (6L, "scan scan filter join"),
+    (7L, "hash join filter scan scan filter")
+  ).toDF("doc_id", "text")
+
+  /** test-side reference scorer: exact BigInt replay of the rational-idf
+    * tick formula, independent of Spark's decimal plan */
+  private def referenceTopK(
+      corpus: Seq[(Long, String)], query: Seq[String], k: Int): Seq[(Long, Long, Int)] = {
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val n = BigInt(corpus.size)
+    val l = BigInt(toks.map(_._2.size).sum)
+    val dfm = query.map(q => q -> BigInt(toks.count(_._2.contains(q)))).toMap
+    val scores = toks.map { case (id, ts) =>
+      val s = query.map { q =>
+        val tf = BigInt(ts.count(_ == q))
+        if (tf == 0) BigInt(0)
+        else {
+          val dl = BigInt(ts.size); val df = dfm(q)
+          (BigInt(1000000) * 22 * tf * l * (2 * n - 2 * df + 1)) /
+            ((BigInt(10) * tf * l + 3 * l + 9 * dl * n) * (2 * df + 1))
+        }
+      }.sum
+      (id, s.toLong)
+    }.filter(_._2 > 0)
+    scores.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+  }
+
+  test("searchTopK matches an independent BigInt replay of the tick formula") {
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val query = Seq("zebra", "hash")
+    val got = SearchOps.searchTopK(docs, query, k = 5)
+      .select("doc_id", "score_ticks", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    assert(got == referenceTopK(corpus, query, 5))
+    // the zebra-dense doc wins
+    assert(got.head._1 == 1L)
+  }
+
+  test("searchTopK is invariant to partitioning and salt-bucket count") {
+    def run(df: org.apache.spark.sql.DataFrame, salts: Int) =
+      SearchOps.searchTopK(df, Seq("zebra", "scan"), k = 4, saltBuckets = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(docs, 16) == run(docs.repartition(5), 16))
+    assert(run(docs, 16) == run(docs, 1))
+  }
+
+  test("bm25TopK agrees with the exact form on the planted winner and set") {
+    val exact = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 3)
+      .collect().map(_.getLong(0))
+    val bm = SearchOps.bm25TopK(docs, Seq("zebra", "hash"), k = 3)
+      .collect().map(_.getLong(0))
+    assert(bm.head == 1L && exact.head == 1L)
+    assert(bm.toSet == exact.toSet) // same candidate set at this k
+  }
+
+  test("buildIndex/loadIndex round-trip: searchAllTopK over the catalog index equals direct search") {
+    val dir = graft.TestSpark.tmpDir("searchidx")
+    try {
+      val idx = SearchOps.buildIndex(docs, "search_idx", s"$dir/idx", 4)
+      // reloaded stats equal the scan-time stats
+      val st = idx.stats.collect().head
+      assert(st.getLong(0) == 7L && st.getLong(1) == 34L)
+      val queries = Seq(("q", "zebra"), ("q", "hash")).toDF("query_id", "term")
+      val viaIndex = SearchOps.searchAllTopK(idx, queries, k = 5)
+        .select("doc_id", "score_ticks", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 5)
+        .select("doc_id", "score_ticks", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaIndex == direct)
+    } finally {
+      graft.sources.BucketedStore.drop(spark, "search_idx")
+    }
   }
 }
