@@ -727,6 +727,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .select("doc_id", "score_ticks", "rank")),
 
+    // conjunctive (AND) variant: only docs containing EVERY query term
+    // score — the distinct-term-count gate runs before the top-k windows
+    "q_search_and" -> ((s, d) =>
+      graft.ops.SearchOps.searchTopK(t(s, d, "documents"),
+        Seq("dup", "spark", "merge"), k = 15, requireAll = true)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "rank")),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -1996,6 +2004,32 @@ object SparkEntry {
         |      AS score_ticks
         |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
         |  GROUP BY t.doc_id)
+        |SELECT doc_id, score_ticks, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, score_ticks,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 15""".stripMargin,
+
+    "q_search_and" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         len(string_split(lower(text), ' ')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(lower(text), ' '))) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      AS score_ticks
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+        |  GROUP BY t.doc_id
+        |  HAVING count(DISTINCT t.term) = 3)
         |SELECT doc_id, score_ticks, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT doc_id, score_ticks,
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank

@@ -104,6 +104,23 @@ object SearchOps {
     SearchIndex(postings, stats, idCol)
   }
 
+  /** Merge a delta index (e.g. one crawl round's new docs) into an
+    * existing one WITHOUT re-tokenizing the old corpus: posting lists
+    * for disjoint doc sets union row-wise (a doc appears in exactly one
+    * side, so no tf re-aggregation), and (n, l) add. Associative and
+    * commutative — `index(a ∪ b) ≡ merge(index(a), index(b))` is the sbt
+    * witness — so a long crawl maintains its search index with per-round
+    * work proportional to the DELTA. Requires disjoint doc ids (the
+    * crawl's seen anti-join guarantees it); overlapping ids would
+    * duplicate postings rather than overwrite.
+    */
+  def mergeIndex(base: SearchIndex, delta: SearchIndex): SearchIndex = {
+    require(base.idCol == delta.idCol, "indexes must share the id column")
+    val stats = base.stats.unionByName(delta.stats)
+      .agg(sum(col("n")).as("n"), sum(col("l")).as("l"))
+    SearchIndex(base.postings.unionByName(delta.postings), stats, base.idCol)
+  }
+
   /** Integer-exact per-(query, doc, term) score contribution in ticks of
     * 1e-6 — see the object doc for the derivation. All factors positive,
     * so DECIMAL(38,0) `div` (truncating) equals floor in both engines.
@@ -113,34 +130,54 @@ object SearchOps {
       |     ((CAST(10 AS DECIMAL(38,0)) * tf * l + 3*l + 9*dl*n) * (2*df + 1))
       |AS BIGINT)""".stripMargin)
 
-  /** Top-k docs for one term query, integer-exact (the oracle form). */
+  /** Top-k docs for one term query, integer-exact (the oracle form).
+    * `requireAll = true` switches OR semantics (any query term matches)
+    * to AND (only docs containing EVERY query term score) — the
+    * conjunctive gate is a per-doc distinct-term count against the query
+    * size, applied before the top-k so the salted windows rank only
+    * qualifying docs.
+    */
   def searchTopK(docs: DataFrame, query: Seq[String], k: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16): DataFrame = {
-    val qdf = queryFrame(docs, query)
+      saltBuckets: Int = 16, requireAll: Boolean = false): DataFrame = {
+    val qdf = queryFrame(docs, query.distinct)
     searchAllTopK(index(docs, idCol, textCol, termFilter = query), qdf, k,
-      saltBuckets).drop("query_id")
+      saltBuckets, requireAll).drop("query_id")
   }
 
-  /** Batch form: `queries(query_id, term)` (exploded term list) against a
-    * prebuilt or ad-hoc index. Returns (query_id, idCol, score_ticks,
+  /** Batch form: `queries(query_id, term)` (exploded term list; rows MUST
+    * be distinct per (query_id, term) — a duplicate would double-count
+    * that term's contribution) against a prebuilt or ad-hoc index. Returns (query_id, idCol, score_ticks,
     * rank ≤ k). One plan for the whole batch: postings ⋈ broadcast
     * queries, per-(query, doc) BIGINT sum, two-phase salted top-k.
     */
   def searchAllTopK(idx: SearchIndex, queries: DataFrame, k: Int,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16, requireAll: Boolean = false): DataFrame = {
     require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
     val id = col(idx.idCol)
     val p = idx.postings.join(broadcast(queries), "term")
     val dfreq = idx.postings
       .join(broadcast(queries.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = p
+    val base = p
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(idx.stats))
       .withColumn("__ticks", tickExpr)
       .groupBy(col("query_id"), id)
-      .agg(sum(col("__ticks")).as("score_ticks"))
+    // the AND gate needs a per-doc matched-term count — postings are
+    // unique per (doc, term) and `queries` rows per (query_id, term), so
+    // a plain count suffices (no expand-distinct); only pay it when
+    // requireAll is on
+    val scored =
+      if (requireAll) {
+        val qSizes = queries.groupBy("query_id")
+          .agg(count_distinct(col("term")).as("__qn"))
+        base.agg(sum(col("__ticks")).as("score_ticks"),
+            count(lit(1)).as("__hit"))
+          .join(broadcast(qSizes), "query_id")
+          .filter(col("__hit") === col("__qn"))
+          .drop("__qn", "__hit")
+      } else base.agg(sum(col("__ticks")).as("score_ticks"))
     val order = Seq(col("score_ticks").desc, id.asc)
     val phase1 = Window
       .partitionBy(col("query_id"), pmod(xxhash64(id), lit(saltBuckets)))

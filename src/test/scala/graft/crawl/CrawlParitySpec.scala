@@ -467,3 +467,66 @@ class RedirectStatusSpec extends AnyFunSuite {
     s4.docsTable.drop()
   }
 }
+
+/** Crawl → index → search integration: the reference's end-to-end story is
+  * crawl pages into a SEARCHABLE index (RiverWeb.java:183-195 writes docs to
+  * Elasticsearch precisely so term queries run over them). Here the crawl's
+  * doc table feeds SearchOps directly, and the per-round incremental path
+  * (index the delta, merge) is proven equal to indexing the whole store.
+  */
+class CrawlSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("crawled docs are searchable; per-round delta merge equals whole-store index") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SearchOps
+    val builder = SyntheticCorpus.Builder(n = 300, hostCount = 15)
+    val cdf = SyntheticCorpus.zipfCdf(15, 1.1)
+    val seed = UrlOps.canonicalize(SyntheticCorpus.urlOf(0L,
+      SyntheticCorpus.hostOfDoc(0L, 42L, cdf)))
+    val cfg = CrawlConfig(
+      sessionId = "crawlsearch", seeds = Seq(seed),
+      maxDepth = 3, maxAccessCount = 60, hostBudgetPerRound = 3,
+      rules = Seq(ScrapingRule(".*/page/.*", properties = Seq(
+        PropertyRule("title", SpanText("title"), trimSpaces = true)))))
+    val dir = TestSpark.tmpDir("crawl-search")
+    val session = new CrawlSession(spark, cfg, builder.corpus(spark).toDF(),
+      builder.robots(spark).toDF(), dir)
+    session.run()
+    val docs = session.docsTable.read()
+      .filter(col("title").isNotNull)
+      .select(col("url"), col("title"))
+    assert(docs.count() > 10)
+
+    // a term drawn from a real crawled title must retrieve a doc whose
+    // title contains it, with the crawl's url as the result id
+    val someTitle = docs.select("title").head().getString(0)
+    val term = someTitle.toLowerCase.split("\\s+").filter(_.nonEmpty).head
+    val top = SearchOps.searchTopK(docs, Seq(term), k = 5,
+      idCol = "url", textCol = "title")
+    val hits = top.collect()
+    assert(hits.nonEmpty)
+    val hitUrls = hits.map(_.getString(0)).toSet
+    val titles = docs.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hitUrls.foreach(u =>
+      assert(titles(u).toLowerCase.split("\\s+").contains(term)))
+
+    // incremental path: index one "round half" + merge the delta ≡ whole
+    val a = docs.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val b = docs.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val merged = SearchOps.mergeIndex(
+      SearchOps.index(a, "url", "title"), SearchOps.index(b, "url", "title"))
+    val q = {
+      import spark.implicits._
+      Seq(("q", term)).toDF("query_id", "term")
+    }
+    val viaMerged = SearchOps.searchAllTopK(merged, q, k = 5)
+      .select("url", "score_ticks", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = SearchOps.searchTopK(docs, Seq(term), k = 5,
+      idCol = "url", textCol = "title")
+      .select("url", "score_ticks", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaMerged == direct)
+  }
+}

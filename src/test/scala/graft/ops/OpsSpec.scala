@@ -1561,6 +1561,41 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(bm.toSet == exact.toSet) // same candidate set at this k
   }
 
+  test("mergeIndex: index(a ++ b) equals merge(index(a), index(b)) and searches identically") {
+    val a = docs.filter($"doc_id" <= 3)
+    val b = docs.filter($"doc_id" > 3)
+    val merged = SearchOps.mergeIndex(
+      SearchOps.index(a), SearchOps.index(b))
+    val whole = SearchOps.index(docs)
+    def postSet(i: SearchOps.SearchIndex) = i.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(postSet(merged) == postSet(whole))
+    assert(merged.stats.collect().head.toSeq == whole.stats.collect().head.toSeq)
+    val q = Seq(("q", "zebra"), ("q", "hash")).toDF("query_id", "term")
+    val viaMerged = SearchOps.searchAllTopK(merged, q, k = 5)
+      .select("doc_id", "score_ticks", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 5)
+      .select("doc_id", "score_ticks", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaMerged == direct)
+  }
+
+  test("requireAll gates to docs containing every query term") {
+    val or = SearchOps.searchTopK(docs, Seq("scan", "hash"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val and = SearchOps.searchTopK(docs, Seq("scan", "hash"), k = 10,
+      requireAll = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(and == Set(2L, 4L, 5L, 7L)) // docs with BOTH terms
+    assert(or == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // AND scores equal the OR scores of the surviving docs
+    val orScores = SearchOps.searchTopK(docs, Seq("scan", "hash"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SearchOps.searchTopK(docs, Seq("scan", "hash"), k = 10, requireAll = true)
+      .collect().foreach(r => assert(r.getLong(1) == orScores(r.getLong(0))))
+  }
+
   test("buildIndex/loadIndex round-trip: searchAllTopK over the catalog index equals direct search") {
     val dir = graft.TestSpark.tmpDir("searchidx")
     try {
