@@ -735,6 +735,22 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .select("doc_id", "score_ticks", "rank")),
 
+    // exact phrase search (the ES match_phrase surface): consecutive
+    // "hash join" occurrences counted via positional postings + an
+    // adjacency hash-join — no per-doc sort — then the salted top-k
+    "q_search_phrase" -> ((s, d) =>
+      graft.ops.SearchOps.phraseTopK(t(s, d, "documents"),
+        Seq("hash", "join"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "matches", "rank")),
+
+    // snippet/highlight: ±3-token window around the first 'dup' hit,
+    // pure map-side array arithmetic (no exchange)
+    "q_search_snippet" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ops.SearchOps.snippet(col("text"), "dup", 3).as("snippet"))
+      .filter(col("snippet").isNotNull)),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2035,6 +2051,32 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 15""".stripMargin,
+
+    "q_search_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+        |      FROM t),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM p),
+        |m AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS matches
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'hash' AND b.term = 'join'
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, matches, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, matches,
+        |    row_number() OVER (ORDER BY matches DESC, doc_id) AS rank FROM m)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_search_snippet" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks, list_position(toks, 'dup') AS p FROM t
+        |      WHERE list_position(toks, 'dup') > 0)
+        |SELECT doc_id,
+        |  array_to_string(toks[greatest(1, p-3):least(len(toks), p+3)], ' ')
+        |    AS snippet
+        |FROM f""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH c AS (

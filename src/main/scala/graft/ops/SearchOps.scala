@@ -220,6 +220,66 @@ object SearchOps {
       .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
   }
 
+  /** Exact phrase search: top-k docs by the number of CONSECUTIVE
+    * occurrences of `phrase` (the ES `match_phrase` the reference's users
+    * run over crawled docs). Positional postings are a `posexplode`
+    * filtered to the phrase's terms — the exchange carries only matching
+    * (doc, pos) pairs — and the adjacency check is a chain of m−1 hash
+    * joins on (doc, pos − offset): no per-doc sort, no window, keys
+    * uniformly spread (a hot DOC is fine — its positions distribute by
+    * hash). Count per doc, then the two-phase salted top-k. A repeated
+    * term in the phrase is handled naturally (each join leg re-filters
+    * the same postings at its own offset).
+    */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    val toks = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    var cur = toks.filter(col("term") === phrase.head)
+      .select(col(idCol).as("__id"), col("pos").as("__pos"))
+    phrase.zipWithIndex.drop(1).foreach { case (t, i) =>
+      val nxt = toks.filter(col("term") === t)
+        .select(col(idCol).as("__idn"), (col("pos") - i).as("__posn"))
+      cur = cur.join(nxt,
+          col("__id") === col("__idn") && col("__pos") === col("__posn"))
+        .select(col("__id"), col("__pos"))
+    }
+    val counts = cur.groupBy(col("__id"))
+      .agg(count(lit(1)).as("matches"))
+      .withColumnRenamed("__id", idCol)
+    val id = col(idCol)
+    val order = Seq(col("matches").desc, id.asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(id), lit(saltBuckets))).orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    counts
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
+  /** Snippet/highlight column: the ±`width`-token window around the FIRST
+    * occurrence of `term` (ES highlighting's fragment, deterministically
+    * the first hit), null when the term is absent. Pure map-side array
+    * arithmetic — `array_position` + `slice` — so it composes onto
+    * search results with zero extra exchange.
+    */
+  def snippet(text: Column, term: String, width: Int): Column = {
+    require(width >= 0, "width must be non-negative")
+    val toks = TextOps.tokens(text)
+    val p = array_position(toks, term.toLowerCase)
+    val start = greatest(lit(1L), p - width)
+    val len = least(size(toks).cast("long"), p + width) - start + 1L
+    when(p === 0L, lit(null).cast("string"))
+      .otherwise(array_join(
+        slice(toks, start.cast("int"), len.cast("int")), " "))
+  }
+
   private def queryFrame(docs: DataFrame, query: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

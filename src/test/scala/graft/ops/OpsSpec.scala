@@ -1596,6 +1596,43 @@ class SearchOpsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(1) == orScores(r.getLong(0))))
   }
 
+  test("phraseTopK counts consecutive occurrences, matching a brute-force scan") {
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def brute(phrase: Seq[String]): Seq[(Long, Long, Int)] = {
+      val m = corpus.map { case (id, t) =>
+        val ts = t.toLowerCase.split("\\s+").toSeq
+        id -> (0 to ts.size - phrase.size).count(i =>
+          phrase.indices.forall(j => ts(i + j) == phrase(j))).toLong
+      }.filter(_._2 > 0)
+      m.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+        .map { case ((id, n), i) => (id, n, i + 1) }
+    }
+    for (phrase <- Seq(Seq("scan", "filter"), Seq("filter", "filter"),
+        Seq("scan", "filter", "join"))) {
+      val got = SearchOps.phraseTopK(docs, phrase, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .sortBy(_._3)
+      assert(got == brute(phrase), s"phrase $phrase")
+    }
+    val rep = SearchOps.phraseTopK(docs.repartition(5), Seq("scan", "filter"),
+      k = 10, saltBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rep == brute(Seq("scan", "filter")).toSet)
+  }
+
+  test("snippet extracts the window around the first hit; null when absent") {
+    val out = docs.select($"doc_id",
+      SearchOps.snippet($"text", "zebra", 2).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("zebra zebra zebra"))        // hit at pos 1: window 1..3
+    assert(out(5L).isEmpty)                             // absent
+    // term at the very end of a doc clips the right edge
+    val tail = Seq((9L, "alpha beta gamma zebra")).toDF("doc_id", "text")
+      .select(SearchOps.snippet($"text", "zebra", 2).as("s"))
+      .head().getString(0)
+    assert(tail == "beta gamma zebra")
+  }
+
   test("buildIndex/loadIndex round-trip: searchAllTopK over the catalog index equals direct search") {
     val dir = graft.TestSpark.tmpDir("searchidx")
     try {
