@@ -572,6 +572,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // representative selection over the same clusters: keep the longest
+    // doc (tiebreak min id) per dup cluster; singletons always kept
+    "q_dedup_keepbest" -> ((s, d) => {
+      val sub = t(s, d, "documents").filter(col("doc_id") < 200)
+      val clusters = Dedup.connectedComponents(
+        Dedup.simhashNearDups(sub, hash = TextOps.portableHash))
+      Dedup.keepBest(sub, clusters,
+        size(split(lower(col("text")), "\\s+")).cast("long"))
+    }),
+
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 150),
         k = 3, threshold = 0.2)),
@@ -750,6 +760,14 @@ object SparkEntry {
       .select(col("doc_id"),
         graft.ops.SearchOps.snippet(col("text"), "dup", 3).as("snippet"))
       .filter(col("snippet").isNotNull)),
+
+    // more-like-this (the ES MLT surface): docs sharing the strongest
+    // terms of doc 42, scored by integer idf ticks over shared terms
+    "q_search_mlt" -> ((s, d) =>
+      graft.ops.SearchOps.moreLikeThis(t(s, d, "documents"), srcId = 42L,
+        k = 15, maxQueryTerms = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "n_shared", "rank")),
 
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
@@ -1311,6 +1329,12 @@ object SparkEntry {
     "q_event_timewindow" -> ((s, d) =>
       EventOps.timeWindowCounts(t(s, d, "events"), windowSeconds = 21600L)),
 
+    // hopping (sliding) windows: 6h window every 2h — each event in exactly
+    // 3 windows, a bounded map-side fan-out ahead of the same one exchange
+    "q_event_hopping" -> ((s, d) =>
+      EventOps.hoppingWindowCounts(t(s, d, "events"),
+        windowSeconds = 21600L, slideSeconds = 7200L)),
+
     // skew-safe two-pass sessionization: identical semantics (and oracle)
     // as q_event_sessionize, per-task unit bounded by (user, day-bucket)
     "q_event_sessionize_bucketed" -> ((s, d) =>
@@ -1431,6 +1455,35 @@ object SparkEntry {
        |  UNION
        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.n = e.b)
        |SELECT n AS id, min(m) AS rep FROM reach GROUP BY n""".stripMargin
+
+  /** DuckDB twin of [[Dedup.keepBest]] over the simhash clusters: same
+    * recursive closure, then per-cluster argmax by (token count desc,
+    * doc_id asc) via row_number; singletons (no pair) cluster to self.
+    */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |cpairs AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+       |  UNION SELECT id_b, id_a FROM cpairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.n = e.b),
+       |reps AS (SELECT n AS id, min(m) AS rep FROM reach GROUP BY n),
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster,
+       |    len(string_split_regex(lower(d.text), '\\s+')) AS score
+       |  FROM documents d LEFT JOIN reps r ON r.id = d.doc_id
+       |  WHERE d.doc_id < 200),
+       |ranked AS (
+       |  SELECT doc_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY score DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS csz
+       |  FROM assigned)
+       |SELECT doc_id, cluster, CAST(csz AS BIGINT) AS cluster_size,
+       |  (rn = 1) AS kept
+       |FROM ranked""".stripMargin
 
   /** per-lexicon hit-count aggregate columns (`s_<lang>`). */
   private def langScoreCols: String = {
@@ -1902,6 +1955,8 @@ object SparkEntry {
 
     "q_dedup_clusters" -> simhashClustersOracle,
 
+    "q_dedup_keepbest" -> keepBestOracle,
+
     "q_dedup_jaccard" ->
       """WITH base AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS l
         |  FROM documents WHERE doc_id < 150),
@@ -2050,6 +2105,31 @@ object SparkEntry {
         |  SELECT doc_id, score_ticks,
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM scored)
+        |WHERE rank <= 15""".stripMargin,
+
+    "q_search_mlt" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |src AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r
+        |        FROM tf WHERE doc_id = 42),
+        |sel AS (SELECT term FROM src WHERE r <= 10),
+        |stats AS (SELECT count(*) AS n FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM tf JOIN sel USING (term) GROUP BY 1),
+        |w AS (SELECT term,
+        |    CAST((1000000::HUGEINT * (2*s.n - 2*df + 1)) // (2*df + 1)
+        |      AS BIGINT) AS w
+        |  FROM dfreq CROSS JOIN stats s),
+        |sc AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score_ticks,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM tf t JOIN w USING (term) WHERE t.doc_id <> 42 GROUP BY 1)
+        |SELECT doc_id, score_ticks, n_shared, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT doc_id, score_ticks, n_shared,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM sc)
         |WHERE rank <= 15""".stripMargin,
 
     "q_search_phrase" ->
@@ -2692,6 +2772,20 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // hopping windows: slide-aligned last start minus i slides, kept while
+    // the event still falls inside the window (3 = window/slide ratio)
+    "q_event_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT (us // 7200000000) * 7200000000 - i * 7200000000
+        |      AS window_start_us, us, event_type, value
+        |  FROM (SELECT us, event_type, value, unnest(range(0, 3)) AS i FROM e))
+        |SELECT window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM w WHERE window_start_us + 21600000000 > us
+        |GROUP BY 1, 2""".stripMargin,
 
     // same sessions as q_event_sessionize — the bucketed two-pass must be
     // output-identical, so it shares the SAME oracle val (one definition)

@@ -604,6 +604,38 @@ object Dedup {
     labels
   }
 
+  /** Representative selection after clustering — the step that turns a
+    * cluster map into a deduplicated corpus: keep exactly ONE doc per
+    * duplicate cluster, the argmax of `scoreCol` (ties broken by MIN id,
+    * so the survivor is deterministic — the keep-longest/keep-best rule
+    * every near-dup pipeline applies after MinHash/SimHash clustering).
+    * `clusters` is [[connectedComponents]] output (id, rep); docs absent
+    * from it are singletons — their own cluster, always kept.
+    *
+    * Scale shape: cluster assignment is a LEFT join on id (clusters is the
+    * pair-connected subset, usually far smaller than the corpus — Spark
+    * broadcasts it under the threshold, else both sides hash on id); the
+    * per-cluster argmax is a plain `max(struct(score, −id))` aggregation,
+    * so a hot near-clique cluster collapses MAP-SIDE via partial
+    * aggregation — no window, no salt needed. One exchange on cluster for
+    * the agg; the member↔winner join reuses that partitioning on the agg
+    * side. Returns every doc: (id, cluster, cluster_size, kept).
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame, scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val assigned = docs
+      .select(col(idCol).as("id"), scoreCol.as("__score"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"),
+        col("__score"))
+    val best = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("cluster_size"),
+      max(struct(col("__score"), (-col("id")).as("__negId"))).as("__best"))
+    assigned.join(best, "cluster")
+      .select(col("id").as(idCol), col("cluster"), col("cluster_size"),
+        (col("id") === -col("__best.__negId")).as("kept"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
     * public construction): assign every embedding to its nearest k-means
     * centroid ([[Similarity.ivfTrain]] cells), then WITHIN each cell drop

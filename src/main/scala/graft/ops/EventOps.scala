@@ -149,6 +149,33 @@ object EventOps {
       .select(unix_micros(col("__w.start")).as("window_start_us"),
         col(typeCol), col("n_events"), col("sum_cents"))
 
+  /** Hopping (sliding) window rollup — [[timeWindowCounts]] with a slide
+    * shorter than the window, so each event lands in exactly
+    * windowSeconds/slideSeconds overlapping windows (Spark's two-argument
+    * `window`). The fan-out is a BOUNDED map-side explode (the
+    * window/slide ratio, a constant), so the shuffle grows by that
+    * constant factor and nothing else changes vs the tumbling form: one
+    * exchange on (window, type), map-side partial aggregation, output is
+    * windows × types. Window starts are epoch-aligned multiples of the
+    * slide — replayable in SQL as floor(µs/slide)·slide − i·slide for
+    * i < ratio, filtered to start + window > µs.
+    */
+  def hoppingWindowCounts(events: DataFrame, windowSeconds: Long,
+      slideSeconds: Long, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    require(windowSeconds > 0 && slideSeconds > 0 &&
+      windowSeconds % slideSeconds == 0,
+      "slide must be a positive divisor of the window")
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds",
+        s"$slideSeconds seconds").as("__w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("__w.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_cents"))
+  }
+
   /** Ordered funnel: for each user, greedily match `steps` in event-time
     * order — step i+1 must occur STRICTLY after the chosen occurrence of
     * step i (equal timestamps never advance the funnel, so the result is

@@ -280,6 +280,60 @@ object SearchOps {
         slice(toks, start.cast("int"), len.cast("int")), " "))
   }
 
+  /** More-like-this: top-k docs most similar to the doc `srcId` (the ES
+    * `more_like_this` query users run over crawled docs). Shape follows
+    * ES: select the source doc's `maxQueryTerms` strongest terms
+    * (tf desc, term asc — deterministic), then score every OTHER doc by
+    * the sum of integer idf ticks over its SHARED terms (boolean term
+    * match × rational idf, floor((2n−2df+1)·10⁶/(2df+1)) — exact DECIMAL
+    * division on any engine; set semantics keeps the BIGINT sum safe to
+    * ~5·10¹¹ docs at 25 query terms).
+    *
+    * Scale shape: the source doc's term profile is one doc's postings —
+    * a bounded (≤ maxQueryTerms) driver pull that pushes the term filter
+    * BELOW the corpus tf aggregation, so the (doc, term) exchange
+    * carries only postings matching the profile (the [[searchTopK]]
+    * recipe); df/idf are a ≤ maxQueryTerms broadcast; the final top-k is
+    * the two-phase salted window. Returns (idCol, score_ticks, n_shared,
+    * rank).
+    */
+  def moreLikeThis(docs: DataFrame, srcId: Long, k: Int,
+      maxQueryTerms: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && maxQueryTerms > 0 && saltBuckets > 0,
+      "k, maxQueryTerms, saltBuckets must be positive")
+    val srcTerms = docs.filter(col(idCol) === srcId)
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(maxQueryTerms)
+      .select("term").collect().map(_.getString(0)).toSeq
+    require(srcTerms.nonEmpty, s"source doc $srcId has no terms")
+    val postings = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(srcTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val weights = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .withColumn("w", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (2*n - 2*df + 1)) div
+          |     (2*df + 1) AS BIGINT)""".stripMargin))
+      .select("term", "w")
+    val scored = postings.filter(col(idCol) =!= srcId)
+      .join(broadcast(weights), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score_ticks"), count(lit(1)).as("n_shared"))
+    val id = col(idCol)
+    val order = Seq(col("score_ticks").desc, id.asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(id), lit(saltBuckets))).orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
   private def queryFrame(docs: DataFrame, query: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

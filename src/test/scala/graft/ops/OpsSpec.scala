@@ -349,6 +349,27 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("keepBest: argmax per cluster, min-id tiebreak, singletons kept") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L),   // cluster {1,2,3}: 2 wins on score
+      (4L, 7L), (5L, 7L),                // cluster {4,5}: score tie → min id 4
+      (6L, 1L)                           // singleton, always kept
+    ).toDF("doc_id", "score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "rep")
+    val got = Dedup.keepBest(docs, clusters, col("score"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, false)), 2L -> ((1L, 3L, true)), 3L -> ((1L, 3L, false)),
+      4L -> ((4L, 2L, true)), 5L -> ((4L, 2L, false)),
+      6L -> ((6L, 1L, true))), got.toString)
+    // exactly one survivor per cluster, invariant under repartitioning
+    val rep = Dedup.keepBest(docs.repartition(5), clusters.repartition(3), col("score"))
+    val perCluster = rep.filter(col("kept")).groupBy("cluster").count()
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ == 1L) && perCluster.length == 3)
+  }
+
   test("releasable variants unpersist their internal caches on release()") {
     val docs = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta eps$i zeta eta"))
       .toDF("doc_id", "text")
@@ -955,6 +976,28 @@ class EventOpsSpec extends AnyFunSuite {
       (0L, "click") -> ((2L, c0 + 100L)),
       (10000000L, "click") -> ((1L, 200L)),
       (10000000L, "view") -> ((1L, 50L))), got.toString)
+  }
+
+  test("hoppingWindowCounts: each event in window/slide windows, edges clip") {
+    val rows = Seq(
+      (evt(1L, 5000000L, "click")._2, "click", 1.0),   // starts 5s, 0s
+      (evt(1L, 10000000L, "click")._2, "click", 2.0),  // starts 10s, 5s (0s excluded: 0+10 !> 10)
+      (evt(1L, 12000000L, "view")._2, "view", 0.5)     // starts 10s, 5s
+    ).toDF("ts", "event_type", "value")
+    val got = EventOps.hoppingWindowCounts(rows, windowSeconds = 10L, slideSeconds = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (0L, "click") -> ((1L, 100L)),
+      (5000000L, "click") -> ((2L, 300L)),
+      (10000000L, "click") -> ((1L, 200L)),
+      (5000000L, "view") -> ((1L, 50L)),
+      (10000000L, "view") -> ((1L, 50L))), got.toString)
+    // tumbling parity: slide == window reduces to timeWindowCounts exactly
+    val tumble = EventOps.timeWindowCounts(rows, windowSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val hopSame = EventOps.hoppingWindowCounts(rows, windowSeconds = 10L, slideSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hopSame == tumble)
   }
 
   test("funnel property: equals the sequential min-filter definition on random logs") {
@@ -1618,6 +1661,32 @@ class SearchOpsSpec extends AnyFunSuite {
       k = 10, saltBuckets = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rep == brute(Seq("scan", "filter")).toSet)
+  }
+
+  test("moreLikeThis matches a BigInt replay of the idf-overlap definition") {
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def brute(srcId: Long, m: Int, k: Int): Seq[(Long, Long, Long, Int)] = {
+      val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+      val srcTf = toks(srcId).groupBy(identity).map { case (t, o) => t -> o.size }
+      val sel = srcTf.toSeq.sortBy { case (t, tf) => (-tf, t) }.take(m).map(_._1)
+      val n = BigInt(corpus.size)
+      val w = sel.map { t =>
+        val df = BigInt(corpus.count { case (id, _) => toks(id).contains(t) })
+        t -> ((BigInt(1000000) * (2 * n - 2 * df + 1)) / (2 * df + 1))
+      }.toMap
+      val scored = corpus.filter(_._1 != srcId).map { case (id, _) =>
+        val shared = sel.filter(toks(id).contains)
+        (id, shared.map(w).sum.toLong, shared.size.toLong)
+      }.filter(_._3 > 0)
+      scored.sortBy { case (id, s, _) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s, ns), i) => (id, s, ns, i + 1) }
+    }
+    for ((m, k) <- Seq((2, 5), (10, 10))) {
+      val got = SearchOps.moreLikeThis(docs, 1L, k = k, maxQueryTerms = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sortBy(_._4)
+      assert(got == brute(1L, m, k), s"m=$m k=$k")
+    }
   }
 
   test("snippet extracts the window around the first hit; null when absent") {
