@@ -890,6 +890,24 @@ object SparkEntry {
         .select("url", "depth", "urlHash")
     }),
 
+    // Z1: robots Crawl-delay as per-host round quotas — d0 capped at 3
+    // (its delay), d1's 100 clamps to the 40 default, d2/d3 uncapped
+    "q_z1_crawl_delay" -> ((s, d) => {
+      import s.implicits._
+      val frontier = t(s, d, "documents").select(
+        urlOfId(col("doc_id")).as("url"),
+        concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(".example.com")).as("host"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("depth"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("urlHash"),
+        lit("seed").as("parentUrl"))
+      val budgets = Seq(("d0.example.com", 3), ("d1.example.com", 100))
+        .toDF("host", "budget")
+      graft.frontier.Politeness.claimWithHostBudgets(frontier,
+        hostBudget = 40, budgets, remaining = 100)
+        .select("url", "depth", "urlHash")
+    }),
+
     // rank-prioritized politeness claim: the politeness-limited budget
     // goes to high-PageRank pages first (ties → canonical BFS order);
     // ranks are integer-exact so the claim is engine-reproducible
@@ -2179,6 +2197,21 @@ object SparkEntry {
 
     // per-host top-40 by the canonical (depth, urlHash, url) order, then
     // the global remaining-cap top-100
+    // per-host quota = min(override, default 40); global cap 100 in
+    // canonical order — the same replay as q_t3 with a budget CASE
+    "q_z1_crawl_delay" ->
+      """WITH f AS (SELECT
+        |    'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    'd'||(doc_id%4)||'.example.com' AS host,
+        |    CAST(doc_id%3 AS INT) AS depth,
+        |    (doc_id*2654435761)%4294967296 AS urlHash
+        |  FROM documents),
+        |ph AS (SELECT *, row_number() OVER
+        |    (PARTITION BY host ORDER BY depth, urlHash, url) AS r FROM f)
+        |SELECT url, depth, urlHash FROM ph
+        |WHERE r <= (CASE host WHEN 'd0.example.com' THEN 3 ELSE 40 END)
+        |ORDER BY depth, urlHash, url LIMIT 100""".stripMargin,
+
     "q_t3_claim_cap" ->
       """WITH f AS (SELECT
         |    'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,

@@ -210,9 +210,18 @@ final class CrawlSession(
     val seenCount = if (seenV < 0) 0L else seenTable.rowsOf(seenV)
     val seen = if (seenCount == 0) null else seenTable.readVersion(seenV)
 
-    // --- claim (W1/W2/A2) --------------------------------------------------
-    val claimed = Politeness
-      .claim(frontier, config.hostBudgetPerRound, remaining)
+    // --- claim (W1/W2/A2; Z1 robots Crawl-delay as a per-host quota) --------
+    val delayBudgets =
+      if (config.robotsTxt && robots.columns.contains("crawl_delay_s"))
+        Some(robots.filter(col("crawl_delay_s").isNotNull)
+          .select(col("host"),
+            greatest(lit(1L), floor(lit(config.roundWindowSeconds) /
+              col("crawl_delay_s")).cast("long")).cast("int").as("budget")))
+      else None
+    val claimed = delayBudgets
+      .map(b => Politeness.claimWithHostBudgets(
+        frontier, config.hostBudgetPerRound, b, remaining))
+      .getOrElse(Politeness.claim(frontier, config.hostBudgetPerRound, remaining))
       .persist()
     val claimedCount = timed("claim-count")(claimed.count())
     if (claimedCount == 0) { claimed.unpersist(); return None }

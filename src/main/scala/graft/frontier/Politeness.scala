@@ -59,12 +59,40 @@ object Politeness {
         col("url").asc),
       hostBudget, remaining, saltBuckets)
 
+  /** Per-host budget overrides (robots.txt Crawl-delay, Z1/Z2): hosts in
+    * `hostBudgets` ("host", "budget") claim at most min(budget,
+    * hostBudget) rows this round; absent hosts get the default. The
+    * override table is one row per DISTINCT host with a delay directive —
+    * orders smaller than the frontier — so it rides in as a broadcast
+    * left join ahead of the same two-phase salted windows (the
+    * containment argument is per host, each with its own k, so exactness
+    * and the skew bound carry over unchanged). A budget ≤ 0 claims
+    * nothing from that host.
+    */
+  def claimWithHostBudgets(
+      frontier: DataFrame,
+      hostBudget: Int,
+      hostBudgets: DataFrame,
+      remaining: Long,
+      saltBuckets: Int = 16): DataFrame = {
+    val joined = frontier.join(
+      broadcast(hostBudgets.select(col("host"), col("budget").as("__hb"))),
+      Seq("host"), "left")
+    claimOrdered(joined,
+      Seq(col("depth").asc, col("urlHash").asc, col("url").asc),
+      hostBudget, remaining, saltBuckets,
+      budget = coalesce(least(col("__hb"), lit(hostBudget)), lit(hostBudget)))
+      .drop("__hb")
+  }
+
   private def claimOrdered(
       frontier: DataFrame,
       order: Seq[org.apache.spark.sql.Column],
       hostBudget: Int,
       remaining: Long,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int,
+      budget: org.apache.spark.sql.Column = null): DataFrame = {
+    val budgetExpr = Option(budget).getOrElse(lit(hostBudget))
 
     val phase1 = Window
       .partitionBy(col("host"), pmod(col("urlHash"), lit(saltBuckets)))
@@ -73,10 +101,10 @@ object Politeness {
 
     val perHost = frontier
       .withColumn("__r1", row_number().over(phase1))
-      .filter(col("__r1") <= hostBudget)
+      .filter(col("__r1") <= budgetExpr)
       .drop("__r1")
       .withColumn("__r2", row_number().over(phase2))
-      .filter(col("__r2") <= hostBudget)
+      .filter(col("__r2") <= budgetExpr)
       .drop("__r2")
 
     // global budget cap in canonical order — planned as

@@ -281,6 +281,8 @@ object ConfigLoader {
       sitemapPattern = asStr(j \ "sitemap_pattern", ".*sitemap.*"),
       seenRoute = seenRoute,
       rules = rules,
-      http = http)
+      http = http,
+      roundWindowSeconds =
+        math.max(asLong(j \ "round_window_seconds", 60L), 1L))
   }
 }

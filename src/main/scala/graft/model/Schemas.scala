@@ -56,8 +56,13 @@ final case class FetchResult(
     lastModified: Long,
     spans: Seq[Span])
 
-/** robots.txt rules per host (Z2; RiverWeb.java:297-299). */
-final case class RobotsRules(host: String, disallow_prefixes: Seq[String])
+/** robots.txt rules per host (Z2; RiverWeb.java:297-299). `crawl_delay_s`
+  * is the robots Crawl-delay directive: converted to a per-round fetch
+  * quota (min with the config budget) at claim time — see
+  * [[graft.frontier.Politeness.claimWithHostBudgets]].
+  */
+final case class RobotsRules(host: String, disallow_prefixes: Seq[String],
+    crawl_delay_s: Option[Long] = None)
 
 // ---------------------------------------------------------------------------
 // Crawl config — the "river" JSON (README.md:90-141) as an ADT.
@@ -242,4 +247,8 @@ final case class CrawlConfig(
     sitemapPattern: String = ".*sitemap.*",
     seenRoute: SeenRoute = SeenRoute.Auto,
     rules: Seq[ScrapingRule] = Seq.empty,
-    http: HttpSettings = HttpSettings())
+    http: HttpSettings = HttpSettings(),
+    // Z1: the wall-clock politeness window one crawl round models; only
+    // consumed when robots rules carry Crawl-delay — a host with delay d
+    // claims at most max(1, floor(roundWindowSeconds/d)) urls per round
+    roundWindowSeconds: Long = 60L)

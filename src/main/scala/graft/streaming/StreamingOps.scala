@@ -82,6 +82,32 @@ object StreamingOps {
       .agg(count(lit(1)).as("fetches"))
       .select(col("window.start").as("window_start"), col("host"), col("fetches"))
 
+  /** Streaming hopping-window rollup — the continuous form of
+    * [[graft.ops.EventOps.hoppingWindowCounts]]: the identical
+    * two-argument `window` (each event in window/slide overlapping
+    * windows, a bounded fan-out) plus an event-time watermark so closed
+    * windows emit in append mode and their state evicts. Output matches
+    * the batch operator row-for-row on the same closed input (parity
+    * spec) — one sliding-window semantics, two execution modes.
+    */
+  def hoppingWindowStream(events: DataFrame, windowSeconds: Long,
+      slideSeconds: Long, watermarkDelay: String = "30 seconds",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(windowSeconds > 0 && slideSeconds > 0 &&
+      windowSeconds % slideSeconds == 0,
+      "slide must be a positive divisor of the window")
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds",
+        s"$slideSeconds seconds").as("__w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("__w.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_cents"))
+  }
+
   /** Streaming gap sessionization — the continuous form of
     * [[graft.ops.EventOps.sessionize]]: the IDENTICAL `session_window`
     * construct plus an event-time watermark, so closed sessions emit in

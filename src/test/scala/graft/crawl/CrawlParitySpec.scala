@@ -141,6 +141,33 @@ class CrawlParitySpec extends AnyFunSuite {
     session.cleanup()
   }
 
+  test("robots Crawl-delay caps the per-host round quota below the budget (Z1/Z2)") {
+    val hot = UrlOps.host(seedUrls(0L).head)
+    val rules = robotsDf.collect().toSeq
+    // 30s delay on the seed's (hottest) host → quota floor(60/30) = 2 < 3
+    val withDelay = rules.filter(_.host != hot) :+ RobotsRules(hot,
+      rules.find(_.host == hot).map(_.disallow_prefixes).getOrElse(Nil),
+      Some(30L))
+    val cfg = baseConfig("crawldelay").copy(hostBudgetPerRound = 3,
+      maxAccessCount = 100)
+    val dir = TestSpark.tmpDir("crawl-delay")
+    import spark.implicits._
+    val session = new CrawlSession(spark, cfg, corpusDf,
+      withDelay.toDF(), dir)
+    val result = session.run()
+    var hotAtQuota = false
+    result.rounds.foreach { r =>
+      val perHost = r.claimOrder.groupBy { case (u, _) => UrlOps.host(u) }
+      perHost.foreach { case (h, claims) =>
+        val cap = if (h == hot) 2 else 3
+        assert(claims.size <= cap, s"host $h over cap in round ${r.round}")
+      }
+      if (perHost.get(hot).exists(_.size == 2)) hotAtQuota = true
+    }
+    assert(hotAtQuota, "the delayed host never reached its reduced quota")
+    session.cleanup()
+  }
+
   test("parity holds at larger scale (2000-page corpus, deeper BFS, more skew)") {
     val bigBuilder = SyntheticCorpus.Builder(n = 2000, hostCount = 40)
     val bigCorpus = bigBuilder.corpus(spark)

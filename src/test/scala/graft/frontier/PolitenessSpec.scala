@@ -36,4 +36,29 @@ class PolitenessSpec extends AnyFunSuite {
       .select("url").collect().map(_.getString(0)).toSet
     assert(bfs == Set("http://a/5", "http://a/2", "http://b/2", "http://b/1"))
   }
+
+  test("claimWithHostBudgets: overrides cap, clamp to default, absent hosts keep default, <=0 claims none") {
+    val rows = (for (h <- Seq("a", "b", "c", "z"); i <- 0 until 4)
+      yield (s"http://$h/$i", h, 0, (h + i).hashCode.toLong.abs % 1000, "p"))
+      .toDF("url", "host", "depth", "urlHash", "parentUrl")
+    val budgets = Seq(("a", 1), ("b", 99), ("z", 0)).toDF("host", "budget")
+    val got = Politeness.claimWithHostBudgets(rows, hostBudget = 3,
+      budgets, remaining = 100)
+      .select("host").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // a: override 1; b: 99 clamps to default 3; c: absent → 3; z: 0 → none
+    assert(got == Map("a" -> 1, "b" -> 3, "c" -> 3), got.toString)
+    // salt-invariance: the per-host-k containment argument per budget
+    def claimed(buckets: Int) = Politeness.claimWithHostBudgets(
+      rows, 3, budgets, remaining = 100, saltBuckets = buckets)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(claimed(1) == claimed(16))
+    // within a host, the claimed rows are the canonical BFS front
+    val aClaims = Politeness.claimWithHostBudgets(rows, 3, budgets, 100)
+      .filter($"host" === "a").select("url").collect().map(_.getString(0)).toSeq
+    val aFront = rows.filter($"host" === "a")
+      .orderBy($"depth", $"urlHash", $"url").limit(1)
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(aClaims == aFront)
+  }
 }

@@ -25,6 +25,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.rules(2).htmlParsed)            // absent → reference default TRUE
   }
 
+  test("round_window_seconds parses with a floor of 1 and a 60s default") {
+    assert(ConfigLoader.fromJson("""{ "url": [] }""", "s").roundWindowSeconds == 60L)
+    assert(ConfigLoader.fromJson(
+      """{ "url": [], "round_window_seconds": "120" }""", "s").roundWindowSeconds == 120L)
+    assert(ConfigLoader.fromJson(
+      """{ "url": [], "round_window_seconds": 0 }""", "s").roundWindowSeconds == 1L)
+  }
+
   test("parses the reference config shape (S1/F12) with lenient coercion") {
     val json =
       """{ "index": "webindex", "url": ["http://h1.example.com/page/1"],

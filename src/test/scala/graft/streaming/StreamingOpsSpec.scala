@@ -142,6 +142,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batch.size == 4)
   }
 
+  test("streaming hopping windows equal the batch operator on the same closed input") {
+    val dir = TestSpark.tmpDir("stream-hop")
+    val base = 1700000000000000L // µs
+    def ev(us: Long, et: String, v: Double) = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000) * 1000).toInt)
+      (t, et, v)
+    }
+    def mk(i: Long) = ev(base + i * 60000000L,
+      if (i % 2 == 0) "click" else "view", i * 0.25)
+    val f1 = (0L until 30L).map(mk)
+    val f2 = (30L until 60L).map(mk) // windows straddle the batch boundary
+    f1.toDF("ts", "event_type", "value").coalesce(1).write.parquet(s"$dir/f1")
+    f2.toDF("ts", "event_type", "value").coalesce(1).write.parquet(s"$dir/f2")
+    Seq(ev(base + 365L * 86400000000L, "zz", 0.0)) // watermark sentinel
+      .toDF("ts", "event_type", "value").coalesce(1).write.parquet(s"$dir/f3")
+    for ((f, i) <- Seq("f1", "f2", "f3").zipWithIndex;
+         p <- java.nio.file.Files.list(java.nio.file.Paths.get(dir, f))
+           .iterator().asScala if p.toString.endsWith(".parquet"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60000L))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+      .add("value", org.apache.spark.sql.types.DoubleType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    runAvailableNow(StreamingOps.hoppingWindowStream(stream,
+      windowSeconds = 600L, slideSeconds = 200L), "shop")
+    val streamed = spark.table("shop").filter(col("event_type") =!= "zz")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.EventOps.hoppingWindowCounts(
+      (f1 ++ f2).toDF("ts", "event_type", "value"),
+      windowSeconds = 600L, slideSeconds = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty, s"stream=$streamed batch=$batch")
+  }
+
   test("politeness gate caps per-host admissions across micro-batches (W2 streaming)") {
     val dir = TestSpark.tmpDir("stream-gate")
     def entries(ids: Range, host: String) = ids.map { i =>
