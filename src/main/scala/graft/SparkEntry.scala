@@ -798,6 +798,12 @@ object SparkEntry {
         .toDF().select("doc_id", "media_type", "byte_len",
           "width", "height", "duration_ms")),
 
+    // sample-level audio stats: 16-bit PCM decoded from the WAV data chunk,
+    // integer-exact Σ|s| / peak / sign-change reductions, all map-side
+    "q_mm_audio" -> ((s, d) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticMedia(s, t(s, d, "documents")))),
+
     // features + frame sampling (rows-only: fake codec arithmetic isn't SQL)
     "q_mm_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
@@ -2440,6 +2446,30 @@ object SparkEntry {
         |       WHEN 1 THEN strlen(text)*1000//16000
         |       ELSE (10 + strlen(text)%240)*40 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // audio replay: WAV payload is the doc's ASCII text bytes, so samples
+    // are lo + 256·hi over consecutive character codes (signed 16-bit
+    // two's-complement via the >=32768 fold; this corpus is ASCII so all
+    // samples are positive and crossings are structurally 0 — the sign
+    // path is exercised by the sbt spec's hand-built WAVs)
+    "q_mm_audio" ->
+      """WITH a AS (SELECT doc_id, text, strlen(text)//2 AS ns
+        |  FROM documents WHERE doc_id%3 = 1 AND strlen(text) >= 2),
+        |s AS (SELECT doc_id, i,
+        |    unicode(substr(text, CAST(2*i+1 AS INT), 1))
+        |      + 256*unicode(substr(text, CAST(2*i+2 AS INT), 1)) AS raw
+        |  FROM (SELECT doc_id, text, unnest(range(0, ns)) AS i FROM a)),
+        |v AS (SELECT doc_id, i,
+        |    raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS smp FROM s),
+        |x AS (SELECT doc_id, smp,
+        |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prv FROM v)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |  CAST(count(CASE WHEN prv IS NOT NULL AND smp*prv < 0 THEN 1 END)
+        |    AS BIGINT) AS zero_crossings
+        |FROM x GROUP BY doc_id""".stripMargin,
 
     // resize twin: image dims/payload go through the exact ⌈·/4⌉ the
     // Spark-side header re-derivation computes; audio/video rows are the

@@ -176,6 +176,21 @@ object Multimodal {
       * chunk walk (WAV/AVI). Unknown magic → IllegalArgumentException: a
       * decode stage must fail loudly on garbage, not fabricate metadata.
       */
+    /** Offset and size of a WAV blob's PCM data chunk (RIFF walk). */
+    def wavDataChunk(b: Array[Byte]): (Int, Int) = {
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE",
+        "not a WAV blob")
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = fourcc(b, off)
+        val size = leInt(b, off + 4)
+        require(size >= 0, s"corrupt RIFF chunk size $size at offset $off")
+        if (id == "data") return (off + 8, size)
+        off += 8 + size
+      }
+      throw new IllegalArgumentException("WAV missing data chunk")
+    }
+
     def parse(b: Array[Byte]): (String, Int, Int, Long) = {
       require(b.length >= 12, s"short media blob: ${b.length} bytes")
       if (b(0) == 'B' && b(1) == 'M') {
@@ -258,6 +273,46 @@ object Multimodal {
     media.mapPartitions(_.map(r =>
       (r.doc_id, r.media_ref, fakeFeatures(r.bytes, dim).toSeq)))
       .toDF("doc_id", "media_ref", "embedding")
+  }
+
+  /** Sample-level audio analysis: decode each WAV clip's 16-bit LE PCM
+    * data chunk and reduce it to integer-exact per-clip stats — sample
+    * count, Σ|amplitude|, peak |amplitude|, and strict sign-change count
+    * (the silence/clipping screens an audio curation pipeline runs before
+    * training). Dispatches on the container magic like [[decode]]; non-WAV
+    * rows and zero-sample clips are dropped. Same partition-batch shape
+    * (mapPartitions streams blobs, one bounded row out per clip), so the
+    * reduction is entirely map-side — no shuffle at all.
+    */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.bytes
+      val isWav = b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' &&
+        b(10) == 'V' && b(11) == 'E'
+      if (!isWav) None
+      else {
+        val (off, size) = Codec.wavDataChunk(b)
+        val n = math.min(size, b.length - off) / 2
+        if (n == 0) None
+        else {
+          var i = 0; var sumAbs = 0L; var peak = 0L; var cross = 0L
+          var prev = 0
+          while (i < n) {
+            val s = ((b(off + 2 * i + 1).toInt << 8) |
+              (b(off + 2 * i) & 0xff))
+            val a = math.abs(s.toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (i > 0 && s.toLong * prev < 0) cross += 1
+            prev = s
+            i += 1
+          }
+          Some((r.doc_id, n.toLong, sumAbs, peak, cross))
+        }
+      }
+    }).toDF("doc_id", "n_samples", "sum_abs", "peak", "zero_crossings")
   }
 
   /** Resize image rows by an integer factor — a blob→blob stage

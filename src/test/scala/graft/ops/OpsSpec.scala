@@ -1368,6 +1368,29 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.Codec.parse(bad.array()) }
   }
 
+  test("audioStats: exact PCM reductions incl. negative samples and crossings") {
+    // hand-built samples: +100, -2, +3, 0, -32768 (peak; Short.MinValue)
+    val samples = Seq[Short](100, -2, 3, 0, -32768)
+    val payload = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      payload(2 * i) = (s & 0xff).toByte
+      payload(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val rows = Seq(
+      Multimodal.MediaRow("a", "m://a", "audio", Multimodal.Codec.encodeWav(payload)),
+      Multimodal.MediaRow("b", "m://b", "audio", Multimodal.Codec.encodeWav(Array.empty)),
+      Multimodal.MediaRow("c", "m://c", "image", Multimodal.Codec.encodeBmp(16, 16, payload)))
+    val got = spark.createDataset(rows)
+    val out = Multimodal.audioStats(got).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // crossings: 100→-2 and -2→3 flip sign; 3→0 and 0→-32768 do NOT (strict product<0)
+    assert(out == Map("a" -> ((5L, 32873L, 32768L, 2L))), out.toString)
+    // ASCII-payload clips (the oracle corpus): all samples positive, 0 crossings
+    val ascii = Multimodal.audioStats(media.filter(_.media_type == "audio"))
+    assert(ascii.filter($"zero_crossings" =!= 0L).count() == 0)
+    assert(ascii.filter($"peak" >= 32768L).count() == 0)
+  }
+
   test("codec property: encode∘parse is identity for arbitrary payloads/params") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

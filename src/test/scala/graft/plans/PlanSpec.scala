@@ -313,6 +313,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"redaction must be map-side only:\n$plan")
     assert(plan.contains("*("), s"expected a whole-stage-codegen span:\n$plan")
   }
+
+  test("keepBest aggregates with a partial (map-side) phase and no Window") {
+    val docs = (0L until 200L).map(i => (i, i % 7)).toDF("doc_id", "score")
+    val clusters = (0L until 150L).map(i => (i, i % 3)).toDF("id", "rep")
+    val out = graft.ops.Dedup.keepBest(docs, clusters, col("score"))
+    val plan = planOf(out)
+    // the argmax is an aggregation (max over a struct plans as a
+    // SortAggregate — struct buffers aren't hash-aggregable — but it keeps
+    // the partial phase, which is what bounds a hot cluster), NOT a window
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial_"), plan)
+  }
+
+  test("hoppingWindowCounts: ONE exchange; the window fan-out stays map-side") {
+    val events = (0L until 500L)
+      .map(i => (new java.sql.Timestamp(i * 1000), s"e${i % 3}", 1.0))
+      .toDF("ts", "event_type", "value")
+    val out = graft.ops.EventOps.hoppingWindowCounts(events,
+      windowSeconds = 60L, slideSeconds = 20L)
+    out.collect() // settle AQE (exchanges wrap into query stages)
+    // the AQE dump repeats the plan (final + initial) — count the final only
+    val plan = planOf(out).split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, plan)
+    // the fan-out is an Expand BELOW the partial aggregate, not a join
+    assert(plan.contains("Expand") && plan.contains("partial_count"), plan)
+  }
+
+  test("phraseTopK: adjacency is equi-joins, never a cartesian; windows only at top-k") {
+    val docs = (0L until 50L)
+      .map(i => (i, s"alpha beta gamma alpha beta d$i")).toDF("doc_id", "text")
+    val out = graft.ops.SearchOps.phraseTopK(docs, Seq("alpha", "beta"), k = 5)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // exactly the two top-k windows (salted phase 1 + global phase 2)
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 2, s"$windows windows:\n$plan")
+  }
 }
 
 /** Storage-layout contract: two tables bucketed on the recurring join key
@@ -367,4 +405,5 @@ class BucketedStoreSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
 }
