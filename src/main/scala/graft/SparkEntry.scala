@@ -675,6 +675,13 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
           "stopword_ratio", "quality_score")),
 
+    // winnowing fingerprints (MOSS): per-window minimal shingle hash,
+    // leftmost on ties — all map-side, portable hash for the oracle twin
+    "q_text_winnow" -> ((s, d) =>
+      TextOps.winnowFingerprints(
+        t(s, d, "documents").filter(col("doc_id") < 300),
+        k = 3, w = 4, hash = TextOps.portableHash)),
+
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
@@ -2316,6 +2323,28 @@ object SparkEntry {
     "q_text_langid" -> langidOracle,
 
     "q_text_quality" -> qualityOracle,
+
+    // winnowing replay: DuckDB list lambdas rebuild the shingle-hash list,
+    // slide the w=4 window with list_slice, and pick leftmost minima
+    "q_text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS l
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, CASE WHEN len(l) >= 3
+        |    THEN list_transform(range(0, len(l)-2),
+        |         i -> l[i+1]||' '||l[i+2]||' '||l[i+3])
+        |    ELSE [array_to_string(l, ' ')] END AS shl FROM t),
+        |h AS (SELECT doc_id,
+        |    list_transform(shl, s -> ${sqlHash("s")} % 2147483647) AS hl
+        |  FROM sh),
+        |m AS (SELECT doc_id, hl, len(hl) AS n FROM h),
+        |win AS (SELECT doc_id, i,
+        |    hl[CAST(i+1 AS INT):CAST(least(i+4, n) AS INT)] AS wl
+        |  FROM (SELECT doc_id, hl, n, unnest(range(0, greatest(1, n-3))) AS i
+        |        FROM m)),
+        |sel AS (SELECT DISTINCT doc_id,
+        |    CAST(i + list_position(wl, list_min(wl)) - 1 AS BIGINT) AS pos,
+        |    CAST(list_min(wl) AS BIGINT) AS fp FROM win)
+        |SELECT doc_id, pos, fp FROM sel""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS ws_tokens,

@@ -134,6 +134,38 @@ object TextOps {
     // regexp form dominated exact-dedup CPU; output strings are identical
     md5(graft.functions.TextExpressions.normalizeWsLower(text))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    * scheme — public construction): hash every k-token shingle, slide a
+    * w-hash window, keep each window's MINIMAL hash (leftmost on ties);
+    * the distinct (position, hash) selections are the document's
+    * fingerprints. Coverage guarantee: any shared token run of length
+    * ≥ w+k−1 shares at least one fingerprint; expected density 2/(w+1),
+    * so the downstream match join carries ~2/(w+1) of the shingle stream
+    * instead of all of it.
+    *
+    * Entirely MAP-SIDE: shingle hashing, the sliding minima, and the
+    * distinct-selection dedup are array expressions inside one Project —
+    * zero exchanges (plan-locked in PlanSpec). Documents shorter than one
+    * window emit their single whole-text window. `hash` defaults to
+    * xxhash64 (production); pass [[portableHash]] for the DuckDB twin.
+    * Returns (idCol, pos, fp) rows.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      hash: Column => Column = fastHash): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val hs = Dedup.shingleHashes(col(textCol), k, hash)
+    val nWin = greatest(lit(1), size(hs) - (w - 1))
+    val sel = array_distinct(transform(sequence(lit(0), nWin - 1), i => {
+      val win = slice(hs, i + 1, lit(w)) // clamps at the tail / short docs
+      val mn = array_min(win)
+      struct((i + array_position(win, mn) - 1).cast("long").as("pos"),
+        mn.as("fp"))
+    }))
+    docs.select(col(idCol), explode(sel).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
   /** Top-k characteristic terms per document, tf-idf-style: term frequency
     * weighted by inverse document frequency. The weight is the RAW ratio
     * `tf · (N+1)/(df+1)` rather than the usual log form: an integer-ratio

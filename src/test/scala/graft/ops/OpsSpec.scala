@@ -692,6 +692,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(q > 0 && q <= 1)
   }
 
+  test("winnowFingerprints: matches a reference fold; coverage theorem holds") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"),                                       // < k tokens → whole-text shingle
+      (3L, "a b c a b c a b c a b c"),                   // ties in every window
+      (4L, "p q r s t u a b c d e f g h z1 z2 z3"))      // shares a run with doc 1
+    def brute(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.split("\\s+").toSeq
+      val shingles = if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+                     else Seq(toks.mkString(" "))
+      def ph(s: String): Long = {
+        val p = s + "xx"
+        (p(0).toLong * 961 + p(1).toLong * 31 + p(2).toLong +
+          s.length.toLong * 7919) % 2147483647L
+      }
+      val hs = shingles.map(ph)
+      val nWin = math.max(1, hs.size - (w - 1))
+      (0 until nWin).map { i =>
+        val win = hs.slice(i, math.min(i + w, hs.size))
+        val mn = win.min
+        ((i + win.indexOf(mn)).toLong, mn)
+      }.toSet
+    }
+    val got = TextOps.winnowFingerprints(corpus.toDF("doc_id", "text"),
+        k = 3, w = 4, hash = TextOps.portableHash)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpus.foreach { case (id, text) =>
+      assert(got(id) == brute(text, 3, 4), s"doc $id")
+    }
+    // coverage: docs 1 and 4 share the run "a b c d e f g h" (8 ≥ w+k−1 = 6)
+    assert((got(1L).map(_._2) & got(4L).map(_._2)).nonEmpty)
+    // density: selections are a strict subset of windows on a long doc
+    assert(got(1L).size < 8) // doc 1 has 8 shingles
+  }
+
   test("fingerprints: whitespace/case-invariant md5; rolling is order-sensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "world hello")

@@ -341,6 +341,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand") && plan.contains("partial_count"), plan)
   }
 
+  test("winnowing fingerprints select map-side: zero exchanges, no window operator") {
+    val dir = TestSpark.tmpDir("winnow-plan")
+    Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = graft.ops.TextOps.winnowFingerprints(
+      spark.read.parquet(dir), k = 3, w = 4)
+    val plan = planOf(out)
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("phraseTopK: adjacency is equi-joins, never a cartesian; windows only at top-k") {
     val docs = (0L until 50L)
       .map(i => (i, s"alpha beta gamma alpha beta d$i")).toDF("doc_id", "text")
