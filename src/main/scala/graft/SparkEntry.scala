@@ -1327,6 +1327,31 @@ object SparkEntry {
         baseIntervalUs = 86400000000L, maxExp = 6)
     }),
 
+    // sitemap lastmod hints over the same schedule: even doc_ids carry a
+    // hint at (doc_id%7) days past first fetch — newer than the last fetch
+    // (3 days) only for doc_id%7 in {4,5,6}, so fresh hints, stale hints,
+    // and unhinted URLs all occur
+    "q_recrawl_sitemap" -> ((s, d) => {
+      val hist = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+        .select(
+          concat(lit("http://d"), (col("doc_id") % 4).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")).as("url"),
+          (lit(1600000000000000L) + col("doc_id") * 1000000L +
+            col("i") * 86400000000L).as("fetch_us"),
+          (col("doc_id") * 10 +
+            expr("(i + doc_id % 3) div 3")).as("content_hash"))
+      val hints = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select(
+          concat(lit("http://d"), (col("doc_id") % 4).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")).as("url"),
+          (lit(1600000000000000L) + col("doc_id") * 1000000L +
+            (col("doc_id") % 7) * 86400000000L).as("lastmod_us"))
+      graft.frontier.RecrawlScheduler.withSitemapHints(
+        graft.frontier.RecrawlScheduler.schedule(hist,
+          baseIntervalUs = 86400000000L, maxExp = 6), hints)
+    }),
+
     // gap-based sessionization over the events log via native
     // session_window; 8-hour gap (the synthetic log's median per-user gap
     // is ~7.7 h, so sessions genuinely merge AND split)
@@ -2812,6 +2837,39 @@ object SparkEntry {
         |    CAST(least(count(*) - max(CASE WHEN chg = 1 THEN idx END), 6) AS INT))
         |    AS next_fetch_us
         |FROM m GROUP BY url""".stripMargin,
+
+    // sitemap override: left join the hint table onto the same schedule;
+    // a hint strictly newer than the last fetch makes the URL due now
+    "q_recrawl_sitemap" ->
+      """WITH hist AS (
+        |  SELECT 'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    1600000000000000 + doc_id*1000000 + i*86400000000 AS fetch_us,
+        |    doc_id*10 + (i + doc_id%3) // 3 AS content_hash
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+        |m AS (SELECT url, fetch_us, content_hash,
+        |    CAST(row_number() OVER w AS BIGINT) AS idx,
+        |    CASE WHEN lag(content_hash) OVER w IS NULL
+        |         OR content_hash <> lag(content_hash) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM hist WINDOW w AS (PARTITION BY url ORDER BY fetch_us)),
+        |sched AS (SELECT url, CAST(count(*) AS BIGINT) AS fetches,
+        |  max(fetch_us) AS last_fetch_us,
+        |  CAST(count(*) - max(CASE WHEN chg = 1 THEN idx END) AS BIGINT)
+        |    AS unchanged_streak,
+        |  max(fetch_us) + 86400000000 * (CAST(1 AS BIGINT) <<
+        |    CAST(least(count(*) - max(CASE WHEN chg = 1 THEN idx END), 6) AS INT))
+        |    AS next_fetch_us
+        |FROM m GROUP BY url),
+        |hints AS (
+        |  SELECT 'http://d'||(doc_id%4)||'.example.com/page/'||doc_id AS url,
+        |    1600000000000000 + doc_id*1000000 + (doc_id%7)*86400000000
+        |      AS lastmod_us
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT s.url, s.fetches, s.last_fetch_us, s.unchanged_streak,
+        |  CASE WHEN coalesce(h.lastmod_us > s.last_fetch_us, FALSE)
+        |       THEN s.last_fetch_us ELSE s.next_fetch_us END AS next_fetch_us,
+        |  coalesce(h.lastmod_us > s.last_fetch_us, FALSE) AS sitemap_due
+        |FROM sched s LEFT JOIN hints h ON s.url = h.url""".stripMargin,
 
     // lag + conditional cumulative sum replays Spark's session-window
     // semantics: per-event windows [t, t+gap] merge when they touch, so

@@ -62,4 +62,27 @@ object RecrawlScheduler {
           expr(s"shiftleft(CAST(1 AS BIGINT), " +
             s"CAST(least(unchanged_streak, $maxExp) AS INT))"))
   }
+
+  /** Sitemap lastmod override (sitemaps.org semantics, the hint the
+    * reference's SitemapsRule pages carry): a URL whose sitemap-advertised
+    * last-modification is NEWER than our last fetch is due NOW — the hint
+    * short-circuits the exponential backoff, because the site just told us
+    * the page changed. URLs without a hint (or with a stale hint) keep
+    * their [[schedule]] time. One equi-join on url — both sides already
+    * hash-partition on it, and a sitemap hint table is orders smaller than
+    * the URL universe, so Spark broadcasts it when it fits. Adds
+    * `sitemap_due` and rewrites `next_fetch_us` to `last_fetch_us`
+    * (immediately due) for hinted-fresh URLs.
+    */
+  def withSitemapHints(schedule: DataFrame, hints: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod_us"): DataFrame =
+    schedule
+      .join(hints.select(col(urlCol).as("url"), col(lastmodCol).as("__lm")),
+        Seq("url"), "left")
+      .withColumn("sitemap_due",
+        coalesce(col("__lm") > col("last_fetch_us"), lit(false)))
+      .withColumn("next_fetch_us",
+        when(col("sitemap_due"), col("last_fetch_us"))
+          .otherwise(col("next_fetch_us")))
+      .drop("__lm")
 }

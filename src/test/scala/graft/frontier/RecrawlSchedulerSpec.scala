@@ -35,6 +35,25 @@ class RecrawlSchedulerSpec extends AnyFunSuite {
     assert(got("s") == ((0L, 5 * DAY + DAY)))      // first fetch = changed
   }
 
+  test("withSitemapHints: fresh hint is due now, stale/no hint keeps schedule") {
+    val hist = Seq(
+      ("a", 0L * DAY, 1L), ("a", 1L * DAY, 1L), ("a", 2L * DAY, 1L),
+      ("b", 0L * DAY, 1L), ("b", 1L * DAY, 1L),
+      ("c", 0L * DAY, 1L), ("c", 1L * DAY, 1L)
+    ).toDF("url", "fetch_us", "content_hash")
+    // a: hint newer than last fetch (2*DAY) -> due now at last_fetch_us
+    // b: hint OLDER than last fetch -> untouched
+    // c: no hint -> untouched
+    val hints = Seq(("a", 5L * DAY), ("b", 0L * DAY))
+      .toDF("url", "lastmod_us")
+    val sched = RecrawlScheduler.schedule(hist, baseIntervalUs = DAY)
+    val got = RecrawlScheduler.withSitemapHints(sched, hints).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("a") == ((2 * DAY, true)))            // short-circuited
+    assert(got("b") == ((1 * DAY + 2 * DAY, false))) // streak 1 -> 2^1
+    assert(got("c") == ((1 * DAY + 2 * DAY, false)))
+  }
+
   test("schedule is invariant under input partitioning") {
     val hist = (0L until 5000L)
       .map(i => (s"u${i % 97}", i * 1000L, (i % 97) * 10 + i / 997))
