@@ -93,6 +93,51 @@ object SparkEntry {
     concat(lit("http://d"), pmod(id, lit(4)).cast("string"),
       lit(".example.com/page/"), id.cast("string"))
 
+  /** Synthetic URL set for the spider-trap queries: h4 is a depth trap
+    * (path depth 3-6 with counts growing 10/20/30/40 per 100 docs), h0
+    * plants /c/c/c repetition loops on doc_id%4==0, h1-h3 carry normal
+    * thinning 1-3-deep paths. */
+  private def trapUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id")).select(
+      when(col("doc_id") % 5 === 4,
+        concat(lit("http://h4.example.com/"),
+          array_join(transform(
+            sequence(lit(1),
+              lit(2) + when(expr("doc_id div 5") % 10 < 1, 0)
+                .when(expr("doc_id div 5") % 10 < 3, 1)
+                .when(expr("doc_id div 5") % 10 < 6, 2)
+                .otherwise(3)),
+            i => concat(lit("s"), i.cast("string"))), "/"),
+          lit("/p"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 5 === 0 && col("doc_id") % 4 === 0,
+        concat(lit("http://h0.example.com/c/c/c/p"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("http://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/a"), (col("doc_id") % 9).cast("string"),
+        when(col("doc_id") % 3 > 0,
+          concat(lit("/b"), (col("doc_id") % 11).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 > 1,
+          concat(lit("/c"), (col("doc_id") % 13).cast("string")))
+          .otherwise(lit("")),
+        lit("?x="), col("doc_id").cast("string"))).as("url"))
+
+  /** Synthetic (url, content_hash) crawl observations for the URL-param
+    * mining queries: 3 session variants per doc; the hash follows id only,
+    * except host h3 where it also depends on sess (dirty host). */
+  private def urlParamPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("sess", explode(sequence(lit(0L), lit(2L))))
+      .select(
+        concat(lit("http://h"), (col("doc_id") % 4).cast("string"),
+          lit(".example.com/p?id="), (col("doc_id") % 50).cast("string"),
+          lit("&sess="), col("sess").cast("string"),
+          lit("&v=1")).as("url"),
+        when(col("doc_id") % 4 === 3,
+            (col("doc_id") % 50) * 10 + col("sess"))
+          .otherwise((col("doc_id") % 50) * 10).as("content_hash"))
+
   /** PageDoc-shaped corpus over the driver's `documents` table: spanified
     * text with `a` spans linking to doc (doc_id*7 + pos*13) % 500.
     * `lastMod` maps the numeric doc id to the page's lastModified (the
@@ -1352,6 +1397,32 @@ object SparkEntry {
           baseIntervalUs = 86400000000L, maxExp = 6), hints)
     }),
 
+    // URL query-param significance mining: 3 session variants per doc;
+    // the content hash follows id only — except on host h3, where it also
+    // depends on sess (a "dirty" host), so sess must stay significant
+    // there; v=1 never varies (inconclusive on every host)
+    "q_url_param_mine" -> ((s, d) =>
+      graft.frontier.UrlParams.mine(urlParamPages(t(s, d, "documents")))),
+
+    // end-to-end: mine the rules, rewrite the same URLs, count how many
+    // aliases each normalized URL collapses
+    "q_url_normalize" -> ((s, d) => {
+      val pages = urlParamPages(t(s, d, "documents"))
+      graft.frontier.UrlParams.normalize(pages.select("url"),
+          graft.frontier.UrlParams.mine(pages))
+        .groupBy("url_normalized").agg(count(lit(1)).as("aliases"))
+    }),
+
+    // spider-trap URL flags: h0 plants /c/c/c loops on a quarter of its
+    // pages, h4's URL space deepens with growing counts, h1-h3 are normal
+    "q_trap_urls" -> ((s, d) =>
+      graft.frontier.TrapDetector.flagUrls(trapUrls(t(s, d, "documents")))),
+
+    // host-level URL-space shape: h0 suspect via the repetition rule, h4
+    // via monotone depth growth at max_depth >= 6, h1-h3 clean
+    "q_trap_hosts" -> ((s, d) =>
+      graft.frontier.TrapDetector.hostStats(trapUrls(t(s, d, "documents")))),
+
     // gap-based sessionization over the events log via native
     // session_window; 8-hour gap (the synthetic log's median per-user gap
     // is ~7.7 h, so sessions genuinely merge AND split)
@@ -1839,6 +1910,39 @@ object SparkEntry {
     * replay is exact in BIGINT — authority(v) = Σ hub over in-edges, then
     * hub(u) = Σ authority over out-edges, from hub₀ = 1000.
     */
+  /** Shared CTE head for the q_trap_urls / q_trap_hosts twins — the same
+    * synthetic URL set as [[trapUrls]]. */
+  private def trapUrlsSql: String =
+    """WITH urls AS (
+      |  SELECT CASE
+      |    WHEN doc_id % 5 = 4 THEN
+      |      'http://h4.example.com/' ||
+      |      array_to_string(list_transform(range(1, 3 + CAST(
+      |        CASE WHEN (doc_id // 5) % 10 < 1 THEN 0
+      |             WHEN (doc_id // 5) % 10 < 3 THEN 1
+      |             WHEN (doc_id // 5) % 10 < 6 THEN 2
+      |             ELSE 3 END AS INT)),
+      |        i -> 's' || i), '/') || '/p' || doc_id
+      |    WHEN doc_id % 5 = 0 AND doc_id % 4 = 0 THEN
+      |      'http://h0.example.com/c/c/c/p' || doc_id
+      |    ELSE 'http://h' || (doc_id % 5) || '.example.com/a' || (doc_id % 9) ||
+      |      CASE WHEN doc_id % 3 > 0 THEN '/b' || (doc_id % 11) ELSE '' END ||
+      |      CASE WHEN doc_id % 3 > 1 THEN '/c' || (doc_id % 13) ELSE '' END ||
+      |      '?x=' || doc_id
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  /** Shared CTE head for the q_url_param_mine / q_url_normalize twins —
+    * the same synthetic (url, content_hash) observations as
+    * [[urlParamPages]]. */
+  private def urlParamPagesSql: String =
+    """WITH pages AS (
+      |  SELECT 'http://h'||(doc_id%4)||'.example.com/p?id='||(doc_id%50)||
+      |      '&sess='||s||'&v=1' AS url,
+      |    CASE WHEN doc_id%4 = 3 THEN (doc_id%50)*10 + s
+      |         ELSE (doc_id%50)*10 END AS content_hash
+      |  FROM documents, (SELECT unnest(range(0, 3)) AS s))""".stripMargin
+
   private def hitsOracle: String = {
     def aStep(hPrev: String, a: String): String =
       s"""$a AS (SELECT nd.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS authority
@@ -2870,6 +2974,127 @@ object SparkEntry {
         |       THEN s.last_fetch_us ELSE s.next_fetch_us END AS next_fetch_us,
         |  coalesce(h.lastmod_us > s.last_fetch_us, FALSE) AS sitemap_due
         |FROM sched s LEFT JOIN hints h ON s.url = h.url""".stripMargin,
+
+    // URL-param mining: per-(url, param) explode with a sorted-residual
+    // witness key, two grouped aggregates — the same shape as the engine
+    "q_url_param_mine" -> (urlParamPagesSql +
+      """,
+        |e AS (SELECT
+        |    split_part(split_part(url, '://', 2), '/', 1) AS host,
+        |    split_part(kv, '=', 1) AS param,
+        |    split_part(url, '?', 1) || '?' ||
+        |      array_to_string(list_filter(kvs, x -> x <> kv), '&') AS residual,
+        |    CASE WHEN instr(kv, '=') > 0
+        |         THEN substr(kv, instr(kv, '=') + 1) ELSE '' END AS v,
+        |    content_hash AS h
+        |  FROM (SELECT url, content_hash, kvs, unnest(kvs) AS kv
+        |        FROM (SELECT url, content_hash,
+        |            list_sort(list_filter(
+        |              string_split(split_part(url, '?', 2), '&'),
+        |              x -> len(x) > 0)) AS kvs FROM pages))),
+        |g AS (SELECT host, param, residual,
+        |    count(DISTINCT v) AS nv, count(DISTINCT h) AS nh
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT host, param, CAST(count(*) AS BIGINT) AS witness_groups,
+        |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS varied_groups,
+        |  coalesce(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) > 0 AND
+        |    min(CASE WHEN nv > 1 THEN CASE WHEN nh = 1 THEN 1 ELSE 0 END END)
+        |      = 1, FALSE) AS insignificant
+        |FROM g GROUP BY host, param""").stripMargin,
+
+    // normalize replay: re-mine the verdicts, collapse per-host bad params
+    // to a list, left join + list_filter rewrite, count aliases
+    "q_url_normalize" -> (urlParamPagesSql +
+      """,
+        |e AS (SELECT
+        |    split_part(split_part(url, '://', 2), '/', 1) AS host,
+        |    split_part(kv, '=', 1) AS param,
+        |    split_part(url, '?', 1) || '?' ||
+        |      array_to_string(list_filter(kvs, x -> x <> kv), '&') AS residual,
+        |    CASE WHEN instr(kv, '=') > 0
+        |         THEN substr(kv, instr(kv, '=') + 1) ELSE '' END AS v,
+        |    content_hash AS h
+        |  FROM (SELECT url, content_hash, kvs, unnest(kvs) AS kv
+        |        FROM (SELECT url, content_hash,
+        |            list_sort(list_filter(
+        |              string_split(split_part(url, '?', 2), '&'),
+        |              x -> len(x) > 0)) AS kvs FROM pages))),
+        |g AS (SELECT host, param, residual,
+        |    count(DISTINCT v) AS nv, count(DISTINCT h) AS nh
+        |  FROM e GROUP BY 1, 2, 3),
+        |verdict AS (SELECT host, param,
+        |    coalesce(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) > 0 AND
+        |      min(CASE WHEN nv > 1 THEN CASE WHEN nh = 1 THEN 1 ELSE 0 END END)
+        |        = 1, FALSE) AS insignificant
+        |  FROM g GROUP BY host, param),
+        |bad AS (SELECT host, list(param) AS bad FROM verdict
+        |  WHERE insignificant GROUP BY host),
+        |n AS (SELECT
+        |    split_part(p.url, '?', 1) AS base,
+        |    list_filter(list_sort(list_filter(
+        |        string_split(split_part(p.url, '?', 2), '&'),
+        |        x -> len(x) > 0)),
+        |      x -> NOT list_contains(coalesce(b.bad, []),
+        |        split_part(x, '=', 1))) AS kept
+        |  FROM pages p LEFT JOIN bad b
+        |    ON split_part(split_part(p.url, '://', 2), '/', 1) = b.host)
+        |SELECT CASE WHEN len(kept) > 0
+        |         THEN base || '?' || array_to_string(kept, '&')
+        |         ELSE base END AS url_normalized,
+        |  CAST(count(*) AS BIGINT) AS aliases
+        |FROM n GROUP BY 1""").stripMargin,
+
+    // trap flags: the same sorted-segment offset-compare trick — some
+    // segment has multiplicity > 2 iff sorted[i] = sorted[i+2] for some i
+    "q_trap_urls" -> (trapUrlsSql +
+      """,
+        |f AS (SELECT url,
+        |    list_filter(string_split(split_part(split_part(split_part(
+        |      url, '://', 2), '?', 1), '#', 1), '/'), x -> len(x) > 0) AS segs
+        |  FROM urls)
+        |SELECT url, CAST(len(segs) - 1 AS BIGINT) AS path_depth,
+        |  CASE WHEN len(segs) <= 2 THEN FALSE ELSE
+        |    len(list_filter(range(1, CAST(len(segs) AS INT) - 1),
+        |      i -> list_sort(segs)[i] = list_sort(segs)[i + 2])) > 0
+        |  END AS trap_repeat
+        |FROM f""").stripMargin,
+
+    // host shape: (host, depth) counts, lead() per host, host rollup —
+    // the engine's exact two-exchange shape
+    "q_trap_hosts" -> (trapUrlsSql +
+      """,
+        |f AS (SELECT url,
+        |    list_filter(string_split(split_part(split_part(split_part(
+        |      url, '://', 2), '?', 1), '#', 1), '/'), x -> len(x) > 0) AS segs
+        |  FROM urls),
+        |g AS (SELECT url, CAST(len(segs) - 1 AS BIGINT) AS path_depth,
+        |    CASE WHEN len(segs) <= 2 THEN FALSE ELSE
+        |      len(list_filter(range(1, CAST(len(segs) AS INT) - 1),
+        |        i -> list_sort(segs)[i] = list_sort(segs)[i + 2])) > 0
+        |    END AS trap_repeat
+        |  FROM f),
+        |d AS (SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+        |    path_depth, count(*) AS n,
+        |    CAST(sum(CASE WHEN trap_repeat THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rep
+        |  FROM g GROUP BY 1, 2),
+        |w AS (SELECT host, path_depth, n, rep,
+        |    lead(n) OVER (PARTITION BY host ORDER BY path_depth) AS nxt
+        |  FROM d)
+        |SELECT host, CAST(sum(n) AS BIGINT) AS urls,
+        |  max(path_depth) AS max_depth,
+        |  CAST(sum(rep) AS BIGINT) AS repeat_urls,
+        |  CAST(sum(CASE WHEN nxt >= n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS growing_depths,
+        |  CAST(count(CASE WHEN nxt IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS depth_steps,
+        |  coalesce(sum(rep) > 0 OR (max(path_depth) >= 6 AND
+        |    count(CASE WHEN nxt IS NOT NULL THEN 1 END) > 0 AND
+        |    CAST(sum(CASE WHEN nxt >= n THEN 1 ELSE 0 END) AS BIGINT) =
+        |    CAST(count(CASE WHEN nxt IS NOT NULL THEN 1 END) AS BIGINT)),
+        |    FALSE) AS trap_suspect
+        |FROM w GROUP BY host""").stripMargin,
 
     // lag + conditional cumulative sum replays Spark's session-window
     // semantics: per-event windows [t, t+gap] merge when they touch, so
