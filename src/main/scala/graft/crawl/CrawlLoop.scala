@@ -152,7 +152,12 @@ final class CrawlSession(
         depthCol.cast("int").as("depth"),
         parentCol.as("parentUrl"))
       .filter(trim(col("url")) =!= "") // P9
-    val filtered = if (applyIncludeExclude) includeExclude(canon) else canon
+    // spider-trap guard: a map-side sorted-segment compare, zero plan cost
+    val guarded =
+      if (!config.trapGuard) canon
+      else canon.filter(!graft.frontier.TrapDetector.pathRepeats(
+        col("url"), config.trapMaxRepeat))
+    val filtered = if (applyIncludeExclude) includeExclude(guarded) else guarded
     val keyed = filtered
       .withColumn("urlHash", UrlOps.urlHashCol(col("url")))
       .withColumn("host", UrlOps.hostCol(col("url")))

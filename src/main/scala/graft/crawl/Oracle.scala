@@ -41,6 +41,19 @@ object Oracle {
       !robots.getOrElse(host, Seq.empty).exists(path.startsWith)
     }
 
+    // trap guard — deliberately a DIFFERENT algorithm from the engine's
+    // sorted-offset compare: count segment multiplicities with a multiset,
+    // so agreement is evidence, not tautology. Like the engine's
+    // segmentsOf, the authority is the array's first element.
+    def trapOk(url: String): Boolean = {
+      if (!config.trapGuard) return true
+      val i = url.indexOf("://")
+      val rest = if (i < 0) url else url.substring(i + 3)
+      val path = rest.takeWhile(c => c != '?' && c != '#')
+      val segs = path.split('/').filter(_.nonEmpty)
+      !segs.groupBy(identity).values.exists(_.length > config.trapMaxRepeat)
+    }
+
     def includeExcludeOk(url: String): Boolean = {
       val inc = incRes.isEmpty || incRes.exists(_.matcher(url).matches())
       val exc = excRes.exists(_.matcher(url).matches())
@@ -63,6 +76,7 @@ object Oracle {
     // (no depth gate here: seeds are depth 0, which passes every maxDepth —
     // the engine's toCandidates filter is likewise vacuous for seeds)
     config.seeds.map(UrlOps.canonicalize).filter(_.nonEmpty).distinct
+      .filter(trapOk)
       .filter(allowedByRobots)
       .foreach { u => frontier(u) = 0; seen += u }
 
@@ -124,6 +138,7 @@ object Oracle {
           rawChildren
             .map(UrlOps.canonicalize)
             .filter(_.trim.nonEmpty)
+            .filter(trapOk)
             .filter(includeExcludeOk)
             .filter(c => config.maxDepth < 0 || childDepth <= config.maxDepth)
             .filter(allowedByRobots)

@@ -283,6 +283,9 @@ object ConfigLoader {
       rules = rules,
       http = http,
       roundWindowSeconds =
-        math.max(asLong(j \ "round_window_seconds", 60L), 1L))
+        math.max(asLong(j \ "round_window_seconds", 60L), 1L),
+      trapGuard = asBool(j \ "trap_guard", dflt = false),
+      trapMaxRepeat =
+        math.max(asLong(j \ "trap_max_repeat", 2L), 1L).toInt)
   }
 }

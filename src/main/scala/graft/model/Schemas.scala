@@ -251,4 +251,9 @@ final case class CrawlConfig(
     // Z1: the wall-clock politeness window one crawl round models; only
     // consumed when robots rules carry Crawl-delay — a host with delay d
     // claims at most max(1, floor(roundWindowSeconds/d)) urls per round
-    roundWindowSeconds: Long = 60L)
+    roundWindowSeconds: Long = 60L,
+    // spider-trap guard (beyond-reference; Heritrix path-repetition rule):
+    // drop a candidate whose path repeats one segment more than
+    // trapMaxRepeat times (/cal/cal/cal/...) before it enters the frontier
+    trapGuard: Boolean = false,
+    trapMaxRepeat: Int = 2)

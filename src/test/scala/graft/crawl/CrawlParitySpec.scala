@@ -459,6 +459,59 @@ class RedirectStatusSpec extends AnyFunSuite {
     session.cleanup()
   }
 
+  test("trap guard drops looping paths at enqueue, with oracle parity both ways") {
+    import graft.model.Span
+    def pd(url: String, children: Seq[String]) =
+      PageDoc(url, "s.example.com", 1L,
+        Span("title", "t", null, 0) +:
+          children.zipWithIndex.map { case (c, i) => Span("a", "l", c, i + 1) })
+    def loop(n: Int, tail: String) =
+      s"http://s.example.com/${Seq.fill(n)("loop").mkString("/")}/$tail"
+    val pages = Seq(
+      pd("http://s.example.com/page/0", Seq(loop(3, "p1"),
+        "http://s.example.com/page/2")),
+      pd(loop(3, "p1"), Seq(loop(4, "p2"))),
+      pd(loop(4, "p2"), Seq.empty),
+      pd("http://s.example.com/page/2", Seq.empty))
+    import spark.implicits._
+    val corpus = spark.createDataset(pages).toDF()
+    val robots = spark.emptyDataset[RobotsRules].toDF()
+    def c(id: String, guard: Boolean) = CrawlConfig(
+      sessionId = id, seeds = Seq("http://s.example.com/page/0"),
+      maxDepth = -1, maxAccessCount = 100, hostBudgetPerRound = 100,
+      trapGuard = guard,
+      rules = Seq(ScrapingRule(".*",
+        properties = Seq(PropertyRule("title", SpanText("title"),
+          trimSpaces = true)))))
+    val pagesM = pages.map(p => p.doc_id -> p).toMap
+
+    val cOn = c("trap-on", guard = true)
+    val dirOn = TestSpark.tmpDir("crawl-trap-on")
+    val sOn = new CrawlSession(spark, cOn, corpus, robots, dirOn)
+    val rOn = sOn.run()
+    val seenOn = sOn.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    val oOn = Oracle.crawl(pagesM, Map.empty, cOn)
+    assert(rOn.crawlOrder == oOn.crawlOrder)
+    assert(seenOn == oOn.seen)
+    assert(seenOn == Set("http://s.example.com/page/0",
+      "http://s.example.com/page/2"), seenOn.toString)
+    sOn.cleanup()
+
+    val cOff = c("trap-off", guard = false)
+    val dirOff = TestSpark.tmpDir("crawl-trap-off")
+    val sOff = new CrawlSession(spark, cOff, corpus, robots, dirOff)
+    val rOff = sOff.run()
+    val seenOff = sOff.seenTable.read().select("url")
+      .collect().map(_.getString(0)).toSet
+    val oOff = Oracle.crawl(pagesM, Map.empty, cOff)
+    assert(rOff.crawlOrder == oOff.crawlOrder)
+    assert(seenOff == oOff.seen)
+    // without the guard the crawl walks straight into the loop
+    assert(seenOff.contains(loop(3, "p1")) && seenOff.contains(loop(4, "p2")))
+    sOff.cleanup()
+  }
+
   test("304 re-crawl takes the incremental-skip route (no re-store, J2)") {
     import graft.model.Span
     def corpusOf(status: Int, lastMod: Long) = {

@@ -25,6 +25,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.rules(2).htmlParsed)            // absent → reference default TRUE
   }
 
+  test("trap_guard parses with an off default; trap_max_repeat floors at 1") {
+    val d = ConfigLoader.fromJson("""{ "url": [] }""", "s")
+    assert(!d.trapGuard && d.trapMaxRepeat == 2)
+    val on = ConfigLoader.fromJson(
+      """{ "url": [], "trap_guard": true, "trap_max_repeat": 0 }""", "s")
+    assert(on.trapGuard && on.trapMaxRepeat == 1)
+  }
+
   test("round_window_seconds parses with a floor of 1 and a 60s default") {
     assert(ConfigLoader.fromJson("""{ "url": [] }""", "s").roundWindowSeconds == 60L)
     assert(ConfigLoader.fromJson(
