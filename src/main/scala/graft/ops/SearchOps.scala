@@ -189,6 +189,56 @@ object SearchOps {
       .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
   }
 
+  /** Field-boosted ranked retrieval — the ES multi-field (`most_fields`)
+    * surface the reference's users query through: each field (body,
+    * title, inbound anchor text — anchor text being web search's
+    * strongest signal, Brin & Page 1998) is indexed INDEPENDENTLY with
+    * its own postings, document-frequency, and length stats, exactly as
+    * ES keeps per-field BM25 statistics; the document score is the
+    * weighted sum Σ_f w_f · ticks_f. Integer weights over the integer
+    * tick scores keep the ranking bit-identical across engines.
+    *
+    * `fields` is (textColumn, weight); null/empty field values simply
+    * contribute no postings (a doc nobody links to has no anchor field).
+    * Scale shape: per field, the same term-filtered postings pipeline as
+    * [[searchTopK]] (the query-term filter sits below the tf aggregation,
+    * so each field's exchange carries only matching postings); the
+    * cross-field combine is a union + one per-doc sum on the id the
+    * field pipelines already hash by; then the two-phase salted top-k.
+    */
+  def fieldedTopK(docs: DataFrame, query: Seq[String], k: Int,
+      fields: Seq[(String, Long)], idCol: String = "doc_id",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    require(fields.nonEmpty && fields.forall(_._2 > 0),
+      "need at least one field, all weights positive")
+    val q = query.distinct
+    val id = col(idCol)
+    val perField = fields.map { case (textCol, w) =>
+      val fdocs = docs
+        .select(col(idCol), col(textCol))
+        .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      val idx = index(fdocs, idCol, textCol, termFilter = q)
+      val dfreq = idx.postings.groupBy("term").agg(count(lit(1)).as("df"))
+      idx.postings
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(idx.stats))
+        .withColumn("__ticks", tickExpr)
+        .groupBy(id)
+        .agg((sum(col("__ticks")) * lit(w)).as("__fticks"))
+    }
+    val scored = perField.reduce(_.unionByName(_))
+      .groupBy(id).agg(sum(col("__fticks")).as("score_ticks"))
+    val order = Seq(col("score_ticks").desc, id.asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(id), lit(saltBuckets))).orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
   /** Lucene-form BM25 (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))
     * — the `1 +` keeps idf positive for df > N/2, exactly as the
     * reference's Elasticsearch/Lucene scorer does) top-k — the

@@ -1634,6 +1634,60 @@ class SearchOpsSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
   }
 
+  // per-field tick scores for the fielded replay (same formula, but the
+  // corpus/stats/df are the FIELD's own — only docs carrying the field)
+  private def referenceFieldScores(
+      corpus: Seq[(Long, String)], query: Seq[String]): Map[Long, BigInt] = {
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val n = BigInt(corpus.size)
+    val l = BigInt(toks.map(_._2.size).sum)
+    val dfm = query.map(q => q -> BigInt(toks.count(_._2.contains(q)))).toMap
+    toks.map { case (id, ts) =>
+      id -> query.map { q =>
+        val tf = BigInt(ts.count(_ == q))
+        if (tf == 0 || dfm(q) == 0) BigInt(0)
+        else {
+          val dl = BigInt(ts.size); val df = dfm(q)
+          (BigInt(1000000) * 22 * tf * l * (2 * n - 2 * df + 1)) /
+            ((BigInt(10) * tf * l + 3 * l + 9 * dl * n) * (2 * df + 1))
+        }
+      }.sum
+    }.toMap
+  }
+
+  test("fieldedTopK matches the weighted per-field BigInt replay") {
+    val fdocs = Seq(
+      (1L, "zebra zebra stripes run fast", Option("zebra")),
+      (2L, "plain hash join text zebra", None: Option[String]),
+      (3L, "nothing relevant in this body", Option("zebra zebra best")),
+      (4L, "zebra one mention here", Option(""))
+    ).toDF("doc_id", "body", "anchor")
+    val query = Seq("zebra")
+    val fields = Seq(("body", 1L), ("anchor", 5L))
+    val rows = fdocs.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    val bodyRef = referenceFieldScores(rows.map(r => (r._1, r._2)), query)
+    val anchorRef = referenceFieldScores(
+      rows.collect { case (id, _, Some(a)) if a.nonEmpty => (id, a) }, query)
+    val expect = rows.map(_._1).map { id =>
+      id -> (bodyRef.getOrElse(id, BigInt(0)) * 1 +
+        anchorRef.getOrElse(id, BigInt(0)) * 5).toLong
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    val got = SearchOps.fieldedTopK(fdocs, query, k = 4, fields)
+      .select("doc_id", "score_ticks", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sortBy(_._3)
+    assert(got == expect, s"got $got expect $expect")
+    // the anchor weight lifts the anchor-only doc over the body-only one
+    assert(got.map(_._1).indexOf(3L) < got.map(_._1).indexOf(2L))
+    // and it is partition/salt invariant
+    val again = SearchOps.fieldedTopK(fdocs.repartition(7), query, 4,
+      fields, saltBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got.toSet)
+  }
+
   test("searchTopK matches an independent BigInt replay of the tick formula") {
     val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val query = Seq("zebra", "hash")
