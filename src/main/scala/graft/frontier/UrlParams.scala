@@ -62,6 +62,12 @@ object UrlParams {
     * evidence).
     *
     * Returns (host, param, witness_groups, varied_groups, insignificant).
+    *
+    * The verdicts only ever ask "more than one distinct value?" and
+    * "exactly one distinct hash?", so the group pass compares min/max
+    * instead of exact `countDistinct` — that keeps the aggregation a
+    * plain two-exchange hash agg (an exact two-column distinct would add
+    * an Expand + a third exchange carrying every (value, hash) pair).
     */
   def mine(pages: DataFrame, urlCol: String = "url",
       hashCol: String = "content_hash"): DataFrame =
@@ -69,12 +75,12 @@ object UrlParams {
       .select(graft.model.UrlOps.hostCol(col(urlCol)).as("host"),
         col("param"), col("residual"), col("__v"), col(hashCol).as("__h"))
       .groupBy("host", "param", "residual")
-      .agg(countDistinct(col("__v")).as("__nv"),
-        countDistinct(col("__h")).as("__nh"))
+      .agg((min(col("__v")) =!= max(col("__v"))).as("__varied"),
+        (min(col("__h")) === max(col("__h"))).as("__oneHash"))
       .groupBy("host", "param")
       .agg(count(lit(1)).as("witness_groups"),
-        sum(when(col("__nv") > 1, 1L).otherwise(0L)).as("varied_groups"),
-        min(when(col("__nv") > 1, (col("__nh") === 1).cast("int")))
+        sum(when(col("__varied"), 1L).otherwise(0L)).as("varied_groups"),
+        min(when(col("__varied"), col("__oneHash").cast("int")))
           .as("__allSame"))
       .withColumn("insignificant",
         col("varied_groups") > 0 && col("__allSame") === 1)

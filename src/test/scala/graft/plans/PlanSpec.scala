@@ -417,46 +417,55 @@ class BucketedStoreSpec extends AnyFunSuite {
     }
   }
 
+  // AQE wraps exchanges in ShuffleQueryStageExec after execution, hiding
+  // them from a plain collect — the exchange-count assertions below run
+  // with AQE off (and restore it), like the bucketed-join test above.
+  private def withPlainPlans[A](body: => A): A = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("UrlParams.mine is two exchanges; normalize adds only a broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    val pages = (0 until 200).map(i =>
-      (s"http://h${i % 3}.example.com/p?id=${i % 20}&sess=${i % 4}",
-        (i % 20).toLong)).toDF("url", "content_hash")
-    def shuffles(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
-    val mined = graft.frontier.UrlParams.mine(pages)
-    mined.collect()
-    assert(shuffles(mined).length == 2,
-      mined.queryExecution.executedPlan.toString)
-    val norm = graft.frontier.UrlParams.normalize(pages.select("url"), mined)
-    norm.collect()
-    // the rules side re-runs mine (2 shuffles) + its host rollup (1); the
-    // URL side must contribute NO shuffle — the join is a broadcast
-    assert(norm.queryExecution.executedPlan.collect {
-      case b: BroadcastHashJoinExec => b }.nonEmpty,
-      norm.queryExecution.executedPlan.toString)
-    assert(shuffles(norm).length == 3,
-      norm.queryExecution.executedPlan.toString)
+    withPlainPlans {
+      val pages = (0 until 200).map(i =>
+        (s"http://h${i % 3}.example.com/p?id=${i % 20}&sess=${i % 4}",
+          (i % 20).toLong)).toDF("url", "content_hash")
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val mined = graft.frontier.UrlParams.mine(pages)
+      assert(shuffles(mined).length == 2,
+        mined.queryExecution.executedPlan.toString)
+      val norm = graft.frontier.UrlParams.normalize(pages.select("url"), mined)
+      // the rules side re-runs mine (2 shuffles) + its host rollup (1); the
+      // URL side must contribute NO shuffle — the join is a broadcast
+      assert(norm.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b }.nonEmpty,
+        norm.queryExecution.executedPlan.toString)
+      assert(shuffles(norm).length == 3,
+        norm.queryExecution.executedPlan.toString)
+    }
   }
 
   test("TrapDetector: flagUrls is exchange-free; hostStats is two exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val urls = (0 until 300).map(i =>
-      if (i % 7 == 0) s"http://h${i % 4}.example.com/c/c/c/p$i"
-      else s"http://h${i % 4}.example.com/a${i % 9}/b$i").toDF("url")
-    def shuffles(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
-    val flags = graft.frontier.TrapDetector.flagUrls(urls)
-    flags.collect()
-    assert(shuffles(flags).isEmpty,
-      flags.queryExecution.executedPlan.toString)
-    val stats = graft.frontier.TrapDetector.hostStats(urls)
-    stats.collect()
-    // (host, depth) count, then one host exchange shared by the lead()
-    // window and the final rollup
-    assert(shuffles(stats).length == 2,
-      stats.queryExecution.executedPlan.toString)
+    withPlainPlans {
+      val urls = (0 until 300).map(i =>
+        if (i % 7 == 0) s"http://h${i % 4}.example.com/c/c/c/p$i"
+        else s"http://h${i % 4}.example.com/a${i % 9}/b$i").toDF("url")
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val flags = graft.frontier.TrapDetector.flagUrls(urls)
+      assert(shuffles(flags).isEmpty,
+        flags.queryExecution.executedPlan.toString)
+      val stats = graft.frontier.TrapDetector.hostStats(urls)
+      // (host, depth) count, then one host exchange shared by the lead()
+      // window and the final rollup
+      assert(shuffles(stats).length == 2,
+        stats.queryExecution.executedPlan.toString)
+    }
   }
 
 }
