@@ -821,6 +821,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .select("doc_id", "score_ticks", "n_shared", "rank")),
 
+    // field-boosted retrieval (the ES most_fields surface): body weight 1,
+    // synthetic anchor field (every 4th doc carries one) weight 3 — each
+    // field keeps its OWN postings/df/length stats, scores combine as a
+    // weighted integer sum, so the boost is engine-exact
+    "q_search_fielded" -> ((s, d) =>
+      graft.ops.SearchOps.fieldedTopK(
+        t(s, d, "documents").withColumn("anchor",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("dup anchor "), col("lang")))),
+        Seq("dup", "spark", "merge"), k = 15,
+        fields = Seq(("text", 1L), ("anchor", 3L)))
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "rank")),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2288,6 +2302,55 @@ object SparkEntry {
         |SELECT doc_id, score_ticks, n_shared, CAST(rank AS BIGINT) AS rank
         |FROM (
         |  SELECT doc_id, score_ticks, n_shared,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 15""".stripMargin,
+
+    "q_search_fielded" ->
+      """WITH body AS (
+        |  SELECT doc_id, lower(text) AS f FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |anc AS (
+        |  SELECT doc_id, lower('dup anchor ' || lang) AS f FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |btoks AS (
+        |  SELECT doc_id, unnest(string_split(f, ' ')) AS term,
+        |         len(string_split(f, ' ')) AS dl FROM body),
+        |bstats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(f, ' '))) AS l FROM body),
+        |btf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM btoks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+        |bsc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      * 1 AS fticks
+        |  FROM btf t JOIN bdf d ON t.term = d.term CROSS JOIN bstats s
+        |  GROUP BY t.doc_id),
+        |atoks AS (
+        |  SELECT doc_id, unnest(string_split(f, ' ')) AS term,
+        |         len(string_split(f, ' ')) AS dl FROM anc),
+        |astats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(f, ' '))) AS l FROM anc),
+        |atf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM atoks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |adf AS (SELECT term, count(*) AS df FROM atf GROUP BY term),
+        |asc0 AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      * 3 AS fticks
+        |  FROM atf t JOIN adf d ON t.term = d.term CROSS JOIN astats s
+        |  GROUP BY t.doc_id),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(fticks) AS BIGINT) AS score_ticks
+        |  FROM (SELECT * FROM bsc UNION ALL SELECT * FROM asc0)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score_ticks, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, score_ticks,
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM sc)
         |WHERE rank <= 15""".stripMargin,
