@@ -835,6 +835,23 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .select("doc_id", "score_ticks", "rank")),
 
+    // search_after keyset pagination (the ES deep-paging surface): page 1's
+    // last hit is the (score, id) cursor; the cursor predicate filters
+    // BEFORE the top-k windows so page N costs one ranking pass, never a
+    // row_number <= N*k scan. The one-row collect is the cursor handoff a
+    // real paging client performs between requests, not a data move.
+    "q_search_page2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = Seq("dup", "spark", "merge")
+      val last = graft.ops.SearchOps.searchTopK(docs, q, k = 10)
+        .filter(col("rank") === 10).select("score_ticks", "doc_id")
+        .collect()(0)
+      graft.ops.SearchOps.searchTopK(docs, q, k = 10,
+        after = Some((last.getLong(0), last.getLong(1))))
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "rank")
+    }),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2354,6 +2371,34 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM sc)
         |WHERE rank <= 15""".stripMargin,
+
+    // keyset page 2 = deep ranks 11..20 with rank rebased to 1..10: the
+    // (score desc, id asc) total order makes the cursor form and the
+    // deep-rank form provably identical
+    "q_search_page2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         len(string_split(lower(text), ' ')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(lower(text), ' '))) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      AS score_ticks
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, score_ticks, CAST(rank - 10 AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, score_ticks,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank > 10 AND rank <= 20""".stripMargin,
 
     "q_search_phrase" ->
       """WITH t AS (

@@ -139,10 +139,11 @@ object SearchOps {
     */
   def searchTopK(docs: DataFrame, query: Seq[String], k: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16, requireAll: Boolean = false): DataFrame = {
+      saltBuckets: Int = 16, requireAll: Boolean = false,
+      after: Option[(Long, Long)] = None): DataFrame = {
     val qdf = queryFrame(docs, query.distinct)
     searchAllTopK(index(docs, idCol, textCol, termFilter = query), qdf, k,
-      saltBuckets, requireAll).drop("query_id")
+      saltBuckets, requireAll, after).drop("query_id")
   }
 
   /** Batch form: `queries(query_id, term)` (exploded term list; rows MUST
@@ -150,9 +151,19 @@ object SearchOps {
     * that term's contribution) against a prebuilt or ad-hoc index. Returns (query_id, idCol, score_ticks,
     * rank ≤ k). One plan for the whole batch: postings ⋈ broadcast
     * queries, per-(query, doc) BIGINT sum, two-phase salted top-k.
+    *
+    * `after` is ES `search_after` keyset pagination: given the LAST hit of
+    * the previous page as a (score_ticks, id) cursor, return the next k
+    * rows strictly after it in (score desc, id asc) order — the predicate
+    * `score < s ∨ (score = s ∧ id > i)` filters BEFORE the top-k windows,
+    * so page N costs the same one ranking pass as page 1 (never a
+    * `row_number ≤ N·k` deep-paging scan, the exact trap ES's
+    * from/size API has and search_after exists to avoid). The returned
+    * `rank` restarts at 1 per page, as ES does.
     */
   def searchAllTopK(idx: SearchIndex, queries: DataFrame, k: Int,
-      saltBuckets: Int = 16, requireAll: Boolean = false): DataFrame = {
+      saltBuckets: Int = 16, requireAll: Boolean = false,
+      after: Option[(Long, Long)] = None): DataFrame = {
     require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
     val id = col(idx.idCol)
     val p = idx.postings.join(broadcast(queries), "term")
@@ -178,12 +189,17 @@ object SearchOps {
           .filter(col("__hit") === col("__qn"))
           .drop("__qn", "__hit")
       } else base.agg(sum(col("__ticks")).as("score_ticks"))
+    val paged = after match {
+      case Some((s, i)) => scored.filter(
+        col("score_ticks") < s || (col("score_ticks") === s && id > i))
+      case None => scored
+    }
     val order = Seq(col("score_ticks").desc, id.asc)
     val phase1 = Window
       .partitionBy(col("query_id"), pmod(xxhash64(id), lit(saltBuckets)))
       .orderBy(order: _*)
     val phase2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    scored
+    paged
       .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
       .drop("__r1")
       .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)

@@ -1708,6 +1708,24 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(run(docs, 16) == run(docs, 1))
   }
 
+  test("search_after pagination: page 2 equals rows k+1..2k of the deep top-2k") {
+    val query = Seq("scan", "hash", "zebra")
+    val k = 3
+    val deep = SearchOps.searchTopK(docs, query, k = 2 * k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    // cursor = last hit of page 1, exactly what a caller would carry over
+    val (curId, curScore, _) = deep(k - 1)
+    val page2 = SearchOps.searchTopK(docs, query, k = k,
+      after = Some((curScore, curId)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    // same rows as deep ranks k+1..2k, but rank restarts at 1 per page
+    assert(page2.toSeq == deep.drop(k).map { case (id, s, r) => (id, s, r - k) }.toSeq)
+    // tie-safe: a cursor mid-tie still never re-returns page-1 rows
+    assert(page2.map(_._1).toSet.intersect(deep.take(k).map(_._1).toSet).isEmpty)
+  }
+
   test("bm25TopK agrees with the exact form on the planted winner and set") {
     val exact = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 3)
       .collect().map(_.getLong(0))
