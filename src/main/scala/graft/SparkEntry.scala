@@ -852,6 +852,36 @@ object SparkEntry {
         .select("doc_id", "score_ticks", "rank")
     }),
 
+    // scroll/export (the ES scroll API): global positions over a total
+    // order WITHOUT a single-task sort — range exchange (each task sorts
+    // its slice), per-partition counts prefix-summed on the driver, global
+    // position = local row_number + broadcast offset
+    "q_scroll_export" -> ((s, d) =>
+      graft.ops.SearchOps.scrollExport(
+        t(s, d, "documents").select("doc_id", "lang"),
+        Seq(col("lang").asc, col("doc_id").asc), pageSize = 1000)
+        .select("doc_id", "lang", "scroll_pos", "page_no")),
+
+    // completion suggester (the ES suggest surface): top-5 corpus terms
+    // per query prefix by term frequency; the prefix match runs against
+    // the broadcast prefix list BEFORE the frequency aggregation
+    "q_suggest_prefix" -> ((s, d) =>
+      graft.ops.SearchOps.suggest(t(s, d, "documents"),
+        Seq("s", "c", "b"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("prefix", "term", "weight", "rank")),
+
+    // fuzzy retrieval (the ES fuzziness surface): typo'd query terms
+    // expand to their Levenshtein-distance-1 vocabulary ball via SymSpell
+    // deletion-key blocking + exact levenshtein post-filter (never an
+    // O(V·Q) full scan), then the expanded OR-query scores through the
+    // integer-exact pipeline
+    "q_search_fuzzy" -> ((s, d) =>
+      graft.ops.SearchOps.fuzzyTopK(t(s, d, "documents"),
+        Seq("spqrk", "merg"), k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "score_ticks", "rank")),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2399,6 +2429,65 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank > 10 AND rank <= 20""".stripMargin,
+
+    "q_scroll_export" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT)
+        |    AS scroll_pos,
+        |  CAST((row_number() OVER (ORDER BY lang, doc_id) - 1) // 1000
+        |    AS BIGINT) AS page_no
+        |FROM documents""".stripMargin,
+
+    "q_suggest_prefix" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT * FROM (VALUES ('s'), ('c'), ('b')) AS v(prefix)),
+        |f AS (
+        |  SELECT p.prefix, t.term, count(*) AS weight
+        |  FROM toks t JOIN p ON t.term LIKE p.prefix || '%'
+        |  GROUP BY p.prefix, t.term)
+        |SELECT prefix, term, weight, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT prefix, term, weight,
+        |    row_number() OVER (PARTITION BY prefix
+        |      ORDER BY weight DESC, term) AS rank
+        |  FROM f)
+        |WHERE rank <= 5""".stripMargin,
+
+    // expansion replay: the deletion-blocked candidate join + exact
+    // post-filter provably equals this full-scan levenshtein ball
+    "q_search_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         len(string_split(lower(text), ' ')) AS dl
+        |  FROM documents),
+        |vocab AS (SELECT DISTINCT term FROM toks),
+        |qt AS (SELECT * FROM (VALUES ('spqrk'), ('merg')) AS q(query_term)),
+        |cand AS (
+        |  SELECT v.term, min(levenshtein(q.query_term, v.term)) AS d
+        |  FROM vocab v CROSS JOIN qt q
+        |  WHERE levenshtein(q.query_term, v.term) <= 1
+        |  GROUP BY v.term),
+        |sel AS (SELECT term FROM cand ORDER BY d, term LIMIT 50),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(lower(text), ' '))) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+        |  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      AS score_ticks
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, score_ticks, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, score_ticks,
+        |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 15""".stripMargin,
 
     "q_search_phrase" ->
       """WITH t AS (

@@ -400,6 +400,171 @@ object SearchOps {
       .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
   }
 
+  /** Full-corpus ordered export with global positions — the ES scroll API
+    * surface (the reference's users export crawled indexes with scroll,
+    * never from/size deep paging). A naive global row number is a
+    * `Window.orderBy()` with no partition — ONE task sorts the corpus.
+    * This is the scale form: a range exchange places rows in globally
+    * ordered partitions (each task sorts only its slice), per-partition
+    * counts (one row per partition, trivially collectable) prefix-sum on
+    * the driver, and the global position is the within-partition
+    * row_number plus the broadcast partition offset — the
+    * [[Sampling.packSequences]] prefix-sum recipe applied to ordering.
+    *
+    * `order` must be a TOTAL order (include a unique tiebreaker, e.g. the
+    * doc id, as the last sort column): range boundaries may split equal
+    * keys across partitions, and the oracle replay
+    * (`row_number() OVER (ORDER BY …)`) is only engine-deterministic for
+    * a total order. Returns the input columns + `scroll_pos` (1-based
+    * global position) + `page_no` (0-based, `pageSize` rows per page).
+    */
+  def scrollExport(df: DataFrame, order: Seq[Column], pageSize: Long,
+      partitions: Int = 0): DataFrame =
+    scrollExportReleasable(df, order, pageSize, partitions)._1
+
+  /** [[scrollExport]] plus a release handle for the internal persisted
+    * ranged frame (the counts pass and the output pass must see the same
+    * range split; same discipline as [[Sampling.packSequencesReleasable]]).
+    */
+  def scrollExportReleasable(df: DataFrame, order: Seq[Column],
+      pageSize: Long, partitions: Int = 0): (DataFrame, () => Unit) = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(order.nonEmpty, "need at least one sort column")
+    val spark = df.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // pass 1: per-partition row counts — rows = nPart, bounded
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, c)) => (pid, acc + c)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }.toMap
+    // pass 2: within-partition rank (parallel per range slice) + offset
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val out = ranged
+      .withColumn("scroll_pos", row_number().over(w).cast("long") + offsetCol)
+      .withColumn("page_no", expr(s"(scroll_pos - 1) div ${pageSize}L"))
+      .drop("__pid")
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  /** Completion suggester (the ES suggest surface): for each query prefix,
+    * the top-k corpus terms starting with it, ranked by corpus term
+    * frequency (weight desc, term asc). The prefix match runs map-side
+    * against the broadcast prefix list BEFORE the term-frequency
+    * aggregation, so the exchange carries only (prefix, term) pairs that
+    * match — work proportional to matching tokens, not the corpus — and a
+    * hot prefix ranks through the two-phase salted window. Returns
+    * (prefix, term, weight, rank ≤ k).
+    */
+  def suggest(docs: DataFrame, prefixes: Seq[String], k: Int,
+      textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    require(prefixes.nonEmpty && prefixes.forall(_.nonEmpty),
+      "need at least one non-empty prefix")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pdf = prefixes.distinct.map(_.toLowerCase).toDF("prefix")
+    val freq = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(pdf), col("term").startsWith(col("prefix")))
+      .groupBy(col("prefix"), col("term"))
+      .agg(count(lit(1)).as("weight"))
+    val order = Seq(col("weight").desc, col("term").asc)
+    val phase1 = Window
+      .partitionBy(col("prefix"), pmod(xxhash64(col("term")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(col("prefix")).orderBy(order: _*)
+    freq
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
+  /** All deletion variants of `c` up to `maxEdits` chars removed,
+    * including `c` itself — the SymSpell blocking key set (Garbe 2012):
+    * two strings within Levenshtein distance d share at least one common
+    * string in each other's ≤ d-deletion neighborhoods. Pure built-in
+    * array arithmetic (sequence + transform + substr), no UDF.
+    */
+  private def delKeys(c: String, maxEdits: Int): Column = {
+    val d1 = s"""array_distinct(array_union(array($c),
+                |  transform(sequence(0, length($c) - 1),
+                |    i -> concat(substr($c, 1, i), substr($c, i + 2)))))""".stripMargin
+    if (maxEdits == 1) expr(d1)
+    else expr(
+      s"""array_distinct(flatten(transform($d1, v ->
+         |  array_union(array(v), transform(sequence(0, length(v) - 1),
+         |    j -> concat(substr(v, 1, j), substr(v, j + 2)))))))""".stripMargin)
+  }
+
+  /** Vocabulary terms within Levenshtein distance `maxEdits` (1 or 2) of
+    * each query term — the ES `fuzziness` surface. The naive form
+    * compares every vocabulary term against every query term (O(V·Q)
+    * edit-distance computations); this one blocks by DELETION
+    * NEIGHBORHOOD (SymSpell): terms within distance d share a deletion
+    * variant, so the candidate join runs on a bounded key (≤ len^d
+    * variants per term, query side broadcast), then the EXACT
+    * `levenshtein(a, b) ≤ maxEdits` filter removes the superset's false
+    * positives (e.g. a transposed pair like "ab"/"ba" shares deletion
+    * keys but is distance 2). Exactness: the neighborhood is a proven
+    * SUPERSET of the distance-≤ d ball, and the post-filter is the exact
+    * metric — so the result EQUALS the full scan, at blocking cost.
+    * Returns (query_term, term, distance).
+    */
+  def fuzzyTerms(docs: DataFrame, query: Seq[String], maxEdits: Int = 1,
+      textCol: String = "text"): DataFrame = {
+    require(maxEdits == 1 || maxEdits == 2, "maxEdits must be 1 or 2")
+    require(query.nonEmpty && query.forall(_.nonEmpty),
+      "need at least one non-empty query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term")).distinct()
+    val vkeys = vocab.select(col("term"),
+      explode(delKeys("term", maxEdits)).as("__k"))
+    val qkeys = query.distinct.map(_.toLowerCase).toDF("query_term")
+      .select(col("query_term"), explode(delKeys("query_term", maxEdits)).as("__k"))
+    vkeys.join(broadcast(qkeys), "__k")
+      .select("query_term", "term").distinct()
+      .withColumn("distance",
+        levenshtein(col("query_term"), col("term")).cast("long"))
+      .filter(col("distance") <= maxEdits)
+  }
+
+  /** Fuzzy ranked retrieval: expand each query term to its distance-≤
+    * `maxEdits` vocabulary matches (capped at `maxExpansions` by
+    * (min distance asc, term asc) — ES's max_expansions, default 50),
+    * then score the expanded OR-query through [[searchTopK]]. The
+    * expansion pull is bounded (≤ maxExpansions strings — the
+    * [[moreLikeThis]] term-profile pattern), which lets the expanded term
+    * filter push BELOW the corpus tf aggregation; keeping the expansion
+    * distributed would force a corpus-wide postings build instead. A
+    * query term present in the vocabulary matches itself at distance 0,
+    * so exact hits always participate.
+    */
+  def fuzzyTopK(docs: DataFrame, query: Seq[String], k: Int,
+      maxEdits: Int = 1, maxExpansions: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
+    require(maxExpansions > 0, "maxExpansions must be positive")
+    val expanded = fuzzyTerms(docs, query, maxEdits, textCol)
+      .groupBy("term").agg(min(col("distance")).as("__d"))
+      .orderBy(col("__d").asc, col("term").asc)
+      .limit(maxExpansions)
+      .select("term").collect().map(_.getString(0)).toSeq
+    // no vocabulary match ⟹ no original term exists either (distance-0
+    // self-match), so searching the raw query is an equivalent cheap empty
+    val terms = if (expanded.isEmpty) query else expanded
+    searchTopK(docs, terms, k, idCol, textCol, saltBuckets)
+  }
+
   private def queryFrame(docs: DataFrame, query: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1726,6 +1726,94 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(page2.map(_._1).toSet.intersect(deep.take(k).map(_._1).toSet).isEmpty)
   }
 
+  test("scrollExport equals the global orderBy replay, any partitioning") {
+    val rows = (1L to 257L).map(i => (i, s"v${i % 7}"))
+    val df = rows.toDF("id", "grp")
+    val expect = rows.sortBy { case (id, g) => (g, id) }.zipWithIndex
+      .map { case ((id, g), i) => (id, g, i + 1L, i / 25L) }
+    for (parts <- Seq(1, 4, 16); inParts <- Seq(1, 9)) {
+      val got = SearchOps.scrollExport(df.repartition(inParts),
+        Seq($"grp".asc, $"id".asc), pageSize = 25, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._3)
+      assert(got.toSeq == expect, s"parts=$parts inParts=$inParts")
+    }
+    // desc order works through the same range exchange
+    val desc = SearchOps.scrollExport(df, Seq($"id".desc), 100, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(desc.map(_._1).toSeq == (257L to 1L by -1))
+  }
+
+  test("scrollExport plan: range exchange, no single-partition global sort") {
+    val df = (1L to 100L).toDF("id")
+    val (out, release) = SearchOps.scrollExportReleasable(
+      df, Seq($"id".asc), 10, 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    release()
+  }
+
+  test("suggest matches a brute-force prefix replay; hot prefix is salted") {
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val toks = corpus.flatMap(_._2.toLowerCase.split("\\s+"))
+    def brute(prefix: String, k: Int) =
+      toks.filter(_.startsWith(prefix)).groupBy(identity)
+        .map { case (t, xs) => (t, xs.size.toLong) }.toSeq
+        .sortBy { case (t, w) => (-w, t) }.take(k)
+        .zipWithIndex.map { case ((t, w), i) => (prefix, t, w, i + 1) }
+    val got = SearchOps.suggest(docs, Seq("s", "ha"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == (brute("s", 3) ++ brute("ha", 3)).toSet)
+    // salt invariance
+    val again = SearchOps.suggest(docs.repartition(5), Seq("s", "ha"), 3,
+      saltBuckets = 2).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == got)
+  }
+
+  test("fuzzyTerms equals the full-scan levenshtein ball (transposition trap filtered)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // vocab plants: exact, sub, del, ins, transposition (dist 2), far
+    val vdocs = Seq((1L, "spark sparc spak sparke psark ab ba zebra"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("spark", "sparc", "spak", "sparke", "psark", "ab", "ba", "zebra")
+    for (me <- Seq(1, 2); q <- Seq(Seq("spark"), Seq("ab"), Seq("spark", "ba"))) {
+      val got = SearchOps.fuzzyTerms(vdocs, q, maxEdits = me)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val expect = (for (qt <- q.distinct; t <- vocab; d = lev(qt, t)
+        if d <= me) yield (qt, t, d.toLong)).toSet
+      assert(got == expect, s"maxEdits=$me q=$q got=$got expect=$expect")
+    }
+    // the trap explicitly: "ab" vs "ba" shares deletion keys but is dist 2
+    val e1 = SearchOps.fuzzyTerms(vdocs, Seq("ab"), maxEdits = 1)
+      .collect().map(_.getString(1)).toSet
+    assert(!e1.contains("ba"))
+  }
+
+  test("fuzzyTopK: a typo query reaches the true term's docs, exact hits included") {
+    // "zebr" (dist 1 of zebra) must surface the zebra-dense doc first
+    val got = SearchOps.fuzzyTopK(docs, Seq("zebr"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    val exact = SearchOps.searchTopK(docs, Seq("zebra"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    assert(got.toSeq == exact.toSeq) // only 'zebra' is within dist 1 in this vocab
+    assert(got.head._1 == 1L)
+    // an exact term matches itself at distance 0 even with typo siblings
+    val self = SearchOps.fuzzyTopK(docs, Seq("hash"), k = 3)
+    assert(self.collect().nonEmpty)
+    // no match at all -> clean empty result
+    assert(SearchOps.fuzzyTopK(docs, Seq("qqqqqqqq"), k = 3).collect().isEmpty)
+  }
+
   test("bm25TopK agrees with the exact form on the planted winner and set") {
     val exact = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 3)
       .collect().map(_.getLong(0))
