@@ -882,6 +882,37 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .select("doc_id", "score_ticks", "rank")),
 
+    // percolation (the ES percolator — reverse search): every doc tested
+    // against broadcast stored conjunctive queries; the exchange carries
+    // only (doc, query) hit counts. 'alerts_zebra' matches nothing (its
+    // term is outside the corpus vocabulary) — absence is part of the check
+    "q_percolate" -> ((s, d) =>
+      graft.ops.SearchOps.percolate(t(s, d, "documents"), Seq(
+        "alerts_dup" -> Seq("dup", "spark"),
+        "alerts_pipeline" -> Seq("merge", "join", "hash"),
+        "alerts_zebra" -> Seq("zebra")))),
+
+    // hybrid retrieval: keyword top-30 + embedding cosine top-30 fused by
+    // reciprocal rank fusion in integer ticks (floor(1e6/(60+rank)) per
+    // list) — engine-exact because only the two lists' RANKS enter
+    "q_hybrid_rrf" -> ((s, d) =>
+      graft.ops.SearchOps.hybridTopK(t(s, d, "documents"),
+        t(s, d, "embeddings"), Seq("dup", "spark", "merge"),
+        queryVecId = 0L, k = 15, poolK = 30)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("doc_id", "rrf_ticks", "n_lists", "rank")),
+
+    // budget-capped curation: keep the longest documents (priority =
+    // token count desc, doc_id tiebreak) until the cumulative token count
+    // reaches 10k — the global prefix sum runs as a range exchange +
+    // driver-side partition-offset prefix, never a single-task window
+    "q_sample_budget" -> ((s, d) =>
+      graft.ops.Sampling.selectByTokenBudget(
+        t(s, d, "documents").select("doc_id", "text"),
+        Seq(size(split(col("text"), "\\s+")).desc, col("doc_id").asc),
+        budget = 10000L)
+        .select("doc_id", "n_tokens", "cum_tokens")),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2488,6 +2519,88 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 15""".stripMargin,
+
+    "q_percolate" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES
+        |  ('alerts_dup', 'dup'), ('alerts_dup', 'spark'),
+        |  ('alerts_pipeline', 'merge'), ('alerts_pipeline', 'join'),
+        |  ('alerts_pipeline', 'hash'),
+        |  ('alerts_zebra', 'zebra')) AS v(query_id, term)),
+        |qs AS (SELECT query_id, count(*) AS qn FROM q GROUP BY query_id),
+        |hits AS (
+        |  SELECT dt.doc_id, q.query_id, count(*) AS c
+        |  FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id)
+        |SELECT h.doc_id, h.query_id
+        |FROM hits h JOIN qs USING (query_id) WHERE h.c = qs.qn""".stripMargin,
+
+    // hybrid RRF: rebuild both ranked lists (the q_search_topk and
+    // q_sim_topk definitions), fuse by floor(1e6 // (60 + rank)) per list
+    "q_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         len(string_split(lower(text), ' ')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len(string_split(lower(text), ' '))) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM toks
+        |  WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum((1000000::HUGEINT * 22 * t.tf * s.l * (2*s.n - 2*d.df + 1)) //
+        |        ((10*t.tf*s.l + 3*s.l + 9*t.dl*s.n) * (2*d.df + 1))) AS BIGINT)
+        |      AS score_ticks
+        |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+        |  GROUP BY t.doc_id),
+        |kw AS (
+        |  SELECT doc_id AS id, rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY score_ticks DESC, doc_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 30),
+        |${embedCosineCtes.replace("{WHERE}", "")},
+        |qv AS (SELECT unnest(embedding) AS qe, unnest(range(1, len(embedding)+1)) AS i
+        |  FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(CAST(qe AS DOUBLE)*qe)) AS qnrm FROM qv),
+        |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(qv.qe AS DOUBLE)) AS d
+        |  FROM v JOIN qv ON v.i = qv.i GROUP BY 1),
+        |ann AS (
+        |  SELECT vec_id AS id, rank FROM (
+        |    SELECT dots.vec_id,
+        |      row_number() OVER (
+        |        ORDER BY round(d/(nrm*qnrm), 6) DESC, dots.vec_id) AS rank
+        |    FROM dots JOIN norms USING (vec_id), qn)
+        |  WHERE rank <= 30),
+        |fused AS (
+        |  SELECT id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ticks,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM (SELECT * FROM kw UNION ALL SELECT * FROM ann)
+        |  GROUP BY id)
+        |SELECT id AS doc_id, rrf_ticks, n_lists, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT id, rrf_ticks, n_lists,
+        |    row_number() OVER (ORDER BY rrf_ticks DESC, id) AS rank
+        |  FROM fused)
+        |WHERE rank <= 15""".stripMargin,
+
+    "q_sample_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 10000""".stripMargin,
 
     "q_search_phrase" ->
       """WITH t AS (

@@ -191,4 +191,63 @@ object Sampling {
         expr(s"start_pos div ${seqLen}L").as("seq_id"))
     (out, () => { counted.unpersist(blocking = false); () })
   }
+
+  /** Budget-capped corpus selection — "the best B tokens": order the
+    * corpus by a caller-chosen priority (quality score, dedup-cluster
+    * rank, domain weight …) and keep documents while the INCLUSIVE
+    * cumulative token count stays ≤ `budget`. This is the selection step
+    * every token-budgeted training run performs after scoring/dedup.
+    *
+    * The naive form is a global `Window.orderBy()` cumulative sum — one
+    * task sorts and scans the corpus. This is the scale form: a range
+    * exchange on the priority order (each task sorts its slice),
+    * per-partition token totals (one row per partition) prefix-summed on
+    * the driver, and the cumulative count = within-partition running sum
+    * + broadcast partition offset — the [[packSequences]] recipe over an
+    * arbitrary total order. `order` must be total (include a unique
+    * tiebreaker, e.g. the doc id, last).
+    *
+    * Returns the input columns + `n_tokens` + `cum_tokens` (inclusive),
+    * filtered to `cum_tokens <= budget`.
+    */
+  def selectByTokenBudget(docs: DataFrame, order: Seq[Column], budget: Long,
+      textCol: String = "text", partitions: Int = 0): DataFrame =
+    selectByTokenBudgetReleasable(docs, order, budget, textCol, partitions)._1
+
+  /** [[selectByTokenBudget]] plus a release handle for the internal
+    * persisted ranged frame (the totals pass and the output pass must see
+    * the same range split).
+    */
+  def selectByTokenBudgetReleasable(docs: DataFrame, order: Seq[Column],
+      budget: Long, textCol: String = "text",
+      partitions: Int = 0): (DataFrame, () => Unit) = {
+    require(budget > 0, "budget must be positive")
+    require(order.nonEmpty, "need at least one priority column")
+    val spark = docs.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .withColumn("n_tokens",
+        size(split(col(textCol), "\\s+")).cast("long"))
+      .repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = ranged.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val out = ranged
+      .withColumn("cum_tokens", sum("n_tokens").over(w) + offsetCol)
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid")
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
 }

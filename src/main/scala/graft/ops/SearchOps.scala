@@ -565,6 +565,86 @@ object SearchOps {
     searchTopK(docs, terms, k, idCol, textCol, saltBuckets)
   }
 
+  /** Percolation — the ES percolator, i.e. reverse search: match every
+    * document against a catalog of STORED queries (conjunctive term sets)
+    * and return which queries each doc satisfies. The reference's users
+    * percolate newly crawled docs against saved alerts/filters; a training
+    * pipeline uses the same shape for rule-tagged routing.
+    *
+    * Scale shape: the stored-query catalog is small relative to the corpus
+    * → broadcast both the (query, term) pairs and the per-query term
+    * counts; per-doc DISTINCT terms are computed map-side
+    * (`array_distinct` before the explode), the broadcast join keeps only
+    * tokens some query mentions, and the single exchange carries
+    * (doc, query) hit counts — work proportional to matches, not the
+    * corpus. A doc matches when its distinct-hit count equals the query's
+    * term count (the [[searchAllTopK]] requireAll gate, reversed).
+    * Returns (idCol, query_id).
+    */
+  def percolate(docs: DataFrame, queries: Seq[(String, Seq[String])],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one stored query, each with at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries
+      .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qSizes = queries
+      .map { case (qid, ts) => (qid, ts.map(_.toLowerCase).distinct.size.toLong) }
+      .toDF("query_id", "__qn")
+    docs
+      .select(col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .join(broadcast(qdf), "term")
+      .groupBy(col(idCol), col("query_id"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(qSizes), "query_id")
+      .filter(col("__hit") === col("__qn"))
+      .select(col(idCol), col("query_id"))
+  }
+
+  /** Hybrid retrieval — keyword + embedding rankings fused by RECIPROCAL
+    * RANK FUSION (Cormack, Clarke & Büttcher 2009; the method ES 8.x
+    * ships for hybrid search): each candidate list contributes
+    * `floor(10⁶ / (rrfK + rank))` ticks per appearance, summed per doc.
+    * Integer ticks over integer RANKS keep the fusion engine-exact even
+    * though the embedding side's scores are doubles (only its rank order
+    * enters, and that order is the rounded-cosine total order
+    * [[Similarity.bruteForceTopKMulti]] already fixes).
+    *
+    * The keyword list is [[searchTopK]] (pool of `poolK`); the embedding
+    * list is exact cosine top-poolK against the embedding of
+    * `queryVecId`. Both sides end in bounded lists, so the fusion input
+    * is ≤ 2·poolK rows — the final rank needs no salting. Returns
+    * (idCol, rrf_ticks, n_lists, rank ≤ k); `n_lists` says whether a doc
+    * was found by both retrievers or one.
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      query: Seq[String], queryVecId: Long, k: Int, poolK: Int = 60,
+      rrfK: Int = 60, idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && poolK >= k && rrfK > 0,
+      "need k > 0, poolK >= k, rrfK > 0")
+    val kw = searchTopK(docs, query, poolK, idCol, textCol, saltBuckets)
+      .select(col(idCol).as("__id"), col("rank").as("__rk"))
+    val ann = Similarity.bruteForceTopKMulti(embeddings,
+        embeddings.filter(col(vecIdCol) === queryVecId), poolK,
+        vecIdCol, vecCol, saltBuckets)
+      .select(col(vecIdCol).as("__id"), col("rank").as("__rk"))
+    val fused = kw.unionByName(ann)
+      .withColumn("__t", expr(s"CAST(1000000 div ($rrfK + __rk) AS BIGINT)"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("rrf_ticks"), count(lit(1)).as("n_lists"))
+    val order = Seq(col("rrf_ticks").desc, col("__id").asc)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("__id", idCol)
+  }
+
   private def queryFrame(docs: DataFrame, query: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

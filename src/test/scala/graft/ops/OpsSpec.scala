@@ -1814,6 +1814,78 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(SearchOps.fuzzyTopK(docs, Seq("qqqqqqqq"), k = 3).collect().isEmpty)
   }
 
+  test("percolate: each doc matches exactly the stored queries it fully contains") {
+    val stored = Seq(
+      "q_scan_filter" -> Seq("scan", "filter"),
+      "q_hash" -> Seq("hash"),
+      "q_zebra_join" -> Seq("zebra", "join"), // no doc has both
+      "q_dup_term" -> Seq("scan", "scan", "filter")) // dup terms collapse
+    val got = SearchOps.percolate(docs, stored)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val corpus = docs.collect().map(r => (r.getLong(0),
+      r.getString(1).toLowerCase.split("\\s+").toSet)).toSeq
+    val expect = (for ((id, ts) <- corpus; (qid, qts) <- stored
+      if qts.map(_.toLowerCase).toSet.subsetOf(ts)) yield (id, qid)).toSet
+    assert(got == expect)
+    assert(!got.exists(_._2 == "q_zebra_join"))
+    // dup-term query behaves as its distinct set
+    assert(got.filter(_._2 == "q_dup_term").map(_._1) ==
+      got.filter(_._2 == "q_scan_filter").map(_._1))
+  }
+
+  test("hybridTopK: RRF replay over the two ranked lists, both-lists docs boosted") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.4f, 0.2f, 0.6f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f)), (6L, Seq(0.5f, 0.5f, 0.0f)),
+      (7L, Seq(0.2f, 0.8f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq("zebra", "hash")
+    val poolK = 5; val rrfK = 60
+    val kw = SearchOps.searchTopK(docs, query, poolK)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val ann = graft.ops.Similarity.bruteForceTopKMulti(
+        embs, embs.filter($"vec_id" === 1L), poolK)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    val expect = (kw ++ ann).groupBy(_._1).map { case (id, xs) =>
+      (id, xs.map(x => 1000000L / (rrfK + x._2)).sum, xs.size.toLong)
+    }.toSeq.sortBy { case (id, t, _) => (-t, id) }.take(4)
+      .zipWithIndex.map { case ((id, t, n), i) => (id, t, n, i + 1) }
+    val got = SearchOps.hybridTopK(docs, embs, query, queryVecId = 1L,
+      k = 4, poolK = poolK, rrfK = rrfK)
+      .select("doc_id", "rrf_ticks", "n_lists", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq.sortBy(_._4)
+    assert(got == expect, s"got $got expect $expect")
+    // a doc in both lists carries n_lists = 2
+    assert(got.exists(_._3 == 2L))
+  }
+
+  test("selectByTokenBudget: inclusive greedy prefix of the priority order, any partitioning") {
+    val rows = (1L to 60L).map(i =>
+      (i, ("w " * (i % 7 + 1).toInt).trim, i * 13 % 10))
+    val df = rows.toDF("doc_id", "text", "pri")
+    val ordered = rows.sortBy { case (id, _, p) => (-p, id) }
+    val cums = ordered.scanLeft(0L)((acc, r) => acc + (r._1 % 7 + 1)).tail
+    val budget = 90L
+    val expect = ordered.zip(cums).filter(_._2 <= budget)
+      .map { case ((id, _, _), c) => (id, c) }.toSet
+    for (parts <- Seq(1, 4, 16)) {
+      val got = graft.ops.Sampling.selectByTokenBudget(df.repartition(5),
+        Seq($"pri".desc, $"doc_id".asc), budget, partitions = parts)
+        .select("doc_id", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"parts=$parts")
+    }
+    // plan: range exchange, never a single-partition global sort
+    val (out, release) = graft.ops.Sampling.selectByTokenBudgetReleasable(
+      df, Seq($"pri".desc, $"doc_id".asc), budget, partitions = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    release()
+  }
+
   test("bm25TopK agrees with the exact form on the planted winner and set") {
     val exact = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 3)
       .collect().map(_.getLong(0))
