@@ -892,6 +892,24 @@ object SparkEntry {
         "alerts_pipeline" -> Seq("merge", "join", "hash"),
         "alerts_zebra" -> Seq("zebra")))),
 
+    // the zero-exchange map-side percolation twin (the form the streaming
+    // alerter runs): catalog folded into the plan as literals, same
+    // semantics — the oracle is the identical SQL
+    "q_percolate_inline" -> ((s, d) =>
+      graft.ops.SearchOps.percolateInline(t(s, d, "documents"), Seq(
+        "alerts_dup" -> Seq("dup", "spark"),
+        "alerts_pipeline" -> Seq("merge", "join", "hash"),
+        "alerts_zebra" -> Seq("zebra")))),
+
+    // significant terms (the ES significant_terms agg): what characterizes
+    // German pages vs the whole corpus — JLH contrast in exact integer
+    // ticks via cross-multiplied rationals; positive scores only, as ES
+    "q_sig_terms" -> ((s, d) =>
+      graft.ops.SearchOps.significantTerms(t(s, d, "documents"),
+        col("lang") === "de", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("term", "fg_count", "bg_count", "score_ticks", "rank")),
+
     // hybrid retrieval: keyword top-30 + embedding cosine top-30 fused by
     // reciprocal rank fusion in integer ticks (floor(1e6/(60+rank)) per
     // list) — engine-exact because only the two lists' RANKS enter
@@ -2536,6 +2554,51 @@ object SparkEntry {
         |  FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id)
         |SELECT h.doc_id, h.query_id
         |FROM hits h JOIN qs USING (query_id) WHERE h.c = qs.qn""".stripMargin,
+
+    // identical semantics to q_percolate — only the Spark physical form
+    // differs (zero-exchange inline vs broadcast-join + hit-count)
+    "q_percolate_inline" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES
+        |  ('alerts_dup', 'dup'), ('alerts_dup', 'spark'),
+        |  ('alerts_pipeline', 'merge'), ('alerts_pipeline', 'join'),
+        |  ('alerts_pipeline', 'hash'),
+        |  ('alerts_zebra', 'zebra')) AS v(query_id, term)),
+        |qs AS (SELECT query_id, count(*) AS qn FROM q GROUP BY query_id),
+        |hits AS (
+        |  SELECT dt.doc_id, q.query_id, count(*) AS c
+        |  FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id)
+        |SELECT h.doc_id, h.query_id
+        |FROM hits h JOIN qs USING (query_id) WHERE h.c = qs.qn""".stripMargin,
+
+    "q_sig_terms" ->
+      """WITH fgt AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE lang = 'de'),
+        |bgt AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |fg AS (SELECT term, count(*) AS fg_count FROM fgt GROUP BY term),
+        |bg AS (SELECT term, count(*) AS bg_count FROM bgt GROUP BY term),
+        |ft AS (SELECT count(*) AS F FROM fgt),
+        |bt AS (SELECT count(*) AS B FROM bgt),
+        |sc AS (
+        |  SELECT fg.term, fg.fg_count, bg.bg_count,
+        |    CAST((1000000::HUGEINT * fg.fg_count *
+        |          (fg.fg_count*bt.B - bg.bg_count*ft.F)) //
+        |         (ft.F*ft.F*bg.bg_count) AS BIGINT) AS score_ticks
+        |  FROM fg JOIN bg USING (term) CROSS JOIN ft CROSS JOIN bt
+        |  WHERE fg.fg_count*bt.B > bg.bg_count*ft.F)
+        |SELECT term, fg_count, bg_count, score_ticks,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT term, fg_count, bg_count, score_ticks,
+        |    row_number() OVER (ORDER BY score_ticks DESC, term) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin,
 
     // hybrid RRF: rebuild both ranked lists (the q_search_topk and
     // q_sim_topk definitions), fuse by floor(1e6 // (60 + rank)) per list

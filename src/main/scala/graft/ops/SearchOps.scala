@@ -604,6 +604,83 @@ object SearchOps {
       .select(col(idCol), col("query_id"))
   }
 
+  /** Map-side percolation twin for BOUNDED stored-query catalogs: the
+    * catalog folds into the plan as literals, each doc checks every query
+    * with `array_contains` over its distinct tokens, and matches explode —
+    * ZERO exchange, so it runs in whole-stage codegen and, being
+    * stateless, composes directly into a streaming query in append mode
+    * ([[graft.streaming.StreamingOps.percolateStream]]). Semantics equal
+    * [[percolate]] (parity spec); use the exchange form when the catalog
+    * is too large to fold into the plan (thousands of queries — the plan
+    * literal and per-row check both grow linearly with it).
+    */
+  def percolateInline(docs: DataFrame, queries: Seq[(String, Seq[String])],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one stored query, each with at least one term")
+    val toks = array_distinct(TextOps.tokens(col(textCol)))
+    val qCols = queries.map { case (qid, ts) =>
+      when(ts.map(_.toLowerCase).distinct
+        .map(t => array_contains(toks, t)).reduce(_ && _), lit(qid))
+    }
+    docs
+      .select(col(idCol),
+        explode(filter(array(qCols: _*), x => x.isNotNull)).as("query_id"))
+  }
+
+  /** Significant terms — the ES `significant_terms` aggregation: terms
+    * OVERREPRESENTED in a foreground slice relative to the whole corpus
+    * (what characterizes German pages / this domain / spam-flagged docs),
+    * scored by JLH (ES's classic heuristic):
+    * `(fgPct − bgPct) · (fgPct / bgPct)` with fgPct = ft/F, bgPct = bt/B
+    * (term tokens over total tokens in the slice / corpus). Cross-
+    * multiplied to one exact integer division,
+    * `ticks = floor(10⁶ · ft · (ft·B − bt·F) / (F² · bt))`, computed in
+    * DECIMAL(38,0): exact while 10⁶·ft²·B < 10³⁸, i.e. foreground slices
+    * up to ~3·10¹⁰ tokens against a corpus of ~3·10¹⁰ — beyond that,
+    * rescale the tick unit. Only positive scores (fgPct > bgPct) are
+    * kept, as ES does — which also keeps the truncating `div` equal to
+    * floor on both engines.
+    *
+    * Scale shape: two term-keyed aggregations (foreground counts from the
+    * filtered slice, background from the corpus) joined on term — all
+    * exchanges carry (term, count) pairs bounded by vocabulary, the
+    * slice totals ride a broadcast scalar, and the final top-k is the
+    * two-phase salted window over the vocabulary-sized score list.
+    * Returns (term, fg_count, bg_count, score_ticks, rank ≤ k).
+    */
+  def significantTerms(docs: DataFrame, foreground: Column, k: Int,
+      textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    def termCounts(df: DataFrame, cnt: String) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(cnt))
+    val fg = termCounts(docs.filter(foreground), "fg_count")
+    val bg = termCounts(docs, "bg_count")
+    val fgTotal = docs.filter(foreground)
+      .agg(sum(size(TextOps.tokens(col(textCol)))).as("F"))
+    val bgTotal = docs
+      .agg(sum(size(TextOps.tokens(col(textCol)))).as("B"))
+    val scored = fg.join(bg, "term")
+      .crossJoin(broadcast(fgTotal)).crossJoin(broadcast(bgTotal))
+      // positive-score gate BEFORE the division: truncation == floor
+      .filter(col("fg_count") * col("B") > col("bg_count") * col("F"))
+      .withColumn("score_ticks", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * fg_count *
+          |      (fg_count*B - bg_count*F)) div (F*F*bg_count)
+          |AS BIGINT)""".stripMargin))
+      .select("term", "fg_count", "bg_count", "score_ticks")
+    val order = Seq(col("score_ticks").desc, col("term").asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(col("term")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
   /** Hybrid retrieval — keyword + embedding rankings fused by RECIPROCAL
     * RANK FUSION (Cormack, Clarke & Büttcher 2009; the method ES 8.x
     * ships for hybrid search): each candidate list contributes

@@ -128,6 +128,20 @@ object StreamingOps {
         .withWatermark(tsCol, watermarkDelay),
       gapSeconds, userCol, tsCol)
 
+  /** Streaming percolation — continuous alerting on newly crawled docs
+    * (the ES percolator run at index time): each micro-batch's documents
+    * are matched against the stored query catalog and (doc, query) alert
+    * rows emit IN APPEND MODE, because the inline percolation form is
+    * stateless map-side work (catalog folded into the plan, zero
+    * exchange, no aggregation state). ONE definition of the matching
+    * semantics: delegates to [[graft.ops.SearchOps.percolateInline]],
+    * whose equality with the exchange-based batch [[graft.ops.SearchOps
+    * .percolate]] is the parity spec.
+    */
+  def percolateStream(docs: DataFrame, queries: Seq[(String, Seq[String])],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.SearchOps.percolateInline(docs, queries, idCol, textCol)
+
   /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
     * most `hostBudget` URLs per host over the stream's lifetime, tracked in
     * keyed state across micro-batches via flatMapGroupsWithState. Within a

@@ -1833,6 +1833,55 @@ class SearchOpsSpec extends AnyFunSuite {
       got.filter(_._2 == "q_scan_filter").map(_._1))
   }
 
+  test("percolateInline equals the exchange form and compiles to zero exchanges") {
+    val stored = Seq(
+      "q_scan_filter" -> Seq("scan", "filter"),
+      "q_hash" -> Seq("hash"),
+      "q_zebra_join" -> Seq("zebra", "join"),
+      "q_dup_term" -> Seq("scan", "scan", "filter"))
+    val a = SearchOps.percolate(docs, stored)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = SearchOps.percolateInline(docs.repartition(5), stored)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.nonEmpty)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = SearchOps.percolateInline(docs, stored)
+      .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty)
+  }
+
+  test("significantTerms matches an exact BigInt JLH replay on a planted slice") {
+    // fg docs are dense in 'rare'; the filler vocabulary is corpus-wide
+    val sdocs = Seq(
+      (1L, "rare rare rare common filler", true),
+      (2L, "rare common filler filler", true),
+      (3L, "common filler filler noise", false),
+      (4L, "common common filler noise noise", false),
+      (5L, "filler noise common", false),
+      (6L, "rare noise", false)
+    ).toDF("doc_id", "text", "is_fg")
+    val corpus = sdocs.collect()
+      .map(r => (r.getString(1).toLowerCase.split("\\s+").toSeq, r.getBoolean(2)))
+    val fgToks = corpus.filter(_._2).flatMap(_._1)
+    val bgToks = corpus.flatMap(_._1)
+    val (fTot, bTot) = (BigInt(fgToks.size), BigInt(bgToks.size))
+    val expect = fgToks.distinct.flatMap { t =>
+      val ft = BigInt(fgToks.count(_ == t)); val bt = BigInt(bgToks.count(_ == t))
+      val num = ft * bTot - bt * fTot
+      if (num > 0)
+        Some((t, ft.toLong, bt.toLong,
+          (BigInt(1000000) * ft * num / (fTot * fTot * bt)).toLong))
+      else None
+    }.sortBy { case (t, _, _, s) => (-s, t) }.take(3)
+      .zipWithIndex.map { case ((t, f, b, s), i) => (t, f, b, s, i + 1) }
+      .toSeq
+    val got = SearchOps.significantTerms(sdocs, col("is_fg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq.sortBy(_._5)
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.head._1 == "rare") // the planted signal wins
+  }
+
   test("hybridTopK: RRF replay over the two ranked lists, both-lists docs boosted") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)),

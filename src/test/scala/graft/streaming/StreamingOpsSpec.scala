@@ -180,6 +180,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming percolation emits alerts in append mode, equal to batch") {
+    val dir = TestSpark.tmpDir("stream-perc")
+    val stored = Seq("alert_ab" -> Seq("alpha", "beta"), "alert_g" -> Seq("gamma"))
+    Seq((1L, "alpha beta other"), (2L, "alpha only")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/f1")
+    Seq((3L, "gamma ray"), (4L, "beta alpha swapped")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    runAvailableNow(StreamingOps.percolateStream(stream, stored), "perc")
+    val streamed = spark.table("perc")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.SearchOps.percolate(
+        spark.read.parquet(s"$dir/f1", s"$dir/f2"), stored)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "alert_ab"), (3L, "alert_g"), (4L, "alert_ab")))
+  }
+
   test("politeness gate caps per-host admissions across micro-batches (W2 streaming)") {
     val dir = TestSpark.tmpDir("stream-gate")
     def entries(ids: Range, host: String) = ids.map { i =>
