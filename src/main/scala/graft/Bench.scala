@@ -376,6 +376,38 @@ object Bench {
       time(hotDir, bucketed = true))
   }
 
+  /** Global-ordering probe: [[graft.ops.SearchOps.scrollExport]]'s range-
+    * exchange + driver-prefix-sum form vs the naive single-partition
+    * `Window.orderBy` row_number over the same zero-IO synthetic input
+    * (spark.range + a hashed sort key — deterministic, nothing
+    * materialized). Contract: the scale form stays flat with cores while
+    * the naive form is bounded by ONE task's sort; the gap widens with n.
+    * Naive leg runs ONE rep (it is the deliberately slow baseline).
+    */
+  private[graft] def scrollProbe(spark: SparkSession, n: Long,
+      reps: Int): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    def input = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("key"))
+    val order = Seq(col("key").asc, col("id").asc)
+    def timeScale(r: Int): Double = (1 to r).map { _ =>
+      val t0 = System.nanoTime()
+      val (out, release) = graft.ops.SearchOps.scrollExportReleasable(
+        input, order, pageSize = 100000L)
+      out.agg(max(col("scroll_pos"))).head()
+      release()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def timeNaive(): Double = {
+      val t0 = System.nanoTime()
+      input.withColumn("pos", row_number().over(Window.orderBy(order: _*)))
+        .agg(max(col("pos"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeScale(1) // warm (JIT + codegen)
+    (timeScale(reps), timeNaive())
+  }
+
   /** fetch-extract throughput: spans corpus → config-compiled extraction. */
   private def extractBench(spark: SparkSession, nPages: Long): (Double, Long) = {
     import graft.model._
@@ -547,13 +579,20 @@ object Bench {
       fields("funnel_skew_bucketed_ratio") = f"${funHotBucketed / funUni}%.2f"
     } catch { case e: Throwable => phaseError("funnel", e) }
     flush("scaling,skew,sem,sess,funnel")
+    var scrSec, scrNaive = -1.0
+    if (!overBudget) try {
+      val r = scrollProbe(spark, 8000000L, reps = 2)
+      scrSec = r._1; scrNaive = r._2
+      fields("scroll_naive_over_scale") = f"${scrNaive / scrSec}%.2f"
+    } catch { case e: Throwable => phaseError("scroll", e) }
+    flush("scaling,skew,sem,sess,funnel,scroll")
     var exSec = -1.0; var exPages = 0L
     if (!overBudget) try {
       val r = extractBench(spark, 200000L)
       exSec = r._1; exPages = r._2
       fields("extract_pages_per_sec") = f"${exPages / exSec}%.0f"
     } catch { case e: Throwable => phaseError("extract", e) }
-    flush("scaling,skew,sem,sess,funnel,extract")
+    flush("scaling,skew,sem,sess,funnel,scroll,extract")
     // per-query loop checks the deadline per query: a partial suite is
     // reported as such (queries_run/queries_skipped), never passed off as
     // a full total
@@ -580,7 +619,7 @@ object Bench {
     // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
     // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
     val detail =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"funnel_skew":{"n":8000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"scroll":{"n":8000000,"sec_scale":$scrSec%.2f,"sec_naive":$scrNaive%.2f,"note":"global row numbers over (key, id): scrollExport range exchange + driver prefix-sum vs naive single-partition Window.orderBy; naive 1 rep, scale warmed 1 + best-of-2"},"funnel_skew":{"n":8000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)

@@ -1572,6 +1572,12 @@ object SparkEntry {
       EventOps.hoppingWindowCounts(t(s, d, "events"),
         windowSeconds = 21600L, slideSeconds = 7200L)),
 
+    // calendar buckets (the ES date_histogram calendar_interval): ISO weeks
+    // via date_trunc — calendar boundaries epoch arithmetic can't express;
+    // both engines pin UTC so bucket starts are engine-exact µs
+    "q_event_calendar" -> ((s, d) =>
+      EventOps.calendarHistogram(t(s, d, "events"), "week")),
+
     // skew-safe two-pass sessionization: identical semantics (and oracle)
     // as q_event_sessionize, per-task unit bounded by (user, day-bucket)
     "q_event_sessionize_bucketed" -> ((s, d) =>
@@ -3517,6 +3523,12 @@ object SparkEntry {
     // cents summed as BIGINT
     "q_event_timewindow" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_event_calendar" ->
+      """SELECT epoch_us(date_trunc('week', ts)) AS bucket_start_us,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -176,6 +176,31 @@ object EventOps {
         col(typeCol), col("n_events"), col("sum_cents"))
   }
 
+  /** Calendar-interval histogram — the ES `date_histogram` with
+    * `calendar_interval` (month/week/day), where buckets are CALENDAR
+    * boundaries, not fixed-width epoch multiples: months vary in length
+    * and weeks start on ISO Monday, so the epoch-arithmetic replay of
+    * [[timeWindowCounts]] cannot express them. Spark's `date_trunc` and
+    * DuckDB's `date_trunc` share the semantics (ISO weeks, UTC session
+    * timezone — both engines run pinned to UTC here), so bucket starts
+    * are engine-exact as epoch µs. Same physical shape as the tumbling
+    * form: one exchange on (bucket, type), map-side partial aggregation,
+    * output is buckets × types; value sums in exact integer cents.
+    */
+  def calendarHistogram(events: DataFrame, unit: String,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(Set("day", "week", "month", "quarter", "year")(unit.toLowerCase),
+      s"unsupported calendar unit: $unit")
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(date_trunc(unit, col(tsCol)).as("__b"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("__b")).as("bucket_start_us"),
+        col(typeCol), col("n_events"), col("sum_cents"))
+  }
+
   /** Ordered funnel: for each user, greedily match `steps` in event-time
     * order — step i+1 must occur STRICTLY after the chosen occurrence of
     * step i (equal timestamps never advance the funnel, so the result is

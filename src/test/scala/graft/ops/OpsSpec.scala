@@ -892,6 +892,31 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, 5L, 5L, 1L)), got.toString)
   }
 
+  test("calendarHistogram buckets on ISO-week/month boundaries, not epoch multiples") {
+    // 1970-01-01 is a THURSDAY: the ISO week containing it starts Monday
+    // 1969-12-29 (-259200s), which no epoch-multiple window can produce
+    val day = 86400000000L
+    val rows = Seq(
+      (ev(1L, 0)._2, "a", 1.0),              // Thu 1970-01-01
+      (ev(1L, 3 * day)._2, "a", 2.0),        // Sun 1970-01-04, same ISO week
+      (ev(1L, 4 * day)._2, "a", 4.0),        // Mon 1970-01-05, NEXT ISO week
+      (ev(1L, 40 * day)._2, "b", 0.5)        // 1970-02-10
+    ).toDF("ts", "event_type", "value")
+    val wk = EventOps.calendarHistogram(rows, "week")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wk == Set(
+      (-3 * day, "a", 2L, 300L),  // week of Mon 1969-12-29: Thu+Sun, 100+200 cents
+      (4 * day, "a", 1L, 400L),
+      (39 * day, "b", 1L, 50L)), wk.toString) // week of Mon 1970-02-09
+    val mo = EventOps.calendarHistogram(rows, "month")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(mo == Set((0L, "a", 3L), (31 * day, "b", 1L)), mo.toString)
+    // bogus unit rejected
+    intercept[IllegalArgumentException] {
+      EventOps.calendarHistogram(rows, "fortnight")
+    }
+  }
+
   test("sessionize is invariant under input partitioning and ordering") {
     val rows = (0L until 400L)
       .map(i => ev(i % 7, i * 997 * 1000000 % 86400000000L)).toDF("user_id", "ts")
