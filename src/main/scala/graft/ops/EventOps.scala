@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -257,16 +257,11 @@ object EventOps {
         col(typeCol).as("et"))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col("us"), col("et")))).as("evs"))
+    // codegen kernel walk (the SQL `aggregate` HOF is CodegenFallback —
+    // see EventKernel); the walk from 0 completed is transition entry 0
     val completed = perUser.select(
-      aggregate(col("evs"),
-        struct(lit(0).as("c"), lit(Long.MinValue).as("t")),
-        (st, e) => when(
-          st.getField("c") < k &&
-            e.getField("et") === element_at(stepsArr, st.getField("c") + 1) &&
-            e.getField("us") > st.getField("t"),
-          struct((st.getField("c") + 1).as("c"), e.getField("us").as("t")))
-          .otherwise(st),
-        st => st.getField("c")).as("completed"))
+      element_at(graft.functions.EventExpressions.funnelTransitions(
+        col("evs"), steps), 1).as("completed"))
     completed.filter(col("completed") > 0)
       .select(explode(sequence(lit(1), col("completed"))).as("step"))
       .groupBy("step")
@@ -315,20 +310,15 @@ object EventOps {
       .withColumn("__b", expr(s"us div ${bucketSeconds * 1000000L}"))
       .groupBy(col(userCol), col("__b"))
       .agg(sort_array(collect_list(struct(col("us"), col("et")))).as("evs"))
-    // k parallel hypothetical walks per bucket: state[j] = (c, t) for the
-    // walk that entered the bucket with j steps completed
-    val init = transform(sequence(lit(0), lit(k - 1)),
-      j => struct(j.cast("int").as("c"), lit(Long.MinValue).as("t")))
+    // k parallel hypothetical walks per bucket: walk j enters the bucket
+    // with j steps completed. The walks run in the codegen kernel
+    // (EventKernel.funnelTransitions) — the SQL `aggregate` HOF is
+    // CodegenFallback, and its interpreted per-event fold (allocating a
+    // k-struct state per event) measured ~1.5× the PLAIN form's wall on
+    // the 4M-hot-user probe; the kernel loop closed it to well under
     val trans = perBucket.select(col(userCol), col("__b"),
-      transform(
-        aggregate(col("evs"), init, (st, e) =>
-          transform(st, s => when(
-            s.getField("c") < k &&
-              e.getField("et") === element_at(stepsArr, s.getField("c") + 1) &&
-              e.getField("us") > s.getField("t"),
-            struct((s.getField("c") + 1).as("c"), e.getField("us").as("t")))
-            .otherwise(s))),
-        s => s.getField("c")).as("f"))
+      graft.functions.EventExpressions.funnelTransitions(
+        col("evs"), steps).as("f"))
     val completed = trans
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col("__b"), col("f")))).as("fs"))
