@@ -938,6 +938,16 @@ object SparkEntry {
         "user_id", k = 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // BPE tokenizer training's oracle window: the top-10 iteration-1 merge
+    // candidates (adjacent char pairs weighted by word frequency) —
+    // bpeTrain's first selected merge is row 1; the full multi-merge loop
+    // is verified in sbt against a sequential reference (the merge
+    // application is kernel-side, not SQL-expressible)
+    "q_text_bpe" -> ((s, d) =>
+      graft.ops.TextOps.bpePairCandidates(t(s, d, "documents"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("l", "r", "c", "rank")),
+
     "q_text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
@@ -2858,6 +2868,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_text_bpe" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+        |         CAST(sum(freq) AS BIGINT) AS c
+        |  FROM words, LATERAL unnest(range(1, length(w))) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT l, r, c, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT l, r, c,
+        |    row_number() OVER (ORDER BY c DESC, l, r) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_text_fingerprint" -> rollingFpOracle,
 

@@ -153,6 +153,29 @@ object TextKernel {
     acc // already in [0, p) — the declarative trailing pmod is a no-op
   }
 
+  /** One left-to-right non-overlapping BPE merge pass: every adjacent
+    * (l, r) collapses to `merged`; the scan resumes AFTER the merged
+    * symbol, so "a a a" under (a, a) → "aa a", exactly the reference BPE
+    * behavior. Single pass, no regex, no per-element array copies.
+    */
+  def mergePair(syms: ArrayData, l: UTF8String, r: UTF8String,
+      merged: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      if (i + 1 < n && s.equals(l) && syms.getUTF8String(i + 1).equals(r)) {
+        out += merged
+        i += 2
+      } else {
+        out += s
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def buildLookup(lexicons: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     lexicons.zipWithIndex.foreach { case (lex, i) =>
@@ -244,6 +267,37 @@ case class RollingFp(child: Expression, weights: Array[Long], p: Long)
   override def prettyName: String = "rolling_fp"
 }
 
+/** `array<string>` symbols → symbols with every non-overlapping (l, r)
+  * adjacency merged left-to-right into one symbol — one BPE merge step
+  * (Sennrich, Haddow & Birch 2016: greedy leftmost, a merged symbol can
+  * immediately pair again with the NEXT input symbol but never re-splits).
+  */
+case class MergePair(child: Expression, l: String, r: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val lU = UTF8String.fromString(l)
+  @transient private lazy val rU = UTF8String.fromString(r)
+  @transient private lazy val mU = UTF8String.fromString(l + r)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.mergePair(v.asInstanceOf[ArrayData], lU, rU, mU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = "org.apache.spark.unsafe.types.UTF8String"
+    val lRef = ctx.addReferenceObj("bpeL", lU, t)
+    val rRef = ctx.addReferenceObj("bpeR", rU, t)
+    val mRef = ctx.addReferenceObj("bpeM", mU, t)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel.mergePair($c, $lRef, $rRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pair"
+}
+
 /** (string, array<string>) → starts-with-any (boolean). */
 case class StartsWithAny(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -282,4 +336,7 @@ object TextExpressions {
 
   def rollingFp(toks: Column, weights: Array[Long], p: Long): Column =
     ColumnBridge.column(RollingFp(ColumnBridge.expression(toks), weights, p))
+
+  def mergePair(syms: Column, l: String, r: String): Column =
+    ColumnBridge.column(MergePair(ColumnBridge.expression(syms), l, r))
 }

@@ -436,4 +436,115 @@ object TextOps {
         (pmod(i, lit(8)) + 1).cast("int")), lit(P)))
     pmod(aggregate(weighted, lit(0L), (acc, x) => pmod(acc + x, lit(P))), lit(P))
   }
+
+  // ---- BPE tokenizer training (Sennrich, Haddow & Birch 2016) -------------
+
+  /** Word vocabulary as symbol sequences: (syms: array<string> of initial
+    * single characters, freq). THE key scale move of corpus BPE: all merge
+    * iterations run over the DISTINCT-WORD table (bounded by vocabulary,
+    * ~10⁷–10⁸ rows at web scale), never over the corpus — the corpus is
+    * scanned exactly once, here.
+    */
+  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"),
+        col("freq"))
+
+  /** Adjacent-pair frequencies over symbol sequences: (l, r, c) with
+    * c = Σ word_freq per occurrence. One bounded-key exchange (pairs of
+    * the live symbol alphabet). 0-based `syms[i]` indexing.
+    */
+  private def bpePairCountsOf(vocab: DataFrame): DataFrame =
+    vocab
+      // single-symbol rows carry no pairs — and sequence(0, -1) would
+      // DESCEND ([0, -1]), fabricating a null-symbol pair
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+          |  i -> struct(syms[i] AS l, syms[i+1] AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+
+  /** The top-k merge CANDIDATES of iteration 1 (adjacent character pairs
+    * weighted by word frequency) — the oracle-checkable window into BPE
+    * training; [[bpeTrain]]'s first selected merge is row 1. Two-phase
+    * salted top-k over the pair alphabet.
+    */
+  def bpePairCandidates(docs: DataFrame, k: Int, textCol: String = "text",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("c").desc, col("l").asc, col("r").asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(col("l"), col("r")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    bpePairCountsOf(bpeVocab(docs, textCol))
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
+
+  /** BPE tokenizer TRAINING over the corpus: `nMerges` rounds of
+    * (count adjacent symbol pairs weighted by word frequency → pick the
+    * most frequent, ties broken (count desc, l asc, r asc) for
+    * determinism → merge it everywhere). Returns the learned merge table
+    * (rank, l, r, count) — the model itself, bounded by nMerges, hence a
+    * driver-side value.
+    *
+    * Scale shape: iterations run over the distinct-word vocabulary (see
+    * [[bpeVocab]]), each costing one bounded-key pair-count exchange +
+    * one argmax (a 1-row driver pull, the standard per-merge round-trip
+    * of distributed BPE) + one map-side kernel merge pass
+    * ([[graft.functions.TextKernel.mergePair]] — codegen, no interpreted
+    * HOF). The vocab is persisted per round and lineage-truncated with
+    * `localCheckpoint` (the [[GraphOps.pageRank]] discipline) so long
+    * merge schedules don't grow the plan.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    var vocab = bpeVocab(docs, textCol).persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = bpePairCountsOf(vocab)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        val next = vocab
+          .select(graft.functions.TextExpressions.mergePair(
+            col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table to a text column: tokenize, split each
+    * word into characters, replay the merges IN RANK ORDER (the standard
+    * BPE encoder), concatenate. Pure map-side kernel passes — composes
+    * onto any plan with zero exchange. `merges` is the caller's model
+    * (from [[bpeTrain]] or elsewhere), folded into the plan as literals.
+    */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(tokens(text), x =>
+      merges.foldLeft(
+        transform(sequence(lit(1), length(x)), i => x.substr(i, lit(1)))) {
+        case (acc, (l, r)) =>
+          graft.functions.TextExpressions.mergePair(acc, l, r)
+      }))
 }

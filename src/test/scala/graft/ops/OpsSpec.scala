@@ -671,6 +671,65 @@ class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bpeTrain equals a sequential reference on a corpus with ties and overlaps") {
+    def refBpe(corpus: Seq[String], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] = corpus
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, xs) => w.map(_.toString).toVector -> xs.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 1 to nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- vocab; i <- 0 until syms.size - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head
+          out += ((rank, l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // overlapping repeats ("aaaa"), cross-word reuse, ties, 1-char words
+    val corpus = Seq(
+      "low lower lowest low low", "aaaa aa a baa", "slow slower low",
+      "w w w lo lo")
+    val df = corpus.toDF("text")
+    val got = graft.ops.TextOps.bpeTrain(df, nMerges = 6)
+    val expect = refBpe(corpus, 6)
+    assert(got == expect, s"got $got expect $expect")
+    // candidates row 1 is the first selected merge
+    val cand = graft.ops.TextOps.bpePairCandidates(df, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).sortBy(_._4)
+    assert((cand.head._1, cand.head._2, cand.head._3) ==
+      (expect.head._2, expect.head._3, expect.head._4))
+  }
+
+  test("bpeSegment replays merges in rank order, map-side") {
+    val df = Seq("low slow glow o").toDF("text")
+    val got = df.select(graft.ops.TextOps.bpeSegment($"text",
+      Seq(("l", "o"), ("lo", "w"))).as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("low", "s", "low", "g", "low", "o"), got.toString)
+    // greedy-leftmost non-overlap: "aaa" under (a,a) -> [aa, a]
+    val aa = Seq("aaa").toDF("text")
+      .select(graft.ops.TextOps.bpeSegment($"text", Seq(("a", "a"))).as("t"))
+      .head().getSeq[String](0)
+    assert(aa == Seq("aa", "a"), aa.toString)
+  }
+
   test("langId picks the dominant lexicon, und for no hits, tie→first") {
     val df = Seq(
       "the cat is in the house and it is fine",   // en
