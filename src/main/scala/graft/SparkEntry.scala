@@ -938,6 +938,18 @@ object SparkEntry {
         "user_id", k = 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // model-based classifier filtering (the fastText-style quality-filter
+    // stage): hashed-BoW linear score in integer ticks, one codegen kernel
+    // pass per doc, keep decision composed map-side with zero exchange
+    "q_text_classifier" -> ((s, d) => {
+      val w = Seq.tabulate(16)(i => (i * 37L % 1000L) - 500L)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.linearScoreTicks(col("text"), w, 250L)
+            .as("score_ticks"))
+        .withColumn("kept", col("score_ticks") >= 0L)
+    }),
+
     // BPE tokenizer training's oracle window: the top-10 iteration-1 merge
     // candidates (adjacent char pairs weighted by word frequency) —
     // bpeTrain's first selected merge is row 1; the full multi-merge loop
@@ -2868,6 +2880,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_text_classifier" -> {
+      val w = Seq.tabulate(16)(i => (i * 37L % 1000L) - 500L)
+      val vals = w.zipWithIndex
+        .map { case (wv, i) => s"($i, ${wv})" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |w AS (SELECT * FROM (VALUES $vals) AS v(i, wt)),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(w.wt) + 250 AS BIGINT) AS score_ticks
+        |  FROM toks JOIN w ON (${sqlHash("t")} % 16) = w.i
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score_ticks, score_ticks >= 0 AS kept FROM sc""".stripMargin
+    },
 
     "q_text_bpe" ->
       """WITH words AS (

@@ -176,6 +176,23 @@ object TextKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** Hashed-bag-of-words linear score in ONE pass:
+    * bias + Σ_token weights(portableHash(token) mod dim). All-integer
+    * (tick) arithmetic — order-independent, engine-exact.
+    */
+  def linearScoreTicks(toks: ArrayData, weights: Array[Long], bias: Long): Long = {
+    val dim = weights.length
+    var acc = bias
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = portableTokenHash(toks.getUTF8String(i))
+      acc += weights(java.lang.Math.floorMod(h, dim.toLong).toInt)
+      i += 1
+    }
+    acc
+  }
+
   def buildLookup(lexicons: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     lexicons.zipWithIndex.foreach { case (lex, i) =>
@@ -245,6 +262,26 @@ case class LexiconCounts(child: Expression, lexicons: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): LexiconCounts =
     copy(child = newChild)
   override def prettyName: String = "lexicon_counts"
+}
+
+/** `array<string>` tokens → hashed linear classifier score in ticks. */
+case class LinearScoreTicks(child: Expression, weights: Array[Long], bias: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.linearScoreTicks(v.asInstanceOf[ArrayData], weights, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("linearWeights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel.linearScoreTicks($c, $wRef, ${bias}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearScoreTicks =
+    copy(child = newChild)
+  override def prettyName: String = "linear_score_ticks"
 }
 
 /** `array<string>` tokens → rolling polynomial fingerprint (long). */
@@ -339,4 +376,7 @@ object TextExpressions {
 
   def mergePair(syms: Column, l: String, r: String): Column =
     ColumnBridge.column(MergePair(ColumnBridge.expression(syms), l, r))
+
+  def linearScoreTicks(toks: Column, weights: Array[Long], bias: Long): Column =
+    ColumnBridge.column(LinearScoreTicks(ColumnBridge.expression(toks), weights, bias))
 }

@@ -437,6 +437,38 @@ object TextOps {
     pmod(aggregate(weighted, lit(0L), (acc, x) => pmod(acc + x, lit(P))), lit(P))
   }
 
+  /** Hashed-bag-of-words linear classifier score — the model-based filter
+    * stage of an LLM data pipeline (the fastText-style quality/toxicity
+    * classifiers of CCNet/GPT-3-era curation, Joulin 2017 / Brown 2020):
+    * `score = bias + Σ_token weights[h(token) mod dim]`, with weights in
+    * integer ticks so the per-doc score is a BIGINT sum —
+    * order-independent and engine-exact. The weight table folds into the
+    * plan as a literal and the whole scorer is ONE codegen kernel pass
+    * per row ([[graft.functions.TextKernel.linearScoreTicks]]) — pure
+    * map-side, so classifier-filtering (`linearScoreTicks(...) >= lit(t)`)
+    * composes onto any plan with zero exchange. Uses the portable token
+    * hash (oracle-replayable); [[linearScoreTicksDeclarative]] is the
+    * spec's value-parity witness.
+    */
+  def linearScoreTicks(text: Column, weightTicks: Seq[Long],
+      biasTicks: Long = 0L): Column = {
+    require(weightTicks.nonEmpty, "need at least one weight")
+    graft.functions.TextExpressions.linearScoreTicks(
+      tokens(text), weightTicks.toArray, biasTicks)
+  }
+
+  /** Declarative twin of [[linearScoreTicks]] (interpreted HOFs) — kept as
+    * the kernel's value-parity witness in the spec.
+    */
+  private[graft] def linearScoreTicksDeclarative(text: Column,
+      weightTicks: Seq[Long], biasTicks: Long): Column = {
+    val dim = weightTicks.size
+    aggregate(
+      transform(tokens(text), t => element_at(typedlit(weightTicks),
+        (pmod(portableHash(t), lit(dim.toLong)) + 1).cast("int"))),
+      lit(biasTicks), (acc, x) => acc + x)
+  }
+
   // ---- BPE tokenizer training (Sennrich, Haddow & Birch 2016) -------------
 
   /** Word vocabulary as symbol sequences: (syms: array<string> of initial

@@ -671,6 +671,31 @@ class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("linearScoreTicks kernel equals the declarative twin and a hand replay") {
+    val w = Seq.tabulate(16)(i => (i * 37L % 1000L) - 500L)
+    val bias = 250L
+    val df = Seq("the quick brown fox", "a a a", "Zebra!  mixed CASE  ", "x")
+      .toDF("text")
+    val both = df.select(
+      graft.ops.TextOps.linearScoreTicks($"text", w, bias).as("k"),
+      graft.ops.TextOps.linearScoreTicksDeclarative($"text", w, bias).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(both.forall { case (k, d) => k == d }, both.toSeq.toString)
+    // independent replay of the first row
+    def ph(t: String): Long = {
+      val p = t + "xx"
+      (p(0).toInt * 961 + p(1).toInt * 31 + p(2).toInt + t.length * 7919).toLong
+    }
+    val expect = bias + "the quick brown fox".split("\\s+")
+      .map(t => w(java.lang.Math.floorMod(ph(t), 16L).toInt)).sum
+    assert(both.head._1 == expect)
+    // the filter composes with zero exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ex = df.filter(graft.ops.TextOps.linearScoreTicks($"text", w, bias) >= 0)
+      .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.isEmpty)
+  }
+
   test("bpeTrain equals a sequential reference on a corpus with ties and overlaps") {
     def refBpe(corpus: Seq[String], nMerges: Int): Seq[(Int, String, String, Long)] = {
       var vocab: Seq[(Vector[String], Long)] = corpus
