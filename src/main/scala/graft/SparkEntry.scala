@@ -678,6 +678,20 @@ object SparkEntry {
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150),
         hash = TextOps.portableHash, hashBandKeys = false)),
 
+    // incremental dedup: docs 100..149 arrive as a crawl round's delta and
+    // are checked against the already-indexed 0..99 plus each other — only
+    // the delta tokenizes/bands/shuffles; equals the batch pairs touching
+    // a new doc (oracle = the batch replay + an id_b >= 100 gate, exact
+    // because pairs are canonical a < b)
+    "q_dedup_incremental" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 150)
+      val (exSigs, exBands) = Dedup.bandedSignatures(
+        base.filter(col("doc_id") < 100), "doc_id", "text", 3, 4, 4,
+        TextOps.portableHash, hashBandKeys = false)
+      Dedup.minhashNearDupsIncremental(base.filter(col("doc_id") >= 100),
+        exBands, exSigs, hash = TextOps.portableHash, hashBandKeys = false)
+    }),
+
     // embedding LSH at the PRODUCTION parameterization (20 bands × 10 bits,
     // xxhash-free sign-LSH; rows-only — this is the configuration the bench
     // times, as opposed to the recall-over-pruning demo above)
@@ -2246,6 +2260,11 @@ object SparkEntry {
     "q_dedup_minhash_sig" -> minhashOracle,
 
     "q_dedup_minhash_lsh" -> minhashLshOracle,
+
+    // the batch replay gated to pairs whose canonical upper id is new
+    "q_dedup_incremental" -> (minhashLshOracle.replace(
+      "SELECT id_a, id_b, sig_sim FROM sims WHERE sig_sim >= 0.5",
+      "SELECT id_a, id_b, sig_sim FROM sims WHERE sig_sim >= 0.5 AND id_b >= 100")),
 
     "q_dedup_simhash" -> simhashOracle,
 

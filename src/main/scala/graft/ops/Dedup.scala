@@ -104,6 +104,37 @@ object Dedup {
     * signature-similarity verify rejects it; pass false for the
     * slice-keyed DuckDB-oracle-checkable form.
     */
+  /** (signatures(id, sig), banded(id, band, bandSig)) for `docs` — the
+    * shared front end of the batch and incremental minhash paths.
+    */
+  private[graft] def bandedSignatures(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, rowsPerBand: Int,
+      hash: Column => Column, hashBandKeys: Boolean): (DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val sigd = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k, hash).as("__h"))
+      .select(col("id"), minhashSignatureFromHashes(col("__h"), numHashes).as("sig"))
+    def bandKey(b: Column): Column = {
+      val sliced = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      // hashed form folds the band INDEX into the key, so the bucket join
+      // runs on ONE atomic column — the shape both the bucketed
+      // incremental index and Spark's bucket-join matching need (a
+      // two-column (band, key) join can't reuse a bucketBy(bandSig)
+      // layout). A cross-band collision only adds a candidate pair; the
+      // exact verify rejects it.
+      if (hashBandKeys) xxhash64(b, sliced) else sliced
+    }
+    val banded = sigd.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandSig")
+    (sigd, banded)
+  }
+
+  /** band-join keys: the hashed form's key already encodes the band. */
+  private def bandJoinKeys(hashBandKeys: Boolean): Seq[String] =
+    if (hashBandKeys) Seq("bandSig") else Seq("band", "bandSig")
+
   def minhashNearDups(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -115,21 +146,12 @@ object Dedup {
       hash: Column => Column = TextOps.fastHash,
       hashBandKeys: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigd = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), k, hash).as("__h"))
-      .select(col("id"), minhashSignatureFromHashes(col("__h"), numHashes).as("sig"))
-    def bandKey(b: Column): Column = {
-      val sliced = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-      if (hashBandKeys) xxhash64(sliced) else sliced
-    }
-    val banded = sigd.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => bandKey(b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandSig")
+    val (sigd, banded) = bandedSignatures(docs, idCol, textCol, k, bands,
+      rowsPerBand, hash, hashBandKeys)
+    val keys = bandJoinKeys(hashBandKeys)
     val candPairs = banded
-      .select(col("band"), col("bandSig"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bandSig"), col("id").as("id_b")),
-        Seq("band", "bandSig"))
+      .select((keys.map(col) :+ col("id").as("id_a")): _*)
+      .join(banded.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -139,6 +161,107 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / numHashes).as("sig_sim"))
+      .filter(col("sig_sim") >= minSignatureSim)
+  }
+
+  /** Persisted MinHash index of an already-deduped corpus: banded keys
+    * bucketed by `bandSig` and signatures bucketed by `id`, both catalog
+    * tables ([[graft.sources.BucketedStore]]). Requires hashed band keys
+    * (bucketing needs an atomic key column).
+    */
+  final case class MinhashIndex(bands: DataFrame, sigs: DataFrame)
+
+  /** Build and persist the [[MinhashIndex]] for `docs`. The corpus-side
+    * shuffle (banding + signature layout) is paid ONCE here; every
+    * subsequent incremental round reads both tables pre-bucketed, so the
+    * candidate join and the verify join exchange only the DELTA (see
+    * [[minhashNearDupsIncremental]]) — at 10^10 accumulated docs that is
+    * the difference between re-shuffling the corpus per crawl round and
+    * shuffling a few million new rows.
+    */
+  def buildMinhashIndex(docs: DataFrame, table: String, path: String,
+      nBuckets: Int, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      hash: Column => Column = TextOps.fastHash): MinhashIndex = {
+    val (sigd, banded) = bandedSignatures(docs, idCol, textCol, k, bands,
+      rowsPerBand, hash, hashBandKeys = true)
+    graft.sources.BucketedStore.write(banded, s"${table}_bands",
+      s"$path/bands", nBuckets, "bandSig", Seq("bandSig", "band", "id"))
+    graft.sources.BucketedStore.write(sigd, s"${table}_sigs",
+      s"$path/sigs", nBuckets, "id", Seq("id"))
+    val spark = docs.sparkSession
+    MinhashIndex(
+      graft.sources.BucketedStore.read(spark, s"${table}_bands"),
+      graft.sources.BucketedStore.read(spark, s"${table}_sigs"))
+  }
+
+  /** INCREMENTAL near-dup detection — each crawl round's NEW docs against
+    * everything already indexed, plus within the delta itself: exactly
+    * the pairs `minhashNearDups(existing ∪ new)` emits that touch a new
+    * doc (the property spec states it as batch-minus-existing-pairs).
+    * Only the delta is tokenized, banded and shuffled; with a
+    * [[buildMinhashIndex]]-backed existing side both the candidate join
+    * (on bandSig) and the old-side signature verify (on id) read
+    * pre-bucketed tables — zero exchange on the corpus side
+    * (plan-locked in the spec). `existing` may also be ad-hoc
+    * (sigs, bands) frames — e.g. the slice-keyed oracle twin — at the
+    * cost of the corpus-side shuffle.
+    *
+    * Doc ids must be globally unique across existing and new (the crawl
+    * seen-set guarantees it). Returns (id_a, id_b, sig_sim) with
+    * id_a < id_b, ≥ minSignatureSim, at least one side new.
+    */
+  def minhashNearDupsIncremental(
+      newDocs: DataFrame,
+      existingBands: DataFrame,
+      existingSigs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minSignatureSim: Double = 0.5,
+      hash: Column => Column = TextOps.fastHash,
+      hashBandKeys: Boolean = true): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val (newSigs0, newBanded) = bandedSignatures(newDocs, idCol, textCol, k,
+      bands, rowsPerBand, hash, hashBandKeys)
+    val newSigs = newSigs0.persist()
+    val keys = bandJoinKeys(hashBandKeys)
+    // new-vs-existing: the delta side shuffles to the existing table's
+    // bucket layout (key = the one bucketed bandSig column); canonicalize
+    // pair order (new ids need not sort after existing ids)
+    val crossPairs = newBanded
+      .select((keys.map(col) :+ col("id").as("id_new")): _*)
+      .join(existingBands
+        .select((keys.map(col) :+ col("id").as("id_old")): _*), keys)
+      .select(least(col("id_old"), col("id_new")).as("id_a"),
+        greatest(col("id_old"), col("id_new")).as("id_b"))
+    // new-vs-new: the batch self-join shape, delta-sized
+    val selfPairs = newBanded
+      .select((keys.map(col) :+ col("id").as("id_a")): _*)
+      .join(newBanded.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candPairs = crossPairs.unionByName(selfPairs).distinct()
+    // verify: look each endpoint up in the existing and the new signature
+    // sets SEPARATELY — a union would force a corpus-sized re-shuffle of
+    // the existing signatures every round, while the split keeps the
+    // bucketed sigs table join exchange-free and only the delta moves.
+    // Ids are unique across the two sets; coalesce prefers the delta.
+    val verified = Seq("id_a", "id_b").foldLeft(candPairs) { (df, c) =>
+      df.join(existingSigs
+          .select(col("id").as(c), col("sig").as(s"__e$c")), Seq(c), "left")
+        .join(newSigs
+          .select(col("id").as(c), col("sig").as(s"__n$c")), Seq(c), "left")
+        .withColumn(s"__sig$c", coalesce(col(s"__n$c"), col(s"__e$c")))
+        .drop(s"__e$c", s"__n$c")
+    }
+    verified
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("__sigid_a"), col("__sigid_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+          .as("sig_sim"))
       .filter(col("sig_sim") >= minSignatureSim)
   }
 

@@ -89,6 +89,77 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  // existing-side frames for the incremental entry, via the shared front end
+  private def existingSigsOf(df: org.apache.spark.sql.DataFrame) =
+    Dedup.bandedSignatures(df, "doc_id", "text", 3, 4, 4,
+      TextOps.fastHash, hashBandKeys = true)._1
+  private def existingBandsOf(df: org.apache.spark.sql.DataFrame,
+      hashed: Boolean) =
+    Dedup.bandedSignatures(df, "doc_id", "text", 3, 4, 4,
+      TextOps.fastHash, hashed)._2
+
+  test("incremental minhash dedup = batch pairs touching a new doc, any split") {
+    // a richer corpus: planted dup clusters spread across the id space so
+    // splits cut through clusters (new-vs-existing AND new-vs-new pairs)
+    val corpus = (0L until 30L).map { i =>
+      val base = (i % 5) match {
+        case 0 => "the quick brown fox jumps over the lazy dog"
+        case 1 => "the quick brown fox jumps over the lazy cat"
+        case 2 => "pack my box with five dozen liquor jugs today"
+        case 3 => "pack my box with five dozen liquor jugs tonight"
+        case _ => s"unique filler text number $i about engines"
+      }
+      (i, base)
+    }.toDF("doc_id", "text")
+    for (split <- Seq(10L, 20L); hashed <- Seq(true, false)) {
+      val existing = corpus.filter($"doc_id" < split)
+      val fresh = corpus.filter($"doc_id" >= split)
+      val batch = Dedup.minhashNearDups(corpus, hashBandKeys = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expect = batch.filter { case (a, b, _) => a >= split || b >= split }
+      val got = Dedup.minhashNearDupsIncremental(fresh,
+        existingBandsOf(existing, hashed), existingSigsOf(existing),
+        hashBandKeys = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect, s"split=$split hashed=$hashed")
+    }
+  }
+
+  test("incremental minhash over a bucketed index: zero corpus-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = graft.TestSpark.tmpDir("mh-index")
+    try {
+      val corpus = (0L until 400L).map(i =>
+        (i, s"text number ${i % 37} about topic ${i % 11} repeated words"))
+        .toDF("doc_id", "text")
+      val idx = Dedup.buildMinhashIndex(corpus.filter($"doc_id" < 300),
+        "mh_inc", dir, nBuckets = 8)
+      val fresh = corpus.filter($"doc_id" >= 300)
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val viaIndex = Dedup.minhashNearDupsIncremental(fresh, idx.bands, idx.sigs)
+      val adHoc = Dedup.minhashNearDupsIncremental(fresh,
+        existingBandsOf(corpus.filter($"doc_id" < 300), hashed = true),
+        existingSigsOf(corpus.filter($"doc_id" < 300)))
+      // fewer exchanges with the bucketed index (corpus side pre-laid-out),
+      // identical answers
+      assert(exchanges(viaIndex).size < exchanges(adHoc).size,
+        s"index=${exchanges(viaIndex).size} adhoc=${exchanges(adHoc).size}")
+      val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = adHoc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.nonEmpty)
+    } finally {
+      Seq("mh_inc_bands", "mh_inc_sigs").foreach(
+        graft.sources.BucketedStore.drop(spark, _))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("simhash near-dups return EXACTLY the pairs within maxHamming (pigeonhole recall)") {
     // 40 varied docs; ground truth = exhaustive hamming over collected signatures
     val corpus = (0 until 40).map { i =>
