@@ -678,6 +678,23 @@ object SparkEntry {
       Dedup.minhashNearDups(t(s, d, "documents").filter(col("doc_id") < 150),
         hash = TextOps.portableHash, hashBandKeys = false)),
 
+    // incremental embedding dedup: vectors 200..399 arrive as a delta and
+    // are LSH-checked against the indexed 0..199 plus each other; the
+    // oracle is the batch replay gated to pairs whose canonical upper id
+    // is new (exact because pairs are a < b)
+    "q_dedup_embed_inc" -> ((s, d) => {
+      val base = t(s, d, "embeddings").filter(col("vec_id") < 400)
+      val existing = base.filter(col("vec_id") < 200)
+      val exBands = Dedup.embeddingKeyed(existing, 12, 3, "vec_id",
+        "embedding", hashKeys = false)
+      val exVecs = existing
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .withColumn("norm", Similarity.l2norm(col("v")))
+      Dedup.embeddingNearDupsLshIncremental(
+        base.filter(col("vec_id") >= 200), exBands, exVecs,
+        threshold = 0.35, bands = 12, bitsPerBand = 3, hashKeys = false)
+    }),
+
     // incremental dedup: docs 100..149 arrive as a crawl round's delta and
     // are checked against the already-indexed 0..99 plus each other — only
     // the delta tokenizes/bands/shuffles; equals the batch pairs touching
@@ -3103,6 +3120,10 @@ object SparkEntry {
     "q_sim_lsh_ann" -> lshAnnOracle,
 
     "q_dedup_embed_lsh" -> embedLshOracle("WHERE vec_id < 400", 12, 3, 0.35),
+
+    // batch replay gated to pairs whose canonical upper id is in the delta
+    "q_dedup_embed_inc" -> (embedLshOracle("WHERE vec_id < 400", 12, 3, 0.35)
+      .replace("WHERE cosine >= 0.35", "WHERE cosine >= 0.35 AND id_b >= 200")),
 
     "q_dedup_embed_lsh_prod" -> embedLshOracle("", 20, 10, 0.35),
 

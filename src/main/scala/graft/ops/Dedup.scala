@@ -509,6 +509,105 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** (id, band, key) sign-LSH band keys for `embeddings`; with `hashKeys`,
+    * adds the single-column `bkey = xxhash64(band, key)` the bucketed
+    * incremental index joins on (a key collision only adds a candidate —
+    * the exact cosine verify rejects it).
+    */
+  private[graft] def embeddingKeyed(embeddings: DataFrame, bands: Int,
+      bitsPerBand: Int, idCol: String, vecCol: String,
+      hashKeys: Boolean): DataFrame = {
+    val first = embeddings.select(size(col(vecCol))).take(1)
+    require(first.nonEmpty, "embeddings must be non-empty to derive dim")
+    val dim = first(0).getInt(0)
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
+    val keyed = embeddings
+      .select(col(idCol).as("id"), posexplode(
+        graft.functions.LshExpressions.bandKeys(col(vecCol), planes, bands, bitsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    if (hashKeys) keyed.withColumn("bkey", xxhash64(col("band"), col("key")))
+    else keyed
+  }
+
+  /** Persisted sign-LSH index of an already-deduped embedding corpus —
+    * the [[MinhashIndex]] pattern for the embedding family: band keys
+    * bucketed by `bkey`, vectors+norms bucketed by `id`.
+    */
+  final case class EmbeddingLshIndex(bands: DataFrame, vecs: DataFrame)
+
+  def buildEmbeddingLshIndex(embeddings: DataFrame, table: String,
+      path: String, nBuckets: Int, bands: Int = 20, bitsPerBand: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): EmbeddingLshIndex = {
+    val keyed = embeddingKeyed(embeddings, bands, bitsPerBand, idCol, vecCol,
+      hashKeys = true).select("id", "bkey")
+    graft.sources.BucketedStore.write(keyed, s"${table}_bands",
+      s"$path/bands", nBuckets, "bkey", Seq("bkey", "id"))
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    graft.sources.BucketedStore.write(vecs, s"${table}_vecs",
+      s"$path/vecs", nBuckets, "id", Seq("id"))
+    val spark = embeddings.sparkSession
+    EmbeddingLshIndex(
+      graft.sources.BucketedStore.read(spark, s"${table}_bands"),
+      graft.sources.BucketedStore.read(spark, s"${table}_vecs"))
+  }
+
+  /** Incremental embedding near-dups — each round's new vectors against
+    * the indexed corpus plus each other; equals the batch
+    * [[embeddingNearDupsLsh]] pairs touching a new id (property spec).
+    * Same physical discipline as [[minhashNearDupsIncremental]]: only the
+    * delta computes band keys and shuffles; with a
+    * [[buildEmbeddingLshIndex]]-backed existing side the candidate join
+    * and the old-side vector verify read pre-bucketed tables. `existing*`
+    * may also be ad-hoc frames (e.g. the slice-keyed oracle twin with
+    * `hashKeys = false` — then `existingBands` carries (id, band, key)).
+    * Ids must be globally unique across existing and new.
+    */
+  def embeddingNearDupsLshIncremental(
+      newEmbeddings: DataFrame,
+      existingBands: DataFrame,
+      existingVecs: DataFrame,
+      threshold: Double,
+      bands: Int = 20,
+      bitsPerBand: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      hashKeys: Boolean = true): DataFrame = {
+    val keys = if (hashKeys) Seq("bkey") else Seq("band", "key")
+    val newKeyed = embeddingKeyed(newEmbeddings, bands, bitsPerBand, idCol,
+      vecCol, hashKeys)
+    val crossPairs = newKeyed
+      .select((keys.map(col) :+ col("id").as("id_new")): _*)
+      .join(existingBands
+        .select((keys.map(col) :+ col("id").as("id_old")): _*), keys)
+      .select(least(col("id_old"), col("id_new")).as("id_a"),
+        greatest(col("id_old"), col("id_new")).as("id_b"))
+    val selfPairs = newKeyed
+      .select((keys.map(col) :+ col("id").as("id_a")): _*)
+      .join(newKeyed.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candPairs = crossPairs.unionByName(selfPairs).distinct()
+    val newVecs = newEmbeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    // separate existing/new lookups — never a corpus-re-shuffling union
+    val verified = Seq("id_a", "id_b").foldLeft(candPairs) { (df, c) =>
+      df.join(existingVecs.select(col("id").as(c), col("v").as(s"__ev$c"),
+          col("norm").as(s"__en$c")), Seq(c), "left")
+        .join(newVecs.select(col("id").as(c), col("v").as(s"__nv$c"),
+          col("norm").as(s"__nn$c")), Seq(c), "left")
+        .withColumn(s"__v$c", coalesce(col(s"__nv$c"), col(s"__ev$c")))
+        .withColumn(s"__n$c", coalesce(col(s"__nn$c"), col(s"__en$c")))
+        .drop(s"__ev$c", s"__en$c", s"__nv$c", s"__nn$c")
+    }
+    verified
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("__vid_a"), col("__vid_b")) /
+          (col("__nid_a") * col("__nid_b")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, exact within
     * an id subset (brute force is quadratic — gate the subset; the scale
     * path is [[embeddingNearDupsLsh]]).

@@ -160,6 +160,58 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental embedding LSH = batch pairs touching a new id; bucketed index sheds exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // planted clusters around 4 centroids, ids interleaved so any split
+    // cuts clusters (cross and self pairs on the delta)
+    val embs = (0L until 60L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(8)(d => if (d == c * 2) 1.0f else 0.05f * ((i + d) % 3))
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val split = 40L
+    val existing = embs.filter($"vec_id" < split)
+    val fresh = embs.filter($"vec_id" >= split)
+    val batch = Dedup.embeddingNearDupsLsh(embs, 0.8, bands = 6, bitsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = batch.filter { case (a, b) => a >= split || b >= split }
+    // ad-hoc existing side (slice-keyed, the oracle shape)
+    val exBands = Dedup.embeddingKeyed(existing, 6, 3, "vec_id", "embedding",
+      hashKeys = false)
+    val exVecs = existing.select($"vec_id".as("id"), $"embedding".as("v"))
+      .withColumn("norm", graft.ops.Similarity.l2norm($"v"))
+    val got = Dedup.embeddingNearDupsLshIncremental(fresh, exBands, exVecs,
+      0.8, bands = 6, bitsPerBand = 3, hashKeys = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty, s"got $got expect $expect")
+    // bucketed index: fewer exchanges, same answers
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = graft.TestSpark.tmpDir("emb-index")
+      val idx = Dedup.buildEmbeddingLshIndex(existing, "emb_inc", dir, 8,
+        bands = 6, bitsPerBand = 3)
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val viaIndex = Dedup.embeddingNearDupsLshIncremental(fresh, idx.bands,
+        idx.vecs, 0.8, bands = 6, bitsPerBand = 3)
+      val adHoc = Dedup.embeddingNearDupsLshIncremental(fresh,
+        Dedup.embeddingKeyed(existing, 6, 3, "vec_id", "embedding", hashKeys = true),
+        exVecs, 0.8, bands = 6, bitsPerBand = 3)
+      assert(exchanges(viaIndex).size < exchanges(adHoc).size,
+        s"index=${exchanges(viaIndex).size} adhoc=${exchanges(adHoc).size}")
+      val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == expect)
+    } finally {
+      Seq("emb_inc_bands", "emb_inc_vecs").foreach(
+        graft.sources.BucketedStore.drop(spark, _))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("simhash near-dups return EXACTLY the pairs within maxHamming (pigeonhole recall)") {
     // 40 varied docs; ground truth = exhaustive hamming over collected signatures
     val corpus = (0 until 40).map { i =>
