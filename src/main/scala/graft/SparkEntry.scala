@@ -962,6 +962,17 @@ object SparkEntry {
         budget = 10000L)
         .select("doc_id", "n_tokens", "cum_tokens")),
 
+    // equal-token export shards (~2k tokens each) over (quality-proxy
+    // desc, id) — whole docs, shard boundary where the cumulative START
+    // crosses a multiple; the prefix sum is the same range-exchange +
+    // driver-offset recipe, never a single-task window
+    "q_sample_shards" -> ((s, d) =>
+      graft.ops.Sampling.shardByTokens(
+        t(s, d, "documents").select("doc_id", "text"),
+        Seq(size(split(col("text"), "\\s+")).desc, col("doc_id").asc),
+        shardTokens = 2000L)
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")),
+
     // exact heavy hitters: top-5 most active users per event type via the
     // two-phase salted window (a hot group ranks across 16 tasks first)
     "q_heavy_hitters" -> ((s, d) =>
@@ -2728,6 +2739,20 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
+    "q_sample_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
 
     "q_search_phrase" ->
       """WITH t AS (

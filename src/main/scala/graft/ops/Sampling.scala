@@ -222,6 +222,42 @@ object Sampling {
       budget: Long, textCol: String = "text",
       partitions: Int = 0): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
+    val (cum, release) = cumTokens(docs, order, textCol, partitions)
+    (cum.filter(col("cum_tokens") <= budget), release)
+  }
+
+  /** Equal-token export SHARDS over a caller-chosen total order — the step
+    * that turns a curated corpus into the fixed-size training-ingest files
+    * a data loader expects: whole documents assigned to consecutive shards
+    * of ~`shardTokens` tokens each (a doc never splits; shard boundaries
+    * land where its cumulative START crosses a multiple — exactly
+    * [[packSequences]]' `seq_id` rule, applied to an arbitrary order).
+    * Same distributed prefix-sum as [[selectByTokenBudget]] — never a
+    * single-task cumulative window. Returns input + `n_tokens` +
+    * `cum_tokens` (inclusive) + `shard_id` (0-based); downstream, write
+    * with `.partitionBy("shard_id")` or repartition on it.
+    */
+  def shardByTokens(docs: DataFrame, order: Seq[Column], shardTokens: Long,
+      textCol: String = "text", partitions: Int = 0): DataFrame =
+    shardByTokensReleasable(docs, order, shardTokens, textCol, partitions)._1
+
+  def shardByTokensReleasable(docs: DataFrame, order: Seq[Column],
+      shardTokens: Long, textCol: String = "text",
+      partitions: Int = 0): (DataFrame, () => Unit) = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val (cum, release) = cumTokens(docs, order, textCol, partitions)
+    (cum.withColumn("shard_id",
+      expr(s"(cum_tokens - n_tokens) div ${shardTokens}L")), release)
+  }
+
+  /** Shared prefix-sum core: input + `n_tokens` + inclusive `cum_tokens`
+    * over the given total order — range exchange (each task sorts its
+    * slice), per-partition token totals prefix-summed on the driver, the
+    * cumulative count = within-partition running sum + broadcast offset.
+    * `order` must be total (unique tiebreaker last).
+    */
+  private def cumTokens(docs: DataFrame, order: Seq[Column],
+      textCol: String, partitions: Int): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "need at least one priority column")
     val spark = docs.sparkSession
     val nPart =
@@ -246,7 +282,6 @@ object Sampling {
       else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
     val out = ranged
       .withColumn("cum_tokens", sum("n_tokens").over(w) + offsetCol)
-      .filter(col("cum_tokens") <= budget)
       .drop("__pid")
     (out, () => { ranged.unpersist(blocking = false); () })
   }

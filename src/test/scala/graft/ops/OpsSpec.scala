@@ -2167,6 +2167,30 @@ class SearchOpsSpec extends AnyFunSuite {
     release()
   }
 
+  test("shardByTokens: packSequences' start-based rule over a priority order") {
+    val rows = (1L to 50L).map(i =>
+      (i, ("t " * (i % 5 + 1).toInt).trim, i * 17 % 9))
+    val df = rows.toDF("doc_id", "text", "pri")
+    val ordered = rows.sortBy { case (id, _, p) => (-p, id) }
+    val starts = ordered.scanLeft(0L)((acc, r) => acc + (r._1 % 5 + 1)).init
+    val expect = ordered.zip(starts)
+      .map { case ((id, _, _), st) => (id, st / 20L) }.toSet
+    for (parts <- Seq(1, 4, 16)) {
+      val got = graft.ops.Sampling.shardByTokens(df.repartition(7),
+        Seq($"pri".desc, $"doc_id".asc), shardTokens = 20L, partitions = parts)
+        .select("doc_id", "shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"parts=$parts")
+    }
+    // whole docs only: every shard's docs are contiguous in the order
+    val byShard = expect.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val pos = ordered.map(_._1).zipWithIndex.toMap
+    byShard.values.foreach { ids =>
+      val ps = ids.map(pos).toSeq.sorted
+      assert(ps == (ps.head to ps.last), s"non-contiguous shard: $ids")
+    }
+  }
+
   test("bm25TopK agrees with the exact form on the planted winner and set") {
     val exact = SearchOps.searchTopK(docs, Seq("zebra", "hash"), k = 3)
       .collect().map(_.getLong(0))
