@@ -1659,7 +1659,61 @@ object SparkEntry {
     // q_event_quantiles, ranks walked over the (type, cents) histogram —
     // no raw-row sort anywhere in the plan (PlanSpec asserts it)
     "q_event_quantiles_hist" -> ((s, d) =>
-      EventOps.valueQuantilesHistogram(t(s, d, "events")))
+      EventOps.valueQuantilesHistogram(t(s, d, "events"))),
+
+    // time-bounded correlation: purchases within 5 min AFTER each error —
+    // the epsilon-join as an equi-join on Δ-wide time buckets (bounded 2×
+    // probe explode), never a nested-loop range join; rolled up per left
+    // event so the row count is bounded by the left side
+    "q_event_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventOps.intervalJoin(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("l_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("r_id"), col("ts")),
+        windowSeconds = 300L)
+        .groupBy(col("l_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("delta_us")).as("min_delta_us"))
+    }),
+
+    // keyset-paged composite aggregation (the ES composite agg): one page
+    // of 6 (event_type, day) groups strictly after the cursor; the keyset
+    // predicate filters RAW rows below the aggregation, the page cut is
+    // TakeOrderedAndProject — no offset skip, no global sort
+    "q_agg_composite" -> ((s, d) =>
+      EventOps.compositeAgg(
+        t(s, d, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("event_type", "day"), pageSize = 6,
+        afterKey = Seq("error", "2024-01-05"))),
+
+    // corpus trigram table with a count floor — map-side window expansion,
+    // one vocabulary-bounded aggregation, singletons die inside the agg
+    "q_text_ngrams" -> ((s, d) =>
+      TextOps.ngramCounts(t(s, d, "documents"), n = 3, minCount = 3L)),
+
+    // collocation mining: bigram lift in integer ticks (decimal(38,0)
+    // cross-multiplied — log-PMI would reintroduce the libm hazard and
+    // orders identically), two-phase salted top-k
+    "q_text_colloc" -> ((s, d) =>
+      TextOps.collocations(t(s, d, "documents"), k = 15, minCount = 20L)),
+
+    // epoch-weighted mixture materialization: src0 ×2.5, src1 dropped,
+    // src2 ×1.25, rest ×1 — floor copies + deterministic-bucket extras,
+    // pure map-side explode, no exchange
+    "q_sample_epochs" -> ((s, d) =>
+      graft.ops.Sampling.epochMixture(
+        t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 1.25),
+        defaultEpochs = 1.0)),
+
+    // substring (wildcard) search: trigram-cover prefilter + exact verify
+    // on the candidates only — the corpus never pays per-row contains
+    "q_search_wildcard" -> ((s, d) =>
+      graft.ops.SearchOps.wildcardSearch(t(s, d, "documents"), "rt filter"))
   )
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
@@ -3673,7 +3727,87 @@ object SparkEntry {
     // same funnel / same quantiles — the bounded-state twins must be
     // output-identical, so each shares its plain form's oracle definition
     "q_event_funnel_bucketed" -> funnelOracle,
-    "q_event_quantiles_hist" -> quantilesOracle
+    "q_event_quantiles_hist" -> quantilesOracle,
+
+    // interval-join replay: DuckDB's native range join (IEJoin) — the
+    // engine's bucketed equi-join must produce the identical pair set
+    "q_event_interval_join" ->
+      """SELECT l.event_id AS l_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS min_delta_us
+        |FROM events l JOIN events r
+        |  ON r.ts >= l.ts AND epoch_us(r.ts) <= epoch_us(l.ts) + 300000000
+        |WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "q_agg_composite" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events
+        |WHERE event_type > 'error'
+        |   OR (event_type = 'error' AND strftime(ts, '%Y-%m-%d') > '2024-01-05')
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 6""".stripMargin,
+
+    // trigram windows: 1-based inclusive list slice t[i:i+2] = 3 tokens
+    "q_text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT array_to_string(t[i:i+2], ' ') AS ngram
+        |  FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i FROM toks))
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    // bigram lift ticks via HUGEINT cross-multiplied floor division —
+    // the q_sig_terms integer-exactness recipe
+    "q_text_colloc" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  GROUP BY 1 HAVING count(*) >= 20),
+        |big AS (
+        |  SELECT ngram, count(*) AS cnt FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS ngram
+        |    FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM toks))
+        |  GROUP BY 1 HAVING count(*) >= 20),
+        |nu AS (SELECT count(*) AS total_u FROM (SELECT unnest(t) FROM toks)),
+        |nb AS (SELECT sum(greatest(len(t)-1, 0)) AS total_b FROM toks),
+        |sc AS (
+        |  SELECT b.ngram AS bigram, b.cnt, ux.c AS cx, uy.c AS cy,
+        |    CAST((1000000::HUGEINT * b.cnt * nu.total_u * nu.total_u) //
+        |         (CAST(nb.total_b AS HUGEINT) * ux.c * uy.c) AS BIGINT)
+        |      AS lift_ticks
+        |  FROM big b
+        |  JOIN uni ux ON ux.term = string_split(b.ngram, ' ')[1]
+        |  JOIN uni uy ON uy.term = string_split(b.ngram, ' ')[2]
+        |  CROSS JOIN nu CROSS JOIN nb)
+        |SELECT bigram, cnt, cx, cy, lift_ticks, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY lift_ticks DESC, bigram)
+        |        AS rank FROM sc)
+        |WHERE rank <= 15""".stripMargin,
+
+    // repeat factors: floor(w) + (bucket < frac-threshold), the
+    // deterministicSplit bucket arithmetic, copies via generate_series
+    "q_sample_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+        |                 WHEN 'src2' THEN 1 ELSE 1 END)
+        |    + (CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 <
+        |        (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+        |                     WHEN 'src2' THEN 2500 ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS reps
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS copy_idx
+        |FROM w WHERE reps > 0""".stripMargin,
+
+    // the trigram prefilter is exact after verify, so the oracle is the
+    // plain contains scan; 7 = distinct trigrams of 'rt filter'
+    "q_search_wildcard" ->
+      """SELECT doc_id, CAST(7 AS INTEGER) AS n_query_trigrams
+        |FROM documents WHERE contains(lower(text), 'rt filter')""".stripMargin
   )
 
   /** Depth-free crawl-reachability replay (the redirect/status crawls run

@@ -466,4 +466,119 @@ object EventOps {
         min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("cents")))
           .as("p90_cents"))
   }
+
+  /** Time-bounded event correlation ("what followed X within Δ"): every
+    * (left, right) pair with `r_us` in the INCLUSIVE window
+    * `[l_us, l_us + windowSeconds]`, optionally further constrained to
+    * equal `keyCols`. This is the range join behind alert triage
+    * (errors → the fetches that followed), attribution (click → purchase
+    * within the hour), and crawl forensics (robots change → fetch-rate
+    * shift) — the reference leaves it to Elasticsearch range filters per
+    * doc; here it is one declarative operator.
+    *
+    * Scale shape — an EQUI-join on a derived time-bucket key, never a
+    * range join: with no key columns the naive form
+    * `l JOIN r ON r.ts BETWEEN l.ts AND l.ts+Δ` has no equi-condition, so
+    * Spark plans a BroadcastNestedLoopJoin — a full cartesian scan per
+    * partition, quadratic at corpus scale. Instead both sides bucket time
+    * into Δ-wide cells: a right event lives in exactly ONE bucket
+    * `floor(r/Δ)`; a qualifying pair satisfies
+    * `floor(r/Δ) ∈ {floor(l/Δ), floor(l/Δ)+1}`, so the left side
+    * duplicates into those two probe buckets (a bounded 2× explode — the
+    * canonical epsilon-join construction) and the join is a plain
+    * shuffled equi-join on (keyCols…, bucket) with the range check as a
+    * cheap post-filter. Each pair matches exactly one probe (the two
+    * probe buckets differ), so no dedup pass is needed. The property
+    * spec pins equality against the naive cross+filter form; the bench
+    * measures the gap. Pairs output = one row per match — callers
+    * aggregate (the driver row rolls up per left event) when the match
+    * multiplicity is itself large. Event times must be ≥ epoch (the
+    * bucket id uses truncating `div`, which equals floor only for
+    * non-negative µs — the [[retention]] caveat).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
+      keyCols: Seq[String] = Nil, lIdCol: String = "l_id",
+      rIdCol: String = "r_id", tsCol: String = "ts"): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val w = windowSeconds * 1000000L
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(lIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("l_us")): _*)
+      .withColumn("__probe", explode(array(lit(0L), lit(1L))))
+      .withColumn("__b", expr(s"l_us div ${w}L") + col("__probe"))
+      .drop("__probe")
+    val r = right.select(
+      keyCols.map(c => col(c).as(s"__rk_$c")) ++ Seq(col(rIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("r_us")): _*)
+      .withColumn("__b", expr(s"r_us div ${w}L"))
+    val keyEq = keyCols.map(c => l(c) === r(s"__rk_$c"))
+    val cond = (keyEq :+ (l("__b") === r("__b")))
+      .reduce(_ && _) && r("r_us").between(l("l_us"), l("l_us") + w)
+    l.join(r, cond)
+      .select(keyCols.map(l(_)) ++
+        Seq(l(lIdCol), r(rIdCol), col("l_us"), col("r_us"),
+          (col("r_us") - col("l_us")).as("delta_us")): _*)
+  }
+
+  /** Reference (non-scale) twin of [[intervalJoin]]: the literal range
+    * join — no bucket key, so Spark is forced into the nested-loop plan.
+    * Exists for the property spec and as the bench's naive leg.
+    */
+  def intervalJoinNaive(left: DataFrame, right: DataFrame,
+      windowSeconds: Long, keyCols: Seq[String] = Nil,
+      lIdCol: String = "l_id", rIdCol: String = "r_id",
+      tsCol: String = "ts"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(lIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("l_us")): _*)
+    val r = right.select(
+      keyCols.map(c => col(c).as(s"__rk_$c")) ++ Seq(col(rIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("r_us")): _*)
+    val keyEq = keyCols.map(c => l(c) === r(s"__rk_$c"))
+    val cond = (keyEq :+ r("r_us").between(l("l_us"), l("l_us") + w))
+      .reduce(_ && _)
+    l.join(r, cond)
+      .select(keyCols.map(l(_)) ++
+        Seq(l(lIdCol), r(rIdCol), col("l_us"), col("r_us"),
+          (col("r_us") - col("l_us")).as("delta_us")): _*)
+  }
+
+  /** Keyset-paged group aggregation — the scalable "page through ALL
+    * groups" surface (Elasticsearch's `composite` aggregation; the
+    * reference's users page scraped-doc rollups exactly this way).
+    * Returns the first `pageSize` groups in ascending `keyCols` order
+    * whose key tuple sorts strictly AFTER `afterKey` (empty = first
+    * page), with per-group event counts. Page N+1 passes page N's last
+    * key tuple — no offset, no global row numbering.
+    *
+    * Scale shape: the keyset predicate is a lexicographic comparison on
+    * the RAW rows, applied BEFORE the aggregation — it prunes at the
+    * scan (partition-prunable when the leading key is a partition
+    * column), and deep pages get CHEAPER as the cursor advances, where
+    * an offset-based pager re-aggregates and re-skips everything before
+    * the page. The aggregation is one map-side-combinable count keyed by
+    * the group tuple; the page cut is `orderBy(keys).limit(pageSize)`,
+    * which Spark plans as TakeOrderedAndProject — per-partition top-N
+    * heaps merged on the driver, never a global sort.
+    */
+  def compositeAgg(df: DataFrame, keyCols: Seq[String], pageSize: Int,
+      afterKey: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && pageSize > 0,
+      "keyCols must be non-empty and pageSize positive")
+    require(afterKey.isEmpty || afterKey.length == keyCols.length,
+      "afterKey must match keyCols arity")
+    // lexicographic (k1,k2,…) > (a1,a2,…), built innermost-out:
+    // k1 > a1 OR (k1 = a1 AND (k2 > a2 OR (…)))
+    val keyset =
+      if (afterKey.isEmpty) lit(true)
+      else keyCols.zip(afterKey).foldRight(lit(false): Column) {
+        case ((k, a), rest) => col(k) > lit(a) || (col(k) === lit(a) && rest)
+      }
+    df.filter(keyset)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(keyCols.map(col(_).asc): _*)
+      .limit(pageSize)
+  }
 }

@@ -285,4 +285,49 @@ object Sampling {
       .drop("__pid")
     (out, () => { ranged.unpersist(blocking = false); () })
   }
+
+  /** Epoch-weighted mixture MATERIALIZATION — the repeat-factor step of a
+    * training data recipe ("Wikipedia ×3.2, CommonCrawl ×0.8"): each row
+    * replicates `w = epochs(stratum)` times, where fractional weights
+    * resolve per-row — `floor(w)` guaranteed copies plus one more iff the
+    * row's deterministic bucket draw falls below `frac(w)` (the same
+    * integer [[bucketOf]] threshold as [[deterministicSplit]], so the
+    * extra-copy set is stable across runs, partitionings, engines, and
+    * cluster sizes — and for a given id it NESTS as the weight grows).
+    * Unlike [[mixtureSample]] (which only DOWN-samples to hit shares),
+    * this is the upsampling form training ingest actually consumes; the
+    * output carries `copy_idx` (0-based) so downstream shuffles/packing
+    * see distinct rows. Strata without a weight take `defaultEpochs`.
+    *
+    * Scale shape: pure map-side — weight lookup folds into the plan as a
+    * literal map, the replication is `explode(sequence(0, reps-1))` (rows
+    * expand in place, no exchange, whole-stage codegen), and a `reps=0`
+    * row drops before the explode. The output inherits the input's
+    * partitioning; nothing collects to the driver.
+    */
+  def epochMixture(df: DataFrame, idCol: String, strataCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch weights must be non-negative")
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ < 1000),
+      "epoch weights ≥ 1000 are almost certainly a unit error")
+    // per-stratum (floor, frac-threshold in integer buckets), as literals
+    def parts(w: Double): (Long, Long) =
+      (math.floor(w).toLong, math.round((w - math.floor(w)) * Buckets))
+    val floorCol =
+      if (epochs.isEmpty) lit(parts(defaultEpochs)._1)
+      else coalesce(
+        element_at(typedlit(epochs.map { case (s, w) => s -> parts(w)._1 }),
+          col(strataCol)), lit(parts(defaultEpochs)._1))
+    val fracCol =
+      if (epochs.isEmpty) lit(parts(defaultEpochs)._2)
+      else coalesce(
+        element_at(typedlit(epochs.map { case (s, w) => s -> parts(w)._2 }),
+          col(strataCol)), lit(parts(defaultEpochs)._2))
+    df.withColumn("__reps",
+        floorCol + when(bucketOf(col(idCol)) < fracCol, 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
+  }
 }

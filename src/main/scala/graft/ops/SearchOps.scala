@@ -727,4 +727,54 @@ object SearchOps {
     import spark.implicits._
     query.map(("q", _)).toDF("query_id", "term")
   }
+
+  /** Substring ("wildcard") search — Elasticsearch's `*needle*` query
+    * over the doc store, answered with a TRIGRAM prefilter instead of a
+    * corpus-wide scan-and-match: a doc can contain `needle` only if its
+    * text contains every trigram of `needle`, so candidates are docs
+    * whose trigram sets cover the query's (distinct-trigram hit count ==
+    * query trigram count), and only candidates pay the exact `contains`
+    * verify. Exact by the necessary-condition argument (the verify step
+    * removes trigram-coincidence false positives; no true match is lost
+    * because containment implies every trigram is present). Returns
+    * (idCol, n_query_trigrams) for each matching doc. Queries shorter
+    * than 3 chars fall back to the direct scan — they have no trigram.
+    *
+    * Scale shape: the doc-side trigram explode filters to the query's
+    * trigram set IN THE SAME projection (an `array_intersect` against a
+    * plan-literal array — map-side, so the aggregation input carries only
+    * (doc, matched-trigram) pairs for the ≤ |needle|−2 query trigrams,
+    * not the corpus's full trigram stream); the cover check is one
+    * map-side-combinable distinct-count keyed by doc; the verify is a
+    * semi-join-shaped filter on the surviving candidates only. With a
+    * PERSISTED trigram index (the [[buildIndex]] pattern) the explode
+    * pass would be replaced by an index lookup; inline, the win is that
+    * the expensive per-row `contains` runs on candidates instead of the
+    * corpus — and the trigram projection prunes to ONE column read.
+    */
+  def wildcardSearch(docs: DataFrame, needle: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(needle.nonEmpty, "needle must be non-empty")
+    val lowered = needle.toLowerCase
+    val grams = lowered.sliding(3).toSeq.distinct
+    if (lowered.length < 3)
+      return docs.filter(contains(lower(col(textCol)), lit(lowered)))
+        .select(col(idCol), lit(0).as("n_query_trigrams"))
+    val qGrams = array(grams.map(lit): _*)
+    val candidates = docs
+      .select(col(idCol),
+        explode(array_intersect(
+          transform(sequence(lit(1), length(lower(col(textCol))) - 2),
+            i => lower(col(textCol)).substr(i, lit(3))),
+          qGrams)).as("__g"))
+      // array_intersect already dedups, so a plain count IS the distinct
+      // cover count — no countDistinct expand needed
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === grams.length)
+      .select(col(idCol))
+    docs.join(candidates, idCol)
+      .filter(contains(lower(col(textCol)), lit(lowered)))
+      .select(col(idCol), lit(grams.length).as("n_query_trigrams"))
+  }
 }

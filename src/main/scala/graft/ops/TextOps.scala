@@ -579,4 +579,96 @@ object TextOps {
         case (acc, (l, r)) =>
           graft.functions.TextExpressions.mergePair(acc, l, r)
       }))
+
+  /** Corpus n-gram counts with a count floor — the statistics pass every
+    * LM data pipeline runs (KN smoothing tables, contamination n-gram
+    * blocklists, memorization audits): each document's token stream
+    * yields its `n`-token windows; windows count corpus-wide; grams below
+    * `minCount` drop. Returns (ngram, cnt) with space-joined grams.
+    *
+    * Scale shape: the window expansion is a per-row `transform` over the
+    * token array (map-side, no exchange, whole-stage codegen — the same
+    * `sequence`/`slice` construction as [[chunkDocuments]]); the count is
+    * ONE aggregation keyed by the gram with map-side partial combine, so
+    * the exchange carries (gram, partial-count) pairs bounded by the
+    * distinct-gram vocabulary per partition, not by corpus positions.
+    * The `minCount` filter runs post-aggregation (it must see global
+    * counts) but pre-materialization — singleton grams (the long tail,
+    * typically >80% of distinct grams at n≥3) never leave the agg.
+    */
+  def ngramCounts(docs: DataFrame, n: Int, minCount: Long = 2L,
+      textCol: String = "text"): DataFrame = {
+    require(n > 0 && minCount >= 1, "n and minCount must be positive")
+    docs
+      .select(explode(ngrams(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Space-joined `n`-token windows of a token-array column (empty array
+    * when the document has fewer than `n` tokens — the guard is explicit
+    * because Spark's `sequence(1, 0)` DESCENDS instead of being empty).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Collocation mining — bigrams that co-occur far more than their parts
+    * predict (the "New York" detector; phrase vocabularies for tokenizers
+    * and query segmentation come from exactly this table). Association is
+    * LIFT in integer ticks:
+    *   lift = P(xy) / (P(x)·P(y)) = (c_xy / Nb) / ((c_x/Nu)·(c_y/Nu))
+    *   lift_ticks = floor(1e6 · c_xy · Nu² / (Nb · c_x · c_y))
+    * computed by ONE decimal(38,0) cross-multiplied division — exact and
+    * engine-identical while 1e6·c_xy·Nu² < 1e38 (Nu ≈ 10¹² tokens with
+    * c_xy ≤ 10⁸ fits; the bound is documented, not silent — beyond it the
+    * decimal overflows loudly). Lift rather than log-PMI KEEPS the score
+    * in integer arithmetic: log-PMI would reintroduce the libm-ulp
+    * hazard [[lmSurprisal]] documents, and the two orderings are
+    * identical (log is monotone). Returns the top `k` bigrams with both
+    * unigram counts above `minCount`, ranked by (lift_ticks desc, bigram
+    * asc).
+    *
+    * Scale shape: two vocabulary-bounded aggregations (bigram counts,
+    * unigram counts) + two joins of the bigram table against the unigram
+    * table keyed on a single term — all exchanges carry (term, count)
+    * pairs; the corpus totals ride broadcast scalars ([[ngramCounts]] /
+    * `significantTerms` discipline); final top-k is the two-phase salted
+    * window.
+    */
+  def collocations(docs: DataFrame, k: Int, minCount: Long = 5L,
+      textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val bi = ngramCounts(docs, 2, minCount, textCol)
+    val nu = docs.agg(sum(size(tokens(col(textCol)))).as("Nu"))
+    val nb = docs.agg(
+      sum(greatest(size(tokens(col(textCol))) - 1, lit(0))).as("Nb"))
+    val scored = bi
+      .withColumn("x", split(col("ngram"), " ").getItem(0))
+      .withColumn("y", split(col("ngram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("term", "x").withColumnRenamed("c", "cx"), "x")
+      .join(uni.withColumnRenamed("term", "y").withColumnRenamed("c", "cy"), "y")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("lift_ticks", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt * Nu * Nu)
+          |     div (CAST(Nb AS DECIMAL(38,0)) * cx * cy)
+          |AS BIGINT)""".stripMargin))
+      .select(col("ngram").as("bigram"), col("cnt"), col("cx"), col("cy"),
+        col("lift_ticks"))
+    val order = Seq(col("lift_ticks").desc, col("bigram").asc)
+    val phase1 = Window
+      .partitionBy(pmod(xxhash64(col("bigram")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val phase2 = Window.partitionBy(lit(1)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(phase1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(phase2)).filter(col("rank") <= k)
+  }
 }

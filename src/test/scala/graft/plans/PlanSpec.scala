@@ -373,6 +373,9 @@ class BucketedStoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("equal-bucketed tables join and anti-join with zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -465,6 +468,57 @@ class BucketedStoreSpec extends AnyFunSuite {
       // window and the final rollup
       assert(shuffles(stats).length == 2,
         stats.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("intervalJoin plans as an equi-join; the naive twin is nested-loop") {
+    val l = (0L until 50L).map(i => (i, new java.sql.Timestamp(i * 1000)))
+      .toDF("l_id", "ts")
+    val r = (0L until 50L).map(i => (i, new java.sql.Timestamp(i * 1500)))
+      .toDF("r_id", "ts")
+    val fast = planOf(graft.ops.EventOps.intervalJoin(l, r, 30L))
+    assert(!fast.contains("BroadcastNestedLoopJoin") &&
+      !fast.contains("CartesianProduct"), fast)
+    assert(fast.contains("SortMergeJoin") || fast.contains("HashJoin"), fast)
+    val naive = planOf(graft.ops.EventOps.intervalJoinNaive(l, r, 30L))
+    assert(naive.contains("BroadcastNestedLoopJoin") ||
+      naive.contains("CartesianProduct"), naive)
+  }
+
+  test("compositeAgg: keyset filter reaches the scan; page cut is TakeOrdered") {
+    val dir = TestSpark.tmpDir("composite")
+    (0L until 400L).map(i => (s"h${i % 5}", s"p${i % 3}", i))
+      .toDF("host", "path", "id").write.mode("overwrite").parquet(dir)
+    val q = graft.ops.EventOps.compositeAgg(spark.read.parquet(dir),
+      Seq("host", "path"), 4, Seq("h2", "p1"))
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // no global Sort node outside the TakeOrdered operator
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    // the keyset predicate runs pre-aggregation, pushed to the parquet
+    // scan (the leading-key bound is scan-pushable)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(host,h2)"), plan)
+    val opt = q.queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val filterIdx = opt.indexOf("Filter")
+    assert(aggIdx >= 0 && filterIdx > aggIdx, opt)
+  }
+
+  test("ngramCounts / epochMixture stay map-side up to one aggregation / zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withPlainPlans {
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val docs = (0L until 100L).map(i => (i, s"w${i % 9} w${i % 7} w${i % 5}", s"s${i % 4}"))
+        .toDF("doc_id", "text", "source")
+      // one exchange: the (gram → count) aggregation
+      assert(shuffles(graft.ops.TextOps.ngramCounts(docs, 2, 1)).length == 1)
+      // replication is a pure map-side explode — zero exchanges
+      val mixed = graft.ops.Sampling.epochMixture(docs, "doc_id", "source",
+        Map("s0" -> 2.5), defaultEpochs = 1.0)
+      assert(shuffles(mixed).isEmpty,
+        mixed.queryExecution.executedPlan.toString)
     }
   }
 
