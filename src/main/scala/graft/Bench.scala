@@ -424,6 +424,46 @@ object Bench {
     (timeScale(reps), timeNaive())
   }
 
+  /** Interval-join probe: [[graft.ops.EventOps.intervalJoin]]'s bucketed
+    * epsilon-join at the full n vs the naive range join
+    * ([[graft.ops.EventOps.intervalJoinNaive]] — BroadcastNestedLoopJoin)
+    * at a REDUCED naiveN: the naive form is O(n_l·n_r) predicate
+    * evaluations, so at the probe's full n it would run for hours — which
+    * is itself the measured point; the honest comparison is therefore
+    * per-candidate-pair cost at naiveN vs the bucketed form's wall at
+    * 100× the rows. Zero-IO synthetic input (spark.range + hashed event
+    * times uniform over ~100 days; 1 s window → sparse matches, so the
+    * joins' cost is dominated by pairing work, not output). Naive leg
+    * runs ONE rep.
+    */
+  private[graft] def intervalProbe(spark: SparkSession, n: Long,
+      naiveN: Long, reps: Int): (Double, Double) = {
+    val spanUs = 8640000000000L // 100 days in µs
+    def sides(m: Long) = {
+      val l = spark.range(m).select(col("id").as("l_id"),
+        timestamp_micros(pmod(xxhash64(col("id")), lit(spanUs))).as("ts"))
+      val r = spark.range(m).select(col("id").as("r_id"),
+        timestamp_micros(pmod(xxhash64(col("id") + 7), lit(spanUs))).as("ts"))
+      (l, r)
+    }
+    def timeScale(r: Int): Double = (1 to r).map { _ =>
+      val (l, rr) = sides(n)
+      val t0 = System.nanoTime()
+      graft.ops.EventOps.intervalJoin(l, rr, windowSeconds = 1L)
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def timeNaive(): Double = {
+      val (l, rr) = sides(naiveN)
+      val t0 = System.nanoTime()
+      graft.ops.EventOps.intervalJoinNaive(l, rr, windowSeconds = 1L)
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeScale(1) // warm (JIT + codegen)
+    (timeScale(reps), timeNaive())
+  }
+
   /** fetch-extract throughput: spans corpus → config-compiled extraction. */
   private def extractBench(spark: SparkSession, nPages: Long): (Double, Long) = {
     import graft.model._
@@ -602,13 +642,23 @@ object Bench {
       fields("scroll_naive_over_scale") = f"${scrNaive / scrSec}%.2f"
     } catch { case e: Throwable => phaseError("scroll", e) }
     flush("scaling,skew,sem,sess,funnel,scroll")
+    var ivSec, ivNaive = -1.0
+    if (!overBudget) try {
+      val r = intervalProbe(spark, 4000000L, naiveN = 40000L, reps = 2)
+      ivSec = r._1; ivNaive = r._2
+      // per-candidate-pair cost ratio: naive pays naiveN² pairs, the
+      // bucketed form pays ~n·(2·n/buckets) — report raw secs, the note
+      // carries the asymmetry
+      fields("interval_scale_sec") = f"$ivSec%.2f"
+    } catch { case e: Throwable => phaseError("interval", e) }
+    flush("scaling,skew,sem,sess,funnel,scroll,interval")
     var exSec = -1.0; var exPages = 0L
     if (!overBudget) try {
       val r = extractBench(spark, 200000L)
       exSec = r._1; exPages = r._2
       fields("extract_pages_per_sec") = f"${exPages / exSec}%.0f"
     } catch { case e: Throwable => phaseError("extract", e) }
-    flush("scaling,skew,sem,sess,funnel,scroll,extract")
+    flush("scaling,skew,sem,sess,funnel,scroll,interval,extract")
     // per-query loop checks the deadline per query: a partial suite is
     // reported as such (queries_run/queries_skipped), never passed off as
     // a full total
@@ -635,7 +685,7 @@ object Bench {
     // 2000-char TAIL of stdout, so the LAST line must be a compact (<1 KB)
     // headline or the leading '{' gets truncated (round-1 BENCH parsed:null).
     val detail =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"scroll":{"n":8000000,"sec_scale":$scrSec%.2f,"sec_naive":$scrNaive%.2f,"note":"global row numbers over (key, id): scrollExport range exchange + driver prefix-sum vs naive single-partition Window.orderBy; naive 1 rep, scale warmed 1 + best-of-2"},"funnel_skew":{"n":8000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_run":${results.size},"queries_skipped":$qSkipped,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir","frontier":{"n":$frontierN,"survivors":$surv,"sec_1":$sec1%.2f,"sec_2":$sec2%.2f,"sec_4":$sec4%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"urls_per_sec_1":$thr1%.0f,"urls_per_sec_2":$thr2%.0f,"urls_per_sec_4":$thr4%.0f,"urls_per_sec_8":$thr8%.0f,"urls_per_sec_32":$thr32%.0f,"scaling_efficiency_NvsN4":$efficiency%.3f,"scaling_efficiency_1v4":$efficiency1v4%.3f,"scaling_efficiency_2v8":$efficiency2v8%.3f,"scaling_efficiency_8v32":$efficiency8v32%.3f,"note":"headline = MEAN of the a-priori pairs (1v4, 2v8), each best-of-$scaleReps with equal reps on both legs (two independent N-vs-4N experiments on identical input; the mean avoids the upward bias of a post-hoc max; both raw pairs reported); 8->32 hits the single-box memory-bandwidth wall - cluster executors each bring their own bandwidth; -1 = phase skipped on budget"},"extract":{"pages":$exPages,"sec":$exSec%.2f},"skew":{"n":$frontierN,"hot_share":0.5,"sec_uniform":$skewUni%.2f,"sec_hot":$skewHot%.2f,"note":"politeness claim, one host owning 50%% of the frontier vs zipf hosts; 2-phase salted claim keeps the ratio ~1; both legs warmed 1 rep, best-of-3"},"sem_skew":{"n":16384,"hot_share":0.5,"sec_uniform":$semUni%.2f,"sec_hot":$semHot%.2f,"pairs_uniform":$semPairsUni,"pairs_hot":$semPairsHot,"note":"semanticDedup, one cell owning 50%% of vectors; within-cell work is quadratic by construction, so the contract is flat PER-PAIR throughput - ratio ~1"},"sess_skew":{"n":4000000,"hot_share":0.5,"sec_uniform":$sessUni%.2f,"sec_hot_plain":$sessHotPlain%.2f,"sec_hot_bucketed":$sessHotBucketed%.2f,"note":"sessionize, ONE user owning 50%% of 4M events vs uniform 100k users; plain pays the hot user's single-task sort, sessionizeBucketed bounds the unit by (user, hour-bucket) + exact interval merge; warmed 1 rep, best-of-3"},"scroll":{"n":8000000,"sec_scale":$scrSec%.2f,"sec_naive":$scrNaive%.2f,"note":"global row numbers over (key, id): scrollExport range exchange + driver prefix-sum vs naive single-partition Window.orderBy; naive 1 rep, scale warmed 1 + best-of-2"},"interval":{"n":4000000,"naive_n":40000,"sec_scale":$ivSec%.2f,"sec_naive":$ivNaive%.2f,"note":"time-bounded join, 1 s window over ~100 days: bucketed epsilon equi-join at 4M rows/side vs the naive BroadcastNestedLoopJoin range join at 40k rows/side - the naive form is O(n_l*n_r), so 100x the rows would be ~10^4x the work; scale warmed 1 + best-of-2, naive 1 rep"},"funnel_skew":{"n":8000000,"hot_share":0.5,"sec_uniform":$funUni%.2f,"sec_hot_plain":$funHotPlain%.2f,"sec_hot_bucketed":$funHotBucketed%.2f,"note":"funnel over the same hot-user log; plain buffers the hot user's full step-event list in one aggregation buffer, funnelBucketed folds per (user, hour-bucket) and merges completed-prefix states across buckets; warmed 1 rep, best-of-2"}}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
