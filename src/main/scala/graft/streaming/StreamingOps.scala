@@ -142,6 +142,45 @@ object StreamingOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.ops.SearchOps.percolateInline(docs, queries, idCol, textCol)
 
+  /** Streaming time-bounded correlation — the continuous form of
+    * [[graft.ops.EventOps.intervalJoin]]: the SAME Δ-bucket equi-join
+    * construction (Spark rejects stream-stream joins without an equality
+    * predicate, so the batch rewrite is not an optimization here — it is
+    * the only admissible shape), with both event-time columns watermarked
+    * and the range condition kept DIRECTLY on those raw timestamp columns
+    * (not on derived µs integers — state cleanup reasons over watermarked
+    * event-time attributes). The symmetric hash join uses watermark +
+    * range to evict state: left rows age out `windowSeconds` past the
+    * watermark, right rows at the watermark, so state is bounded by
+    * (window + delay) × arrival rate — the streaming analog of the batch
+    * form's bounded buckets. Matches emit in append mode as soon as both
+    * sides arrive (inner join — no flush sentinel needed). Output schema
+    * and µs-exact bounds match the batch operator row-for-row on the same
+    * closed input (parity spec).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowSeconds: Long, watermarkDelay: String = "30 seconds",
+      lIdCol: String = "l_id", rIdCol: String = "r_id",
+      tsCol: String = "ts"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val l = left.select(col(lIdCol), col(tsCol).cast("timestamp").as("__lts"))
+      .withWatermark("__lts", watermarkDelay)
+      .withColumn("__probe", explode(array(lit(0L), lit(1L))))
+      .withColumn("__lb", expr(s"unix_micros(__lts) div ${w}L") + col("__probe"))
+      .drop("__probe")
+    val r = right.select(col(rIdCol), col(tsCol).cast("timestamp").as("__rts"))
+      .withWatermark("__rts", watermarkDelay)
+      .withColumn("__rb", expr(s"unix_micros(__rts) div ${w}L"))
+    l.join(r,
+      col("__lb") === col("__rb") &&
+        col("__rts") >= col("__lts") &&
+        col("__rts") <= col("__lts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col(lIdCol), col(rIdCol),
+        unix_micros(col("__lts")).as("l_us"),
+        unix_micros(col("__rts")).as("r_us"),
+        (unix_micros(col("__rts")) - unix_micros(col("__lts"))).as("delta_us"))
+  }
+
   /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
     * most `hostBudget` URLs per host over the stream's lifetime, tracked in
     * keyed state across micro-batches via flatMapGroupsWithState. Within a

@@ -221,4 +221,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(byHost("h0") == 4, s"h0 admissions: $byHost") // 3 in batch 1 + 1 in batch 2
     assert(byHost("h1") == 2)
   }
+  test("streaming interval join equals the batch operator on the same closed input") {
+    val dir = TestSpark.tmpDir("stream-ival")
+    val base = 1700000000000000L // µs
+    def ev(id: Long, us: Long) = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000) * 1000).toInt)
+      (id, t)
+    }
+    // left errors every 90 s, right purchases every 70 s — matches occur
+    // whenever a purchase lands within [error, error + 120 s]
+    val lRows = (0L until 30L).map(i => ev(i, base + i * 90000000L))
+    val rRows = (0L until 40L).map(i => ev(100L + i, base + i * 70000000L))
+    lRows.toDF("l_id", "ts").coalesce(1).write.parquet(s"$dir/l")
+    rRows.toDF("r_id", "ts").coalesce(1).write.parquet(s"$dir/r")
+    val lSchema = new org.apache.spark.sql.types.StructType()
+      .add("l_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val rSchema = new org.apache.spark.sql.types.StructType()
+      .add("r_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val lStream = spark.readStream.schema(lSchema).parquet(s"$dir/l")
+    val rStream = spark.readStream.schema(rSchema).parquet(s"$dir/r")
+    runAvailableNow(
+      StreamingOps.intervalJoinStream(lStream, rStream, windowSeconds = 120L),
+      "sival")
+    val streamed = spark.table("sival")
+      .select("l_id", "r_id", "delta_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventOps.intervalJoin(
+      lRows.toDF("l_id", "ts"), rRows.toDF("r_id", "ts"), windowSeconds = 120L)
+      .select("l_id", "r_id", "delta_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
 }
