@@ -1713,8 +1713,38 @@ object SparkEntry {
     // substring (wildcard) search: trigram-cover prefilter + exact verify
     // on the candidates only — the corpus never pays per-row contains
     "q_search_wildcard" -> ((s, d) =>
-      graft.ops.SearchOps.wildcardSearch(t(s, d, "documents"), "rt filter"))
+      graft.ops.SearchOps.wildcardSearch(t(s, d, "documents"), "rt filter")),
+
+    // the same search against a PERSISTED bucketed trigram index — the
+    // query path bucket-prunes the postings scan and never re-tokenizes
+    // the corpus (identical output, so it shares the wildcard oracle)
+    "q_search_wildcard_idx" -> ((s, d) => {
+      val n = wildcardIdxCounter.incrementAndGet()
+      val work = java.nio.file.Files.createTempDirectory("graft-triidx").toString
+      val idx = graft.ops.SearchOps.buildTrigramIndex(
+        t(s, d, "documents"), s"wc_idx_$n", work, nBuckets = 16)
+      graft.ops.SearchOps.wildcardSearchIndexed(
+        t(s, d, "documents"), idx, "rt filter")
+    }),
+
+    // interval join constrained to the SAME user (the attribution shape:
+    // this user's purchase within 2 h of this user's error) — key columns
+    // ride the same bucket equi-join
+    "q_event_interval_keyed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventOps.intervalJoin(
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("l_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("r_id"), col("ts")),
+        windowSeconds = 7200L, keyCols = Seq("user_id"))
+        .groupBy(col("user_id"), col("l_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("delta_us")).as("min_delta_us"))
+    })
   )
+
+  private val wildcardIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // --- oracle SQL (DuckDB dialect) -------------------------------------------
 
@@ -3804,11 +3834,25 @@ object SparkEntry {
         |FROM w WHERE reps > 0""".stripMargin,
 
     // the trigram prefilter is exact after verify, so the oracle is the
-    // plain contains scan; 7 = distinct trigrams of 'rt filter'
-    "q_search_wildcard" ->
-      """SELECT doc_id, CAST(7 AS INTEGER) AS n_query_trigrams
-        |FROM documents WHERE contains(lower(text), 'rt filter')""".stripMargin
+    // plain contains scan; 7 = distinct trigrams of 'rt filter'. The
+    // indexed form must be output-identical → same oracle definition
+    "q_search_wildcard" -> wildcardOracle,
+    "q_search_wildcard_idx" -> wildcardOracle,
+
+    "q_event_interval_keyed" ->
+      """SELECT l.user_id, l.event_id AS l_id,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS min_delta_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+        |WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin
   )
+
+  private val wildcardOracle =
+    """SELECT doc_id, CAST(7 AS INTEGER) AS n_query_trigrams
+      |FROM documents WHERE contains(lower(text), 'rt filter')""".stripMargin
 
   /** Depth-free crawl-reachability replay (the redirect/status crawls run
     * with unlimited maxDepth, so their stored-doc set is pure transitive

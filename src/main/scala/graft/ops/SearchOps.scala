@@ -761,20 +761,95 @@ object SearchOps {
       return docs.filter(contains(lower(col(textCol)), lit(lowered)))
         .select(col(idCol), lit(0).as("n_query_trigrams"))
     val qGrams = array(grams.map(lit): _*)
-    val candidates = docs
+    wildcardVerify(docs, candidatesInline(docs, qGrams, grams.length, idCol,
+      textCol), lowered, grams.length, idCol, textCol)
+  }
+
+  private def candidatesInline(docs: DataFrame, qGrams: Column, nGrams: Int,
+      idCol: String, textCol: String): DataFrame = docs
+    .select(col(idCol),
+      explode(array_intersect(
+        transform(sequence(lit(1), length(lower(col(textCol))) - 2),
+          i => lower(col(textCol)).substr(i, lit(3))),
+        qGrams)).as("__g"))
+    // array_intersect already dedups, so a plain count IS the distinct
+    // cover count — no countDistinct expand needed
+    .groupBy(col(idCol))
+    .agg(count(lit(1)).as("__hits"))
+    .filter(col("__hits") === nGrams)
+    .select(col(idCol))
+
+  private def wildcardVerify(docs: DataFrame, candidates: DataFrame,
+      lowered: String, nGrams: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs.join(candidates, idCol)
+      .filter(contains(lower(col(textCol)), lit(lowered)))
+      .select(col(idCol), lit(nGrams).as("n_query_trigrams"))
+
+  /** Persisted trigram postings for [[wildcardSearch]] at corpus scale:
+    * one (id, gram) row per DISTINCT doc trigram, written as a
+    * [[graft.sources.BucketedStore]] catalog table bucketed AND sorted by
+    * `gram` — so a query's gram lookup bucket-prunes the scan (only the
+    * buckets holding the needle's ≤ |needle|−2 trigrams are read) and
+    * the corpus text column is never touched until the candidate verify.
+    * Build cost is one corpus pass + one write-side shuffle, paid ONCE;
+    * every subsequent query reads postings only (the
+    * [[graft.ops.Dedup.buildMinhashIndex]] discipline applied to
+    * substring search).
+    */
+  def buildTrigramIndex(docs: DataFrame, table: String, path: String,
+      nBuckets: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val postings = docs
       .select(col(idCol),
-        explode(array_intersect(
-          transform(sequence(lit(1), length(lower(col(textCol))) - 2),
-            i => lower(col(textCol)).substr(i, lit(3))),
-          qGrams)).as("__g"))
-      // array_intersect already dedups, so a plain count IS the distinct
-      // cover count — no countDistinct expand needed
+        explode(array_distinct(
+          transform(sequence(lit(1), greatest(length(lower(col(textCol))) - 2,
+            lit(1))),
+            i => lower(col(textCol)).substr(i, lit(3))))).as("gram"))
+      // sub-3-char tails from docs shorter than 3 chars can never match a
+      // 3-char query gram — don't store them
+      .filter(length(col("gram")) === 3)
+    graft.sources.BucketedStore.write(postings, s"${table}_tri",
+      s"$path/tri", nBuckets, "gram", Seq("gram", idCol))
+    graft.sources.BucketedStore.read(docs.sparkSession, s"${table}_tri")
+  }
+
+  /** [[wildcardSearch]] against a [[buildTrigramIndex]] postings table:
+    * the candidate pass filters the index on the query's trigrams — an
+    * IN-list on the bucket-and-sort `gram` column — then counts gram
+    * cover per doc over that bounded posting slice; only candidates join
+    * back to `docs` for the exact `contains` verify. Identical output to
+    * the inline form (spec-pinned); the difference is WHERE the trigram
+    * pass reads from — at 10^10 docs the inline form re-derives every
+    * doc's trigrams per query, the indexed form skips to the needle's
+    * postings. Two pruning mechanisms, both spec-locked: (1) the IN-list
+    * reaches the parquet scan as a pushed filter, and because each file
+    * is SORTED by gram, row-group min/max statistics skip everything but
+    * the matching gram runs — this works out of the box; (2) full bucket
+    * pruning (`SelectedBucketsCount` < total) additionally applies when
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled` is false —
+    * by default Spark's DisableUnnecessaryBucketedScan rule turns the
+    * bucketed scan OFF here because the downstream aggregation keys on
+    * the doc id, not the bucket column, and disabling it also forfeits
+    * the bucket-set prune (a Spark planner trade-off, not an indexing
+    * gap; deployments that run wildcard query batches should pin the
+    * conf).
+    */
+  def wildcardSearchIndexed(docs: DataFrame, index: DataFrame,
+      needle: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(needle.nonEmpty, "needle must be non-empty")
+    val lowered = needle.toLowerCase
+    val grams = lowered.sliding(3).toSeq.distinct
+    if (lowered.length < 3)
+      return docs.filter(contains(lower(col(textCol)), lit(lowered)))
+        .select(col(idCol), lit(0).as("n_query_trigrams"))
+    val candidates = index
+      .filter(col("gram").isin(grams: _*))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === grams.length)
       .select(col(idCol))
-    docs.join(candidates, idCol)
-      .filter(contains(lower(col(textCol)), lit(lowered)))
-      .select(col(idCol), lit(grams.length).as("n_query_trigrams"))
+    wildcardVerify(docs, candidates, lowered, grams.length, idCol, textCol)
   }
 }

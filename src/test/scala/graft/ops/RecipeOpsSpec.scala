@@ -206,4 +206,32 @@ class WildcardSearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("indexed form equals inline; the gram IN-list prunes the index scan") {
+    val path = TestSpark.tmpDir("tri-idx")
+    val idx = SearchOps.buildTrigramIndex(docs, "tri_wc", path, nBuckets = 8)
+    try {
+      val q = SearchOps.wildcardSearchIndexed(docs, idx, "needle")
+      val got = q.select("doc_id").collect().map(_.getLong(0)).toSet
+      val inline = SearchOps.wildcardSearch(docs, "needle")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == inline && got.nonEmpty)
+      // mechanism 1 (default): the IN-list reaches the parquet scan as a
+      // pushed filter over gram-sorted files
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(gram"), plan)
+      // mechanism 2: with auto-bucketed-scan pinned off, the same query
+      // bucket-prunes — reads a strict subset of the 8 buckets
+      val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val planB = SearchOps.wildcardSearchIndexed(docs, idx, "needle")
+          .queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+          .findFirstMatchIn(planB).map(_.group(1).toInt)
+        assert(sel.exists(_ < 8), planB)
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    } finally graft.sources.BucketedStore.drop(spark, "tri_wc_tri")
+  }
 }
