@@ -68,6 +68,28 @@ object StreamingOps {
   def dedupStream(candidates: DataFrame): DataFrame =
     candidates.dropDuplicates("urlHash", "url")
 
+  /** The bounded-state variant [[dedupStream]]'s docstring promises: URL
+    * dedup with an event-time horizon — a URL seen again AFTER the
+    * watermark has moved past its first sighting by `horizon` is admitted
+    * again (the re-crawl-after-TTL semantics of Z7's incremental mode,
+    * expressed in state). `dropDuplicatesWithinWatermark` keeps a key's
+    * state only until the watermark passes its event time + delay, so the
+    * state store is bounded by horizon × arrival rate instead of the
+    * crawl's full URL history — the streaming analog of expiring
+    * seen-set snapshots ([[graft.frontier.FrontierStore]] GC). Within the
+    * horizon the dedup is exact (the spec pins in-horizon duplicates
+    * dropped across micro-batches and post-horizon re-admission). Note
+    * state eviction LAGS the watermark by one micro-batch — cleanup runs
+    * at batch end with that batch's watermark — so re-admission begins
+    * one batch after the horizon passes, never early (the safe side for
+    * a politeness-bounded crawl).
+    */
+  def dedupStreamBounded(candidates: DataFrame, horizon: String,
+      tsCol: String = "lastModified"): DataFrame =
+    candidates
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("urlHash", "url")
+
   /** Watermarked tumbling-window fetch metrics per host (the crawl-rate
     * dashboards the reference keeps in ES): event-time windows + watermark
     * so state for closed windows is evicted.

@@ -255,4 +255,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty,
       s"stream=${streamed.size} batch=${batch.size}")
   }
+
+  test("bounded streaming dedup: in-horizon dups drop, post-horizon re-admits") {
+    val dir = TestSpark.tmpDir("stream-bdedup")
+    val base = 1700000000000000L // µs
+    def row(url: String, us: Long) = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000) * 1000).toInt)
+      (url, graft.model.UrlOps.urlHash(url), t)
+    }
+    val a = "http://h0.example.com/page/1"
+    val b = "http://h0.example.com/page/2"
+    // f1: first sightings; f2: in-horizon duplicate of A (dropped) plus a
+    // sentinel that advances the watermark past A's state TTL; f3: A again
+    // AFTER its state expired -> re-admitted
+    Seq(row(a, base), row(b, base)).toDF("url", "urlHash", "lastModified")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq(row(a, base + 10000000L), row("http://h9.example.com/sentinel", base + 600000000L))
+      .toDF("url", "urlHash", "lastModified")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    // f3 is a second sentinel batch: the state cleanup that uses the
+    // ADVANCED watermark runs at the end of this batch (eviction lags the
+    // watermark by one micro-batch), so A's key is gone when f4 arrives
+    Seq(row("http://h9.example.com/sentinel2", base + 601000000L))
+      .toDF("url", "urlHash", "lastModified")
+      .coalesce(1).write.parquet(s"$dir/f3")
+    Seq(row(a, base + 700000000L)).toDF("url", "urlHash", "lastModified")
+      .coalesce(1).write.parquet(s"$dir/f4")
+    for ((f, i) <- Seq("f1", "f2", "f3", "f4").zipWithIndex;
+         p <- java.nio.file.Files.list(java.nio.file.Paths.get(dir, f))
+           .iterator().asScala if p.toString.endsWith(".parquet"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60000L))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("url", org.apache.spark.sql.types.StringType)
+      .add("urlHash", org.apache.spark.sql.types.LongType)
+      .add("lastModified", org.apache.spark.sql.types.TimestampType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    runAvailableNow(
+      StreamingOps.dedupStreamBounded(stream, horizon = "60 seconds"),
+      "sbdedup")
+    val byUrl = spark.table("sbdedup").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(byUrl(a) == 2, s"A should re-admit after the horizon: $byUrl")
+    assert(byUrl(b) == 1)
+  }
 }
