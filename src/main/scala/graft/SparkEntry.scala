@@ -1727,6 +1727,17 @@ object SparkEntry {
         t(s, d, "documents"), idx, "rt filter")
     }),
 
+    // target-share mixture SOLVE + materialize: 40/35/25% of a 100k-token
+    // budget across three sources, weights held as exact integer rationals
+    // (ppm·B / 10⁶·T) — the oracle replays the identical formula
+    "q_sample_target" -> ((s, d) =>
+      graft.ops.Sampling.mixtureToTarget(
+        t(s, d, "documents").select("doc_id", "source", "text"),
+        "doc_id", "source",
+        Map("src0" -> 400000L, "src2" -> 350000L, "src5" -> 250000L),
+        tokenBudget = 100000L)
+        .select("doc_id", "source", "copy_idx")),
+
     // interval join constrained to the SAME user (the attribution shape:
     // this user's purchase within 2 h of this user's error) — key columns
     // ride the same bucket equi-join
@@ -3838,6 +3849,29 @@ object SparkEntry {
     // indexed form must be output-identical → same oracle definition
     "q_search_wildcard" -> wildcardOracle,
     "q_search_wildcard_idx" -> wildcardOracle,
+
+    // the solve replayed in integer arithmetic: num = ppm·B, den = 10⁶·T
+    // per stratum; reps = num//den + (bucket < (num%den)·10⁴//den)
+    "q_sample_target" ->
+      """WITH t AS (
+        |  SELECT source, SUM(len(string_split(lower(text), ' '))) AS toks
+        |  FROM documents WHERE source IN ('src0','src2','src5') GROUP BY 1),
+        |w AS (
+        |  SELECT d.doc_id, d.source,
+        |    (CASE d.source WHEN 'src0' THEN 400000 WHEN 'src2' THEN 350000
+        |                   ELSE 250000 END)::HUGEINT * 100000 AS num,
+        |    1000000::HUGEINT * t.toks AS den
+        |  FROM documents d JOIN t ON d.source = t.source),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(num // den AS BIGINT)
+        |      + (CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 <
+        |              CAST(((num % den) * 10000) // den AS BIGINT)
+        |         THEN 1 ELSE 0 END) AS reps
+        |  FROM w)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS copy_idx
+        |FROM r WHERE reps > 0""".stripMargin,
 
     "q_event_interval_keyed" ->
       """SELECT l.user_id, l.event_id AS l_id,

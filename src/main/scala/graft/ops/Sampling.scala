@@ -311,23 +311,81 @@ object Sampling {
       "epoch weights must be non-negative")
     require((epochs.values ++ Seq(defaultEpochs)).forall(_ < 1000),
       "epoch weights ≥ 1000 are almost certainly a unit error")
-    // per-stratum (floor, frac-threshold in integer buckets), as literals
     def parts(w: Double): (Long, Long) =
       (math.floor(w).toLong, math.round((w - math.floor(w)) * Buckets))
+    replicateByParts(df, idCol, strataCol,
+      epochs.map { case (s, w) => s -> parts(w) }, Some(parts(defaultEpochs)))
+  }
+
+  /** Shared replication core for [[epochMixture]] / [[mixtureToTarget]]:
+    * per-stratum (floor copies, extra-copy bucket threshold) fold into
+    * the plan as literal maps; rows in strata with no entry take
+    * `default` (or drop when None). Pure map-side explode, zero exchange.
+    */
+  private def replicateByParts(df: DataFrame, idCol: String,
+      strataCol: String, parts: Map[String, (Long, Long)],
+      default: Option[(Long, Long)]): DataFrame = {
+    val (defFloor, defThr) = default.getOrElse((0L, 0L))
     val floorCol =
-      if (epochs.isEmpty) lit(parts(defaultEpochs)._1)
+      if (parts.isEmpty) lit(defFloor)
       else coalesce(
-        element_at(typedlit(epochs.map { case (s, w) => s -> parts(w)._1 }),
-          col(strataCol)), lit(parts(defaultEpochs)._1))
+        element_at(typedlit(parts.map { case (s, p) => s -> p._1 }),
+          col(strataCol)), lit(defFloor))
     val fracCol =
-      if (epochs.isEmpty) lit(parts(defaultEpochs)._2)
+      if (parts.isEmpty) lit(defThr)
       else coalesce(
-        element_at(typedlit(epochs.map { case (s, w) => s -> parts(w)._2 }),
-          col(strataCol)), lit(parts(defaultEpochs)._2))
+        element_at(typedlit(parts.map { case (s, p) => s -> p._2 }),
+          col(strataCol)), lit(defThr))
     df.withColumn("__reps",
         floorCol + when(bucketOf(col(idCol)) < fracCol, 1L).otherwise(0L))
       .filter(col("__reps") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("__reps") - 1)))
       .drop("__reps")
+  }
+
+  /** SOLVE the repeat factors for a target token-share recipe, then
+    * materialize ([[epochMixture]]'s front half automated): `targets`
+    * gives each stratum's intended share of the output token budget in
+    * integer PPM (parts per million — "wiki 400000, cc 350000, code
+    * 250000" = 40/35/25%), `tokenBudget` the intended output token count
+    * B. For a stratum with `T` input tokens the recipe needs weight
+    * `w = ppm·B / (10⁶·T)`, held EXACTLY as the integer rational
+    * (num = ppm·B, den = 10⁶·T): floor copies = num div den, extra-copy
+    * bucket threshold = (num mod den)·Buckets div den — BigInt driver
+    * arithmetic, no doubles anywhere, so the materialized set is
+    * bit-identical across engines and the DuckDB oracle replays the same
+    * integer formula. Strata absent from `targets` are DROPPED (share 0).
+    *
+    * Achieved token shares equal the targets in expectation; per-stratum
+    * granularity is one document (whole docs replicate) and one bucket
+    * (Buckets = 10⁴ quantizes the fractional part) — both documented,
+    * neither engine-dependent.
+    *
+    * Scale shape: one token-count aggregation over the TARGET strata only
+    * (rows collected = |targets|, trivially driver-safe), then the
+    * [[epochMixture]] map-side replication — the solve adds no exchange
+    * beyond the bounded counts pass.
+    */
+  def mixtureToTarget(df: DataFrame, idCol: String, strataCol: String,
+      targets: Map[String, Long], tokenBudget: Long,
+      textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "target shares must be positive ppm")
+    require(targets.values.sum <= 1000000L,
+      "target shares exceed 1e6 ppm (100%)")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val counts = df
+      .filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol)
+      .agg(sum(size(split(lower(col(textCol)), "\\s+"))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targets.keys.forall(s => counts.getOrElse(s, 0L) > 0L),
+      s"target strata missing or empty: ${targets.keySet -- counts.keySet}")
+    val parts = targets.map { case (s, ppm) =>
+      val num = BigInt(ppm) * tokenBudget
+      val den = BigInt(1000000L) * counts(s)
+      s -> ((num / den).toLong, ((num % den) * Buckets / den).toLong)
+    }
+    replicateByParts(df, idCol, strataCol, parts, default = None)
   }
 }

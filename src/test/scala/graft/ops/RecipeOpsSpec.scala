@@ -160,6 +160,35 @@ class EpochMixtureSpec extends AnyFunSuite {
     assert(again == perDoc)
   }
 
+  test("mixtureToTarget: exact-rational weights hit the ppm targets; non-targets drop") {
+    // 10 whitespace tokens per doc, three equal strata of 300 docs
+    val corpus = (0L until 900L).map { i =>
+      val src = if (i < 300) "wiki" else if (i < 600) "cc" else "code"
+      (i, src, Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // budget 12000, 50/50 → each target stratum wants 6000 of its 3000
+    // tokens → weight exactly 2.0 → two copies of every doc, code dropped
+    val out = Sampling.mixtureToTarget(corpus, "doc_id", "source",
+      Map("wiki" -> 500000L, "cc" -> 500000L), tokenBudget = 12000L)
+    val byS = out.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byS == Map("wiki" -> 600L, "cc" -> 600L))
+    // budget 9000 → weight 1.5: copies in {1,2}, extras ≈ half the docs,
+    // and achieved tokens within bucket quantization of the target
+    val out2 = Sampling.mixtureToTarget(corpus, "doc_id", "source",
+      Map("wiki" -> 500000L, "cc" -> 500000L), tokenBudget = 9000L)
+    val perDoc = out2.filter($"source" === "wiki").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(1))
+    assert(perDoc.forall(c => c == 1L || c == 2L))
+    val wikiTokens = out2.filter($"source" === "wiki").count() * 10
+    assert(math.abs(wikiTokens - 4500L) <= 4500 / 10,
+      s"achieved $wikiTokens vs target 4500")
+    // deterministic under repartitioning
+    val again = Sampling.mixtureToTarget(corpus.repartition(11), "doc_id",
+      "source", Map("wiki" -> 500000L, "cc" -> 500000L), tokenBudget = 9000L)
+    assert(again.count() == out2.count())
+  }
+
   test("extra-copy sets nest as the weight grows") {
     def kept(w: Double) = Sampling.epochMixture(docs, "doc_id", "domain",
       Map("wiki" -> w), defaultEpochs = 0.0)
