@@ -1256,6 +1256,19 @@ object SparkEntry {
       Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), q, cents, 10, 2)
     }),
 
+    // the same ANN against a PERSISTED centroid-partitioned index: probes
+    // prune whole cell directories (PartitionFilters), assignment paid once
+    "q_sim_ivf_idx" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val cents = trainedIvf(s, d, 8, iters = 1)
+      val q = embs.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      val work = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      val idx = Similarity.buildIvfIndex(embs, cents, work)
+      Similarity.ivfTopKIndexed(idx, q, cents, 10, 2)
+    }),
+
     // S6: sitemap pages bypass extraction; their sitemap-loc refs become
     // children. Exactly the crawl-loop mechanism (CrawlLoop's `isSitemap`
     // rlike gate + spanRefs("sitemap-loc") explode), over a driver-table
@@ -3162,17 +3175,9 @@ object SparkEntry {
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_spans
         |FROM documents WHERE doc_id%17 = 0 AND length(text) > 0""".stripMargin,
 
-    "q_sim_ivf_ann" ->
-      s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
-        |$ivfRefinedAssignCtes,
-        |probes AS (SELECT c_id FROM cdots WHERE vec_id = 0 ORDER BY cos DESC, c_id LIMIT 2),
-        |cand AS (SELECT vec_id FROM assign WHERE c_id IN (SELECT c_id FROM probes)),
-        |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(q.e AS DOUBLE)) AS d
-        |  FROM v JOIN v q ON v.i = q.i AND q.vec_id = 0
-        |  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id)
-        |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
-        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
-        |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin,
+    // the indexed form must be output-identical -> same oracle definition
+    "q_sim_ivf_ann" -> ivfAnnOracle,
+    "q_sim_ivf_idx" -> ivfAnnOracle,
 
     "q_mm_features" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -3883,6 +3888,18 @@ object SparkEntry {
         |WHERE l.event_type = 'error' AND r.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin
   )
+
+  private lazy val ivfAnnOracle =
+    s"""WITH ${embedCosineCtes.replace("{WHERE}", "")},
+      |$ivfRefinedAssignCtes,
+      |probes AS (SELECT c_id FROM cdots WHERE vec_id = 0 ORDER BY cos DESC, c_id LIMIT 2),
+      |cand AS (SELECT vec_id FROM assign WHERE c_id IN (SELECT c_id FROM probes)),
+      |dots AS (SELECT v.vec_id, sum(CAST(v.e AS DOUBLE)*CAST(q.e AS DOUBLE)) AS d
+      |  FROM v JOIN v q ON v.i = q.i AND q.vec_id = 0
+      |  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id)
+      |SELECT d.vec_id, round(d.d/(n.nrm*(SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cosine
+      |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+      |ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin
 
   private val wildcardOracle =
     """SELECT doc_id, CAST(7 AS INTEGER) AS n_query_trigrams

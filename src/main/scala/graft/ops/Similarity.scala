@@ -314,4 +314,38 @@ object Similarity {
     bruteForceTopK(assigned.filter(col("centroid").isInCollection(probes)),
       query, k, idCol, vecCol)
   }
+
+  /** PERSIST the IVF layout the header comment promises: the assigned
+    * corpus written `partitionBy("centroid")`, so each cell is its own
+    * directory and a query's probe filter prunes at the PARTITION level —
+    * `PartitionFilters` in the scan, directory listing skips
+    * (nCentroids − nProbe)/nCentroids of the data before any file opens.
+    * Directory-level pruning rather than bucketing because cell counts
+    * are small-bounded (64-4096) and partition pruning has no planner
+    * opt-out caveat (unlike the bucketed-scan auto-disable documented on
+    * [[graft.ops.SearchOps.wildcardSearchIndexed]]). Assignment is paid
+    * ONCE at build; every query after is a pruned scan + exact re-rank
+    * over nProbe cells — the [[graft.ops.Dedup.buildMinhashIndex]]
+    * discipline applied to ANN.
+    */
+  def buildIvfIndex(embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], path: String,
+      vecCol: String = "embedding"): DataFrame = {
+    ivfAssign(embeddings, centroids, vecCol)
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    embeddings.sparkSession.read.parquet(path)
+  }
+
+  /** [[ivfTopK]] against a [[buildIvfIndex]] table: identical output
+    * (spec-pinned) — the difference is the probe filter hitting a
+    * partition column, so the scan reads ONLY the probed cells'
+    * directories instead of re-assigning the corpus per query.
+    */
+  def ivfTopKIndexed(index: DataFrame, query: Seq[Double],
+      centroids: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = ivfProbes(query, centroids, nProbe)
+    bruteForceTopK(index.filter(col("centroid").isInCollection(probes)),
+      query, k, idCol, vecCol)
+  }
 }

@@ -199,6 +199,35 @@ class EpochMixtureSpec extends AnyFunSuite {
   }
 }
 
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("indexed IVF top-k equals the inline form; probes prune at the partition level") {
+    val rnd = new scala.util.Random(11)
+    val embs = (0L until 300L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(embs, nCentroids = 6, iters = 1)
+    val q = embs.filter($"vec_id" === 7L)
+      .select(org.apache.spark.sql.functions.transform($"embedding",
+        x => x.cast("double"))).head().getSeq[Double](0)
+    val path = TestSpark.tmpDir("ivf-idx")
+    val idx = Similarity.buildIvfIndex(embs, cents, path)
+    val qq = Similarity.ivfTopKIndexed(idx, q, cents, k = 10, nProbe = 2)
+    val got = qq.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val inline = Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), q,
+      cents, k = 10, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == inline && got.nonEmpty)
+    // probe filter prunes at the partition level — the scan carries a
+    // PartitionFilters entry on centroid, no per-row assignment expression
+    val plan = qq.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid"), plan)
+    assert("PartitionFilters: \\[[^\\]]*centroid".r.findFirstIn(plan).isDefined, plan)
+  }
+}
+
 class WildcardSearchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
