@@ -1691,6 +1691,21 @@ object SparkEntry {
           min(col("delta_us")).as("min_delta_us"))
     }),
 
+    // keyed AS-OF join: each click matched to the LATEST view at or
+    // before it for the same user (the event-to-latest-state lookup;
+    // DuckDB's native ASOF JOIN is the oracle). Bucketed scale form is
+    // property-pinned equal under a horizon (AsOfJoinSpec).
+    "q_event_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventOps.asOfJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts")),
+        keyCols = Seq("user_id"), lIdCol = "click_id", rIdCol = "view_id")
+        .select("click_id", "view_id", "lag_us")
+    }),
+
     // keyset-paged composite aggregation (the ES composite agg): one page
     // of 6 (event_type, day) groups strictly after the cursor; the keyset
     // predicate filters RAW rows below the aggregation, the page cut is
@@ -3774,6 +3789,18 @@ object SparkEntry {
     // output-identical, so each shares its plain form's oracle definition
     "q_event_funnel_bucketed" -> funnelOracle,
     "q_event_quantiles_hist" -> quantilesOracle,
+
+    // as-of replay: DuckDB's NATIVE ASOF JOIN (greatest r.ts <= l.ts per
+    // user) against the engine's union+carry-forward construction
+    "q_event_asof" ->
+      """WITH l AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS r_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.click_id, r.view_id,
+        |  CAST(l.l_us - r.r_us AS BIGINT) AS lag_us
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
 
     // interval-join replay: DuckDB's native range join (IEJoin) — the
     // engine's bucketed equi-join must produce the identical pair set

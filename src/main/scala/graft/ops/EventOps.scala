@@ -581,4 +581,104 @@ object EventOps {
       .orderBy(keyCols.map(col(_).asc): _*)
       .limit(pageSize)
   }
+
+  /** Keyed AS-OF join: for each left event, the single right event with
+    * the same key and the GREATEST right ts at-or-before the left ts —
+    * the canonical event-to-latest-state lookup (a click to the view it
+    * followed, a fetch to the robots snapshot in force, a quote join).
+    * Inner semantics: left rows with no at-or-before match are dropped
+    * (DuckDB's `ASOF JOIN` contract, the oracle twin). Ties in right ts
+    * within a key break to the larger `rIdCol`, pinned identically in
+    * both forms. `horizonSeconds > 0` additionally drops matches older
+    * than the horizon.
+    *
+    * Scale shape: NOT a join at all — a union of the two tagged sides
+    * and ONE exchange keyed on `keyCols`, with the match resolved by a
+    * running `last(…, ignoreNulls)` carry-forward over the in-partition
+    * (ts, side, id) sort. Candidate multiplicity never materializes
+    * (contrast [[intervalJoin]], which enumerates pairs). The per-key
+    * partition is the sequential unit — the sessionize hot-key class —
+    * so [[asOfJoinBucketed]] is the bounded-state scale path when one
+    * key dominates and a lookback horizon is acceptable. Event times
+    * must be ≥ epoch in the bucketed form only; this form is pure
+    * ordering, no bucket arithmetic.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], lIdCol: String = "l_id",
+      rIdCol: String = "r_id", tsCol: String = "ts",
+      horizonSeconds: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(lIdCol).as("__id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        lit(1).as("__side")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rIdCol).as("__id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        lit(0).as("__side")): _*)
+    // at equal ts the right row sorts FIRST (side 0 < 1), so a left event
+    // sees a same-instant right event; equal right ts order by id → the
+    // carry-forward lands on the larger r_id, matching the bucketed form.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__us"), col("__side"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rMark = when(col("__side") === 0,
+      struct(col("__us").as("r_us"), col("__id").as("r_id")))
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(rMark, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+    val horizoned =
+      if (horizonSeconds <= 0) matched
+      else matched.filter(
+        col("__us") - col("__m.r_us") <= horizonSeconds * 1000000L)
+    horizoned.select(
+      keyCols.map(col) ++ Seq(
+        col("__id").as(lIdCol), col("__m.r_id").as(rIdCol),
+        col("__us").as("l_us"), col("__m.r_us").as("r_us"),
+        (col("__us") - col("__m.r_us")).as("lag_us")): _*)
+  }
+
+  /** Horizon-bounded AS-OF join, the hot-key scale path: right events
+    * land in one Δ-wide bucket (Δ = the horizon); each left event probes
+    * its own bucket and the previous one — every right event at most
+    * `horizonSeconds` back is in one of the two — so the candidate join
+    * is a plain equi-join on (key, bucket) with BOUNDED per-group size
+    * (events per key per Δ), then one max-by per left event picks the
+    * latest candidate. Two bounded-key exchanges instead of [[asOfJoin]]'s
+    * single per-key sort whose partition grows with the hottest key.
+    * Output-identical to `asOfJoin(…, horizonSeconds = h)` (property
+    * spec). Event times must be ≥ epoch (truncating `div` = floor only
+    * for non-negative µs).
+    */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], horizonSeconds: Long,
+      lIdCol: String = "l_id", rIdCol: String = "r_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoinBucketed needs at least one key column")
+    require(horizonSeconds > 0, "horizonSeconds must be positive")
+    val d = horizonSeconds * 1000000L
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(lIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("l_us")): _*)
+      .withColumn("__probe", explode(array(lit(0L), lit(-1L))))
+      .withColumn("__b", expr(s"l_us div ${d}L") + col("__probe"))
+      .drop("__probe")
+    val r = right.select(
+      keyCols.map(c => col(c).as(s"__rk_$c")) ++ Seq(col(rIdCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("r_us")): _*)
+      .withColumn("__b", expr(s"r_us div ${d}L"))
+    val keyEq = keyCols.map(c => l(c) === r(s"__rk_$c"))
+    val cond = (keyEq :+ (l("__b") === r("__b")))
+      .reduce(_ && _) && r("r_us").between(l("l_us") - d, l("l_us"))
+    l.join(r, cond)
+      .groupBy((keyCols.map(l(_)) :+ l(lIdCol) :+ col("l_us")): _*)
+      .agg(max(struct(col("r_us"), col(rIdCol))).as("__m"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(lIdCol), col(s"__m.$rIdCol").as(rIdCol),
+          col("l_us"), col("__m.r_us").as("r_us"),
+          (col("l_us") - col("__m.r_us")).as("lag_us")): _*)
+  }
 }

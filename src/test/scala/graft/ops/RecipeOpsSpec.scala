@@ -228,6 +228,71 @@ class IvfIndexSpec extends AnyFunSuite {
   }
 }
 
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(us: Long) = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("l_id", "r_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("picks the latest at-or-before right event; unmatched lefts drop") {
+    val l = Seq((1L, 9L, ts(100000000L)), (2L, 9L, ts(5L))).toDF("l_id", "k", "ts")
+    val r = Seq(
+      (10L, 9L, ts(40000000L)),
+      (11L, 9L, ts(99999999L)),  // latest before l=1
+      (12L, 9L, ts(100000001L)), // after → never
+      (13L, 8L, ts(50L))         // other key
+    ).toDF("r_id", "k", "ts")
+    val got = rowsOf(EventOps.asOfJoin(l, r, Seq("k")))
+    // l=2 has no at-or-before match → dropped (inner semantics)
+    assert(got == Set((1L, 11L, 1L)))
+  }
+
+  test("equal-ts right matches its left; right-ts ties break to larger id in both forms") {
+    val l = Seq((1L, 0L, ts(100L))).toDF("l_id", "k", "ts")
+    val r = Seq((10L, 0L, ts(100L)), (11L, 0L, ts(100L))).toDF("r_id", "k", "ts")
+    assert(rowsOf(EventOps.asOfJoin(l, r, Seq("k"))) == Set((1L, 11L, 0L)))
+    assert(rowsOf(EventOps.asOfJoinBucketed(l, r, Seq("k"), 60L)) ==
+      Set((1L, 11L, 0L)))
+  }
+
+  test("property: bucketed equals horizoned windowed form on random keyed logs") {
+    val rnd = new scala.util.Random(7)
+    val l = (0L until 300L).map(i =>
+      (i, rnd.nextInt(6).toLong, ts(rnd.nextInt(5000).toLong * 100000)))
+      .toDF("l_id", "k", "ts").repartition(7)
+    val r = (0L until 200L).map(i =>
+      (i, rnd.nextInt(6).toLong, ts(rnd.nextInt(5000).toLong * 100000)))
+      .toDF("r_id", "k", "ts").repartition(5)
+    for (h <- Seq(30L, 120L, 1000L)) {
+      val fast = rowsOf(EventOps.asOfJoinBucketed(l, r, Seq("k"), h))
+      val slow = rowsOf(EventOps.asOfJoin(l, r, Seq("k"), horizonSeconds = h))
+      assert(fast == slow, s"h=$h")
+      assert(fast.nonEmpty, s"h=$h")
+    }
+  }
+
+  test("horizon bound is inclusive: a match exactly horizon back survives") {
+    val l = Seq((1L, 0L, ts(60000000L))).toDF("l_id", "k", "ts")
+    val r = Seq((10L, 0L, ts(0L))).toDF("r_id", "k", "ts")
+    assert(rowsOf(EventOps.asOfJoin(l, r, Seq("k"), horizonSeconds = 60L)) ==
+      Set((1L, 10L, 60000000L)))
+    assert(rowsOf(EventOps.asOfJoinBucketed(l, r, Seq("k"), 60L)) ==
+      Set((1L, 10L, 60000000L)))
+    // one µs past the horizon → dropped by both
+    val lEdge = Seq((1L, 0L, ts(60000001L))).toDF("l_id", "k", "ts")
+    assert(rowsOf(EventOps.asOfJoin(lEdge, r, Seq("k"), horizonSeconds = 60L)).isEmpty)
+    assert(rowsOf(EventOps.asOfJoinBucketed(lEdge, r, Seq("k"), 60L)).isEmpty)
+  }
+}
+
 class WildcardSearchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
