@@ -1706,6 +1706,23 @@ object SparkEntry {
         .select("click_id", "view_id", "lag_us")
     }),
 
+    // the horizon-bounded BUCKETED as-of form — the hot-key scale path
+    // (bounded per-(key, Δ-bucket) candidate groups instead of one
+    // per-key sort): same click→latest-view lookup under a 1-day
+    // lookback. DuckDB twin: native ASOF + a horizon filter (if the
+    // latest match is past the horizon, every match is).
+    "q_event_asof_bucketed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventOps.asOfJoinBucketed(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts")),
+        keyCols = Seq("user_id"), horizonSeconds = 86400L,
+        lIdCol = "click_id", rIdCol = "view_id")
+        .select("click_id", "view_id", "lag_us")
+    }),
+
     // keyset-paged composite aggregation (the ES composite agg): one page
     // of 6 (event_type, day) groups strictly after the cursor; the keyset
     // predicate filters RAW rows below the aggregation, the page cut is
@@ -3801,6 +3818,20 @@ object SparkEntry {
         |  CAST(l.l_us - r.r_us AS BIGINT) AS lag_us
         |FROM l ASOF JOIN r
         |  ON l.user_id = r.user_id AND l.l_us >= r.r_us""".stripMargin,
+
+    // bucketed form under a 1-day horizon: the same native ASOF with a
+    // lag filter (the latest match being out-of-horizon implies no match
+    // is in-horizon, so filter-after-asof ≡ latest-within-horizon)
+    "q_event_asof_bucketed" ->
+      """WITH l AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS r_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.click_id, r.view_id,
+        |  CAST(l.l_us - r.r_us AS BIGINT) AS lag_us
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.l_us >= r.r_us
+        |WHERE l.l_us - r.r_us <= 86400000000""".stripMargin,
 
     // interval-join replay: DuckDB's native range join (IEJoin) — the
     // engine's bucketed equi-join must produce the identical pair set
