@@ -1030,6 +1030,18 @@ object SparkEntry {
       Multimodal.audioStats(
         Multimodal.syntheticMedia(s, t(s, d, "documents")))),
 
+    // interleaved-sequence token accounting: text whitespace tokens +
+    // media tokens from the REAL decoded headers (ViT patch grid, 80 ms
+    // audio frames, 1 fps sampled video frames × patches) — the
+    // token-weight column packing/budgeting runs on
+    "q_mm_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.interleavedTokens(docs,
+          Multimodal.decode(Multimodal.syntheticMedia(s, docs)).toDF())
+        .select("doc_id", "media_type", "text_tokens", "media_tokens",
+          "total_tokens")
+    }),
+
     // features + frame sampling (rows-only: fake codec arithmetic isn't SQL)
     "q_mm_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
@@ -3230,6 +3242,27 @@ object SparkEntry {
         |       WHEN 1 THEN strlen(text)*1000//16000
         |       ELSE (10 + strlen(text)%240)*40 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // interleaved token replay: header fields re-derived from the payload
+    // length exactly as q_mm_decode's twin, then the same all-integer
+    // ceil-div accounting (image ⌈w/16⌉·⌈h/16⌉ patches, audio ⌈dur/80⌉,
+    // video ⌈dur/1000⌉ sampled frames × patches)
+    "q_mm_tokens" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS text_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  text_tokens,
+        |  CAST(CASE doc_id%3
+        |    WHEN 0 THEN ((16 + n%512 + 15)//16) * ((16 + (3*n)%512 + 15)//16)
+        |    WHEN 1 THEN (n*1000//16000 + 79)//80
+        |    ELSE (((10 + n%240)*40 + 999)//1000)
+        |         * (((16 + n%512 + 15)//16) * ((16 + (3*n)%512 + 15)//16))
+        |  END AS BIGINT) AS media_tokens
+        |  FROM m)
+        |SELECT doc_id, media_type, text_tokens, media_tokens,
+        |  text_tokens + media_tokens AS total_tokens FROM t""".stripMargin,
 
     // audio replay: WAV payload is the doc's ASCII text bytes, so samples
     // are lo + 256·hi over consecutive character codes (signed 16-bit

@@ -356,6 +356,44 @@ object Multimodal {
     }
   }
 
+  /** Interleaved-sequence token accounting: the per-doc sequence length a
+    * multimodal training pipeline budgets with BEFORE packing — text spans
+    * cost whitespace tokens, media spans cost tokens derived from the REAL
+    * decoded headers with the standard vision/audio accounting:
+    * image = ⌈w/patch⌉·⌈h/patch⌉ patch tokens (the ViT grid), audio =
+    * ⌈duration/audioMsPerToken⌉ frame tokens (80 ms ≈ 12.5 Hz codec
+    * frames), video = ⌈duration/videoFrameMs⌉ sampled frames × the patch
+    * grid. All-integer column arithmetic over decode's parsed header
+    * fields — no UDF, one 1:1 equi-join on doc_id (both sides already
+    * hash-partition by it at scale; the join IS the only exchange).
+    * Output feeds [[graft.ops.Sampling.shardByTokens]] /
+    * `selectByTokenBudget` directly as the token-weight column.
+    */
+  def interleavedTokens(docs: DataFrame, decoded: DataFrame,
+      patch: Int = 16, audioMsPerToken: Long = 80L,
+      videoFrameMs: Long = 1000L): DataFrame = {
+    require(patch > 0 && audioMsPerToken > 0 && videoFrameMs > 0,
+      "token accounting units must be positive")
+    // all quantities non-negative, so truncating `div` IS ceil-div here
+    val patches = expr(
+      s"CAST(((width + ${patch - 1}) div $patch) * " +
+      s"((height + ${patch - 1}) div $patch) AS BIGINT)")
+    val mediaToks = when(col("media_type") === "image", patches)
+      .when(col("media_type") === "audio", expr(
+        s"(duration_ms + ${audioMsPerToken - 1}L) div ${audioMsPerToken}L"))
+      .otherwise(expr(
+        s"(duration_ms + ${videoFrameMs - 1}L) div ${videoFrameMs}L") * patches)
+    val text = docs.select(col("doc_id").cast("string").as("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("text_tokens"))
+    text.join(
+        decoded.select(col("doc_id"), col("media_type"),
+          mediaToks.as("media_tokens")),
+        Seq("doc_id"))
+      .withColumn("total_tokens", col("text_tokens") + col("media_tokens"))
+      .select("doc_id", "media_type", "text_tokens", "media_tokens",
+        "total_tokens")
+  }
+
   /** Deterministic synthetic media table derived from a documents table:
     * the text bytes become the payload of a REAL minimal container —
     * BMP / WAV / AVI round-robin by id — whose header fields derive from

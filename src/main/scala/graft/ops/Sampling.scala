@@ -211,8 +211,10 @@ object Sampling {
     * filtered to `cum_tokens <= budget`.
     */
   def selectByTokenBudget(docs: DataFrame, order: Seq[Column], budget: Long,
-      textCol: String = "text", partitions: Int = 0): DataFrame =
-    selectByTokenBudgetReleasable(docs, order, budget, textCol, partitions)._1
+      textCol: String = "text", partitions: Int = 0,
+      weight: Option[Column] = None): DataFrame =
+    selectByTokenBudgetReleasable(docs, order, budget, textCol, partitions,
+      weight)._1
 
   /** [[selectByTokenBudget]] plus a release handle for the internal
     * persisted ranged frame (the totals pass and the output pass must see
@@ -220,9 +222,10 @@ object Sampling {
     */
   def selectByTokenBudgetReleasable(docs: DataFrame, order: Seq[Column],
       budget: Long, textCol: String = "text",
-      partitions: Int = 0): (DataFrame, () => Unit) = {
+      partitions: Int = 0,
+      weight: Option[Column] = None): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
-    val (cum, release) = cumTokens(docs, order, textCol, partitions)
+    val (cum, release) = cumTokens(docs, order, textCol, partitions, weight)
     (cum.filter(col("cum_tokens") <= budget), release)
   }
 
@@ -238,14 +241,17 @@ object Sampling {
     * with `.partitionBy("shard_id")` or repartition on it.
     */
   def shardByTokens(docs: DataFrame, order: Seq[Column], shardTokens: Long,
-      textCol: String = "text", partitions: Int = 0): DataFrame =
-    shardByTokensReleasable(docs, order, shardTokens, textCol, partitions)._1
+      textCol: String = "text", partitions: Int = 0,
+      weight: Option[Column] = None): DataFrame =
+    shardByTokensReleasable(docs, order, shardTokens, textCol, partitions,
+      weight)._1
 
   def shardByTokensReleasable(docs: DataFrame, order: Seq[Column],
       shardTokens: Long, textCol: String = "text",
-      partitions: Int = 0): (DataFrame, () => Unit) = {
+      partitions: Int = 0,
+      weight: Option[Column] = None): (DataFrame, () => Unit) = {
     require(shardTokens > 0, "shardTokens must be positive")
-    val (cum, release) = cumTokens(docs, order, textCol, partitions)
+    val (cum, release) = cumTokens(docs, order, textCol, partitions, weight)
     (cum.withColumn("shard_id",
       expr(s"(cum_tokens - n_tokens) div ${shardTokens}L")), release)
   }
@@ -254,18 +260,22 @@ object Sampling {
     * over the given total order — range exchange (each task sorts its
     * slice), per-partition token totals prefix-summed on the driver, the
     * cumulative count = within-partition running sum + broadcast offset.
-    * `order` must be total (unique tiebreaker last).
+    * `order` must be total (unique tiebreaker last). `weight` overrides
+    * the whitespace-token count with a caller-supplied cost column (e.g.
+    * [[Multimodal.interleavedTokens]]' `total_tokens`, where media token
+    * cost is not derivable from text).
     */
   private def cumTokens(docs: DataFrame, order: Seq[Column],
-      textCol: String, partitions: Int): (DataFrame, () => Unit) = {
+      textCol: String, partitions: Int,
+      weight: Option[Column] = None): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "need at least one priority column")
     val spark = docs.sparkSession
     val nPart =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = docs
-      .withColumn("n_tokens",
-        size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("n_tokens", weight.getOrElse(
+        size(split(col(textCol), "\\s+")).cast("long")).cast("long"))
       .repartitionByRange(nPart, order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()

@@ -1636,6 +1636,33 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.Codec.parse(bad.array()) }
   }
 
+  test("interleavedTokens: all-integer accounting matches the header formulas") {
+    val dec = Multimodal.decode(media).toDF()
+    val out = Multimodal.interleavedTokens(docs, dec).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val texts = docs.select($"doc_id".cast("string"), $"text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val n = text.getBytes("UTF-8").length
+      val ws = text.split("\\s+", -1).length.toLong
+      val patches = ((16 + n % 512 + 15) / 16).toLong *
+        ((16 + (3 * n) % 512 + 15) / 16)
+      val (tpe, media) = (id.toLong % 3) match {
+        case 0 => ("image", patches)
+        case 1 => ("audio", (n.toLong * 1000 / 16000 + 79) / 80)
+        case _ => ("video",
+          (((10 + n % 240) * 40 + 999) / 1000).toLong * patches)
+      }
+      val (gTpe, gWs, gMedia, gTotal) = out(id)
+      assert(gTpe == tpe && gWs == ws && gMedia == media &&
+        gTotal == ws + media, s"doc $id")
+    }
+    // every media span costs at least one token — packing weights stay > 0
+    assert(out.values.forall(_._3 >= 1L))
+  }
+
   test("audioStats: exact PCM reductions incl. negative samples and crossings") {
     // hand-built samples: +100, -2, +3, 0, -32768 (peak; Short.MinValue)
     val samples = Seq[Short](100, -2, 3, 0, -32768)
@@ -2165,6 +2192,24 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
     release()
+  }
+
+  test("selectByTokenBudget: caller-supplied weight column overrides the text count") {
+    // weights NOT derivable from text (the multimodal case): cost = doc_id²%11+1
+    val rows = (1L to 40L).map(i => (i, "ignored text", i * i % 11 + 1))
+    val df = rows.toDF("doc_id", "text", "cost")
+    val cums = rows.scanLeft(0L)((acc, r) => acc + r._3).tail
+    val budget = 60L
+    val expect = rows.zip(cums).filter(_._2 <= budget)
+      .map { case ((id, _, c), cum) => (id, c, cum) }.toSet
+    val got = graft.ops.Sampling.selectByTokenBudget(df.repartition(6),
+      Seq($"doc_id".asc), budget, partitions = 4,
+      weight = Some($"cost"))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // the text column played no part: n_tokens == cost, never the split count
+    assert(got.forall { case (id, n, _) => n == id * id % 11 + 1 })
   }
 
   test("shardByTokens: packSequences' start-based rule over a priority order") {
