@@ -203,6 +203,63 @@ object StreamingOps {
         (unix_micros(col("__rts")) - unix_micros(col("__lts"))).as("delta_us"))
   }
 
+  /** Streaming keyed as-of join under a lookback horizon: each left event
+    * to the LATEST same-key right event at-or-before it, at most
+    * `horizonSeconds` back — [[graft.ops.EventOps.asOfJoinBucketed]]'s
+    * semantics as a continuous query. Two chained stateful operators:
+    * the batch Δ-bucket equi-join construction (Δ = the horizon; the
+    * equality key Spark REQUIRES for stream-stream joins, range bounds on
+    * the raw watermarked timestamps so the symmetric hash join evicts
+    * state at horizon × arrival rate), then an append-mode max-by
+    * aggregation keyed on the left event — its group key includes the
+    * watermarked left timestamp, so a left event's candidate set closes
+    * and emits exactly when the watermark passes it, and aggregation
+    * state is bounded by in-flight lefts × candidate maxima (one struct
+    * per left event, not the candidate list). Right-side longs leave the
+    * join as plain µs columns so the aggregation sees ONE event-time
+    * column. Parity spec: equals the batch bucketed form on the same
+    * closed input.
+    */
+  def asOfJoinStream(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], horizonSeconds: Long,
+      watermarkDelay: String = "30 seconds",
+      lIdCol: String = "l_id", rIdCol: String = "r_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoinStream needs at least one key column")
+    require(horizonSeconds > 0, "horizonSeconds must be positive")
+    val d = horizonSeconds * 1000000L
+    val l = left.select(
+        keyCols.map(col) ++ Seq(col(lIdCol),
+          col(tsCol).cast("timestamp").as("__lts")): _*)
+      .withWatermark("__lts", watermarkDelay)
+      .withColumn("__probe", explode(array(lit(-1L), lit(0L))))
+      .withColumn("__lb", expr(s"unix_micros(__lts) div ${d}L") + col("__probe"))
+      .drop("__probe")
+    val r = right.select(
+        keyCols.map(c => col(c).as(s"__rk_$c")) ++ Seq(col(rIdCol),
+          col(tsCol).cast("timestamp").as("__rts")): _*)
+      .withWatermark("__rts", watermarkDelay)
+      .withColumn("__rb", expr(s"unix_micros(__rts) div ${d}L"))
+    val keyEq = keyCols.map(c => col(c) === col(s"__rk_$c")).reduce(_ && _)
+    val joined = l.join(r,
+      keyEq && col("__lb") === col("__rb") &&
+        col("__rts") <= col("__lts") &&
+        col("__rts") >= col("__lts") - expr(s"INTERVAL $horizonSeconds SECONDS"))
+      // strip the right event-time attribute NOW (plain µs long): the
+      // downstream aggregation must see exactly one event-time column
+      .select(keyCols.map(col) ++ Seq(col(lIdCol), col("__lts"),
+        unix_micros(col("__rts")).as("__r_us"), col(rIdCol)): _*)
+    joined
+      .groupBy(keyCols.map(col) ++ Seq(col(lIdCol), col("__lts")): _*)
+      .agg(max(struct(col("__r_us").as("r_us"), col(rIdCol).as("r_id")))
+        .as("__m"))
+      .select(keyCols.map(col) ++ Seq(col(lIdCol),
+        col(s"__m.r_id").as(rIdCol),
+        unix_micros(col("__lts")).as("l_us"),
+        col("__m.r_us").as("r_us"),
+        (unix_micros(col("__lts")) - col("__m.r_us")).as("lag_us")): _*)
+  }
+
   /** Cumulative per-host politeness gate (W2/Z1's continuous form): admit at
     * most `hostBudget` URLs per host over the stream's lifetime, tracked in
     * keyed state across micro-batches via flatMapGroupsWithState. Within a

@@ -256,6 +256,58 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming as-of join equals the batch bucketed operator on the same closed input") {
+    val dir = TestSpark.tmpDir("stream-asof")
+    val base = 1700000000000000L // µs
+    def ev(id: Long, k: Long, us: Long) = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000) * 1000).toInt)
+      (id, k, t)
+    }
+    // 2 keys; left events every 90 s, right every 70 s (same-key rights
+    // 140 s apart), horizon 100 s — left lags cycle {0,20,...,120} s, so
+    // most lefts match and the lag-120 ones drop (inner semantics bind)
+    val lRows = (0L until 30L).map(i => ev(i, i % 2, base + i * 90000000L))
+    val rRows = (0L until 40L).map(i => ev(100L + i, i % 2, base + i * 70000000L))
+    // watermark sentinels on BOTH sides (join watermark = min of the two;
+    // the final lefts' groups only emit once the combined watermark passes)
+    val lSent = Seq(ev(9000L, 9L, base + 365L * 86400000000L))
+    val rSent = Seq(ev(9100L, 9L, base + 365L * 86400000000L))
+    lRows.toDF("l_id", "k", "ts").coalesce(1).write.parquet(s"$dir/l/f1")
+    lSent.toDF("l_id", "k", "ts").coalesce(1).write.parquet(s"$dir/l/f2")
+    rRows.toDF("r_id", "k", "ts").coalesce(1).write.parquet(s"$dir/r/f1")
+    rSent.toDF("r_id", "k", "ts").coalesce(1).write.parquet(s"$dir/r/f2")
+    for (side <- Seq("l", "r"); (f, i) <- Seq("f1", "f2").zipWithIndex;
+         p <- java.nio.file.Files.list(java.nio.file.Paths.get(dir, side, f))
+           .iterator().asScala if p.toString.endsWith(".parquet"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60000L))
+    def schemaOf(idName: String) = new org.apache.spark.sql.types.StructType()
+      .add(idName, org.apache.spark.sql.types.LongType)
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val lStream = spark.readStream.schema(schemaOf("l_id"))
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/l/f*")
+    val rStream = spark.readStream.schema(schemaOf("r_id"))
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/r/f*")
+    runAvailableNow(StreamingOps.asOfJoinStream(
+      lStream, rStream, Seq("k"), horizonSeconds = 100L), "sasof")
+    val streamed = spark.table("sasof").filter(col("l_id") < 1000L)
+      .select("l_id", "r_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventOps.asOfJoinBucketed(
+      (lRows ++ lSent).toDF("l_id", "k", "ts"),
+      (rRows ++ rSent).toDF("r_id", "k", "ts"),
+      Seq("k"), horizonSeconds = 100L)
+      .filter(col("l_id") < 1000L)
+      .select("l_id", "r_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream=${streamed.size} batch=${batch.size}")
+    // inner semantics really bind: some lefts have no in-horizon match
+    assert(batch.size < lRows.size)
+  }
+
   test("bounded streaming dedup: in-horizon dups drop, post-horizon re-admits") {
     val dir = TestSpark.tmpDir("stream-bdedup")
     val base = 1700000000000000L // µs
