@@ -962,6 +962,20 @@ object SparkEntry {
         budget = 10000L)
         .select("doc_id", "n_tokens", "cum_tokens")),
 
+    // multimodal budget selection: the weighted-cost path — per-doc cost
+    // comes from interleavedTokens (text + decoded-header media tokens,
+    // NOT derivable from text), fed through the same distributed
+    // prefix-sum core via the weight column; order = doc id
+    "q_sample_budget_mm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = Multimodal.interleavedTokens(docs,
+        Multimodal.decode(Multimodal.syntheticMedia(s, docs)).toDF())
+      graft.ops.Sampling.selectByTokenBudget(toks,
+        Seq(col("doc_id").cast("long").asc), budget = 50000L,
+        weight = Some(col("total_tokens")))
+        .select("doc_id", "n_tokens", "cum_tokens")
+    }),
+
     // equal-token export shards (~2k tokens each) over (quality-proxy
     // desc, id) — whole docs, shard boundary where the cumulative START
     // crosses a multiple; the prefix sum is the same range-exchange +
@@ -2891,6 +2905,28 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 10000""".stripMargin,
+
+    // weighted-budget replay: per-doc cost = q_mm_tokens' total (text
+    // whitespace tokens + header-derived media tokens), cumulative sum
+    // over the doc-id order, inclusive budget prefix
+    "q_sample_budget_mm" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS text_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  text_tokens +
+        |  CAST(CASE doc_id%3
+        |    WHEN 0 THEN ((16 + n%512 + 15)//16) * ((16 + (3*n)%512 + 15)//16)
+        |    WHEN 1 THEN (n*1000//16000 + 79)//80
+        |    ELSE (((10 + n%240)*40 + 999)//1000)
+        |         * (((16 + n%512 + 15)//16) * ((16 + (3*n)%512 + 15)//16))
+        |  END AS BIGINT) AS n_tokens
+        |  FROM m),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY CAST(doc_id AS BIGINT)) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 50000""".stripMargin,
 
     "q_sample_shards" ->
       """WITH t AS (
