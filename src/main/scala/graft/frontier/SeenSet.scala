@@ -42,6 +42,22 @@ object SeenSet {
 
     if (seenCount == 0) return candidates
 
+    // Join-strategy pick (guide §3.1): the exact anti-join's default plan
+    // is sort-merge — BOTH multi-million-row sides exchanged AND sorted.
+    // The seen side builds a fine per-partition hash table instead while
+    // seenCount/partition stays modest, and the candidates side then needs
+    // only its exchange (whose partitioning the upstream url-dedup groupBy
+    // already established — zero extra work on the stream side). Gated
+    // ADAPTIVELY on rows per shuffle partition (~60 B/row ⇒ ≤60 MB build
+    // per task at the cap), so a 10^10-row seen set on any partition count
+    // falls back to sort-merge and its graceful spill.
+    val shufflePartitions =
+      candidates.sparkSession.sessionState.conf.numShufflePartitions
+    def seenSide(df: DataFrame): DataFrame =
+      if (seenCount <= ShuffledHashRowsPerPartition * shufflePartitions)
+        df.hint("shuffle_hash")
+      else df
+
     // The two bloom branches (definitely-new ∪ maybe-seen⋈seen) each scan
     // `candidates`; routing only pays when that input is materialized
     // (persisted by the caller, or a table scan). Otherwise the recompute
@@ -70,11 +86,21 @@ object SeenSet {
       val definitelyNew = routed.filter(!col("__maybeSeen")).drop("__maybeSeen")
       val maybeSeen = routed.filter(col("__maybeSeen")).drop("__maybeSeen")
       definitelyNew.unionByName(
-        maybeSeen.join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti"))
+        maybeSeen.join(seenSide(seen.select("urlHash", "url")),
+          Seq("urlHash", "url"), "left_anti"))
     } else {
-      candidates.join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+      candidates.join(seenSide(seen.select("urlHash", "url")),
+        Seq("urlHash", "url"), "left_anti")
     }
   }
+
+  /** Build-side rows per shuffle partition below which the exact anti-join
+    * hints SHUFFLE_HASH instead of sort-merge (the build must fit in task
+    * memory — SHJ does not spill its hash table; ~60 B/row ⇒ ~60 MB/task
+    * at the cap). Scales with the session's partition count, never a
+    * local-mode constant.
+    */
+  val ShuffledHashRowsPerPartition: Long = 1000000L
 
   /** The 10^10 upgrade path (SURVEY.md §7.5.3, DESIGN.md): hash-range-
     * partitioned bloom routing. A single broadcast bloom caps at ~1e9 items
@@ -146,8 +172,14 @@ object SeenSet {
 
     val definitelyNew = routed.filter(!_._2).map(_._1)
     val maybeSeen = routed.filter(_._2).map(_._1)
+    val seenNarrow = seen.select("urlHash", "url")
+    val seenBuild =
+      if (seenCount <= ShuffledHashRowsPerPartition *
+          spark.sessionState.conf.numShufflePartitions)
+        seenNarrow.hint("shuffle_hash")
+      else seenNarrow
     val maybeNew = maybeSeen.toDF()
-      .join(seen.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+      .join(seenBuild, Seq("urlHash", "url"), "left_anti")
       .select("url", "urlHash", "host", "depth", "parentUrl")
       .as[FrontierEntry]
     (definitelyNew.union(maybeNew), () => { routed.unpersist(); () })

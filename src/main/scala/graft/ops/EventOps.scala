@@ -608,12 +608,19 @@ object EventOps {
       rIdCol: String = "r_id", tsCol: String = "ts",
       horizonSeconds: Long = 0L): DataFrame = {
     require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
-    val l = left.select(
+    // null keys never match (SQL join semantics — the DuckDB ASOF oracle's
+    // `l.key = r.key` and [[asOfJoinBucketed]]'s equi-join both drop them);
+    // without this filter the Window.partitionBy below would GROUP null
+    // keys and match them, silently diverging from the bucketed twin
+    val nonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val left1 = left.filter(nonNullKeys)
+    val right1 = right.filter(nonNullKeys)
+    val l = left1.select(
       keyCols.map(col) ++ Seq(
         col(lIdCol).as("__id"),
         unix_micros(col(tsCol).cast("timestamp")).as("__us"),
         lit(1).as("__side")): _*)
-    val r = right.select(
+    val r = right1.select(
       keyCols.map(col) ++ Seq(
         col(rIdCol).as("__id"),
         unix_micros(col(tsCol).cast("timestamp")).as("__us"),

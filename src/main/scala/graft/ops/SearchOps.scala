@@ -757,34 +757,21 @@ object SearchOps {
     require(needle.nonEmpty, "needle must be non-empty")
     val lowered = needle.toLowerCase
     val grams = lowered.sliding(3).toSeq.distinct
-    if (lowered.length < 3)
-      return docs.filter(contains(lower(col(textCol)), lit(lowered)))
-        .select(col(idCol), lit(0).as("n_query_trigrams"))
-    val qGrams = array(grams.map(lit): _*)
-    wildcardVerify(docs, candidatesInline(docs, qGrams, grams.length, idCol,
-      textCol), lowered, grams.length, idCol, textCol)
-  }
-
-  private def candidatesInline(docs: DataFrame, qGrams: Column, nGrams: Int,
-      idCol: String, textCol: String): DataFrame = docs
-    .select(col(idCol),
-      explode(array_intersect(
-        transform(sequence(lit(1), length(lower(col(textCol))) - 2),
-          i => lower(col(textCol)).substr(i, lit(3))),
-        qGrams)).as("__g"))
-    // array_intersect already dedups, so a plain count IS the distinct
-    // cover count — no countDistinct expand needed
-    .groupBy(col(idCol))
-    .agg(count(lit(1)).as("__hits"))
-    .filter(col("__hits") === nGrams)
-    .select(col(idCol))
-
-  private def wildcardVerify(docs: DataFrame, candidates: DataFrame,
-      lowered: String, nGrams: Int, idCol: String,
-      textCol: String): DataFrame =
-    docs.join(candidates, idCol)
-      .filter(contains(lower(col(textCol)), lit(lowered)))
+    // Inline (index-less) form: `contains(text, needle)` IMPLIES every
+    // query trigram is present, so a trigram-cover pre-pass over the raw
+    // corpus is pure overhead — it materializes an O(|text|) trigram array
+    // per row and shuffles (id, gram) pairs only to re-read the text for
+    // the verify. The theoretically cheapest inline execution is ONE scan
+    // with one substring search per row (guide-style napkin math: the text
+    // bytes must be read either way), which is exactly this single
+    // zero-exchange filter. Trigram pruning pays only when it avoids
+    // reading the text at all — the persisted-index path
+    // ([[buildTrigramIndex]] / [[wildcardSearchIndexed]]), which touches
+    // postings first and text only for candidates.
+    val nGrams = if (lowered.length < 3) 0 else grams.length
+    docs.filter(contains(lower(col(textCol)), lit(lowered)))
       .select(col(idCol), lit(nGrams).as("n_query_trigrams"))
+  }
 
   /** Persisted trigram postings for [[wildcardSearch]] at corpus scale:
     * one (id, gram) row per DISTINCT doc trigram, written as a
@@ -850,6 +837,9 @@ object SearchOps {
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === grams.length)
       .select(col(idCol))
-    wildcardVerify(docs, candidates, lowered, grams.length, idCol, textCol)
+    // exact verify on candidates only (the index prunes the text reads)
+    docs.join(candidates, idCol)
+      .filter(contains(lower(col(textCol)), lit(lowered)))
+      .select(col(idCol), lit(grams.length).as("n_query_trigrams"))
   }
 }

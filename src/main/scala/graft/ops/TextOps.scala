@@ -642,19 +642,40 @@ object TextOps {
       textCol: String = "text", saltBuckets: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val uni = docs.select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
+    // ONE corpus pass, ONE corpus-sized exchange. Every token position
+    // emits a (token, following-token-or-null) pair; the (x, y) count
+    // table then yields EVERYTHING downstream without touching the corpus
+    // again: unigram counts = Σ_y cnt(x, y) (each occurrence is exactly
+    // one pair's x — document tails pair with null), bigram counts = the
+    // y-non-null cells, and the corpus totals Nu = Σ cnt, Nb = Σ
+    // cnt[y≠null]. The four derivations reference the same aggregation
+    // subtree, so ReuseExchange runs the scan+tokenize+shuffle once and
+    // the re-aggs replay from the (vocabulary-bounded) shuffle files —
+    // previously this was FOUR independent corpus scans (uni, bi, and
+    // two total aggs), each re-tokenizing every document.
+    // token array materialized in its OWN projection: the pair lambda
+    // reads it twice (element + successor), and inlining the split() into
+    // the lambda body would re-tokenize per ELEMENT (O(n²) per doc —
+    // CollapseProject keeps multi-referenced non-cheap aliases apart)
+    val pairs = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(transform(col("__t"),
+        (t, i) => struct(t.as("x"), get(col("__t"), i + 1).as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val uni = pairs.groupBy(col("x").as("term"))
+      .agg(sum(col("cnt")).as("c"))
       .filter(col("c") >= minCount)
-    val bi = ngramCounts(docs, 2, minCount, textCol)
-    val nu = docs.agg(sum(size(tokens(col(textCol)))).as("Nu"))
-    val nb = docs.agg(
-      sum(greatest(size(tokens(col(textCol))) - 1, lit(0))).as("Nb"))
+    val bi = pairs.filter(col("y").isNotNull && col("cnt") >= minCount)
+      .select(concat(col("x"), lit(" "), col("y")).as("ngram"),
+        col("x"), col("y"), col("cnt"))
+    val totals = pairs.agg(
+      sum(col("cnt")).as("Nu"),
+      coalesce(sum(when(col("y").isNotNull, col("cnt"))), lit(0L)).as("Nb"))
     val scored = bi
-      .withColumn("x", split(col("ngram"), " ").getItem(0))
-      .withColumn("y", split(col("ngram"), " ").getItem(1))
       .join(uni.withColumnRenamed("term", "x").withColumnRenamed("c", "cx"), "x")
-      .join(uni.withColumnRenamed("term", "y").withColumnRenamed("c", "cy"), "y")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .join(uni.select(col("term").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
       .withColumn("lift_ticks", expr(
         """CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt * Nu * Nu)
           |     div (CAST(Nb AS DECIMAL(38,0)) * cx * cy)
