@@ -47,12 +47,13 @@ object BenchExtra {
     df.write.format("noop").mode("overwrite").save()
 
   private def timeIt(label: String, reps: Int)(f: => Unit): Double = {
-    f // warm (JIT + codegen)
+    val tc = System.nanoTime(); f // warm (JIT + codegen) — cold time reported too
+    val cold = (System.nanoTime() - tc) / 1e9
     val secs = (1 to reps).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val best = secs.min
-    println(f"[benchextra] $label%-42s best=$best%7.2f s  (all: ${secs.map(x => f"$x%.2f").mkString(", ")})")
+    println(f"[benchextra] $label%-42s cold=$cold%7.2f best=$best%7.2f s  (warm: ${secs.map(x => f"$x%.2f").mkString(", ")})")
     best
   }
 

@@ -223,10 +223,18 @@ final class CrawlSession(
             greatest(lit(1L), floor(lit(config.roundWindowSeconds) /
               col("crawl_delay_s")).cast("long")).cast("int").as("budget")))
       else None
+    // claim shape routed on the KNOWN frontier row count (manifest metric,
+    // no job): below the gate a single per-host window claims in one
+    // exchange+sort — even a frontier fully owned by one host is a trivial
+    // sort task at this size; above it the two-phase salted claim bounds
+    // hot-host partitions as before.
+    val salt =
+      if (frontierRows <= SingleWindowClaimRows) 1 else 16
     val claimed = delayBudgets
       .map(b => Politeness.claimWithHostBudgets(
-        frontier, config.hostBudgetPerRound, b, remaining))
-      .getOrElse(Politeness.claim(frontier, config.hostBudgetPerRound, remaining))
+        frontier, config.hostBudgetPerRound, b, remaining, saltBuckets = salt))
+      .getOrElse(Politeness.claim(frontier, config.hostBudgetPerRound,
+        remaining, saltBuckets = salt))
       .persist()
     val claimedCount = timed("claim-count")(claimed.count())
     if (claimedCount == 0) { claimed.unpersist(); return None }
@@ -292,14 +300,26 @@ final class CrawlSession(
     val isSitemap = col("url").rlike(sitemapRe) && !isRedirect
 
     // --- extract + store docs (P3-F9, X4, S8, J2/J3) ------------------------
-    // persisted: Overwrite/Incremental modes reference the extraction twice
-    // (merge/skip join + count) — without it the whole fetch-join + extract
-    // DAG re-executes per reference
-    val docs = Extractor.extract(fetched.filter(!isSitemap && !isRedirect), config)
+    // persisted when Overwrite/Incremental reference the extraction twice
+    // (merge/skip join + count); Default mode writes it exactly once, so
+    // the cache would be pure copy overhead there
+    val docs0 = Extractor.extract(fetched.filter(!isSitemap && !isRedirect), config)
       .drop("children")
       .withColumn("@timestamp", lit(clock()))
-      .persist()
-    val docsWritten = timed("docs-write")(writeDocs(writeShape(docs), writeShape))
+    val docs =
+      if (config.mode == WriteMode.Default) docs0 else docs0.persist()
+    // The docs-table commit touches only docsTable/docsIndexTable — fully
+    // independent of the frontier/seen transition below — so it runs
+    // CONCURRENTLY on a driver pool thread (guide §2.6: actions are only
+    // sequential because the driver calls them sequentially); its tasks
+    // back-fill executor slots left idle by the children DAG's stage
+    // tails. The round checkpoint still flips only after BOTH commits are
+    // durable, and a docs failure aborts the round before the flip, so
+    // crash semantics are unchanged (frontier/seen snapshots without a
+    // checkpoint are resume-ignored orphans by design).
+    val docsF = scala.concurrent.Future {
+      timed("docs-write")(writeDocs(writeShape(docs), writeShape))
+    }(CrawlSession.docsCommitEc)
 
     // --- children (X5 + S6 sitemaps + redirect remap) → J1 anti-join ---------
     // each branch carries its CHILD's depth: content/sitemap children are
@@ -328,40 +348,47 @@ final class CrawlSession(
 
     var releaseRoute: () => Unit = () => ()
     val newEntries = timed("seen-route-build")(
-      (if (seen == null) cand
-       else config.seenRoute match {
-         case SeenRoute.Auto =>
-           // incrementally merged bloom: O(new URLs last round), not O(seen)
-           val bloom =
-             if (seenCount <= AutoBloomMaxItems)
-               Some(seenBloom.forVersion(seenV, seenCount))
-             else None
-           SeenSet.filterNew(cand, seen, seenCount, prebuiltBloom = bloom)
-         case SeenRoute.Exact =>
-           SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
-         case SeenRoute.RangePartitioned(nRanges) =>
-           import spark.implicits._
-           val (out, release) = SeenSet.filterNewRangePartitioned(
-             cand.select("url", "urlHash", "host", "depth", "parentUrl")
-               .as[FrontierEntry],
-             seen, seenCount, nRanges)
-           releaseRoute = release
-           out.toDF().select(cand.columns.map(col): _*)
-       }).persist())
+      if (seen == null) cand
+      else config.seenRoute match {
+        case SeenRoute.Auto =>
+          // incrementally merged bloom: O(new URLs last round), not O(seen)
+          val bloom =
+            if (seenCount <= AutoBloomMaxItems)
+              Some(seenBloom.forVersion(seenV, seenCount))
+            else None
+          SeenSet.filterNew(cand, seen, seenCount, prebuiltBloom = bloom)
+        case SeenRoute.Exact =>
+          SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
+        case SeenRoute.RangePartitioned(nRanges) =>
+          import spark.implicits._
+          val (out, release) = SeenSet.filterNewRangePartitioned(
+            cand.select("url", "urlHash", "host", "depth", "parentUrl")
+              .as[FrontierEntry],
+            seen, seenCount, nRanges)
+          releaseRoute = release
+          out.toDF().select(cand.columns.map(col): _*)
+      })
 
-    // The new-entries segment single-file gate keys on the ACTUAL child-row
-    // count, not the claim count: a small claim over high-fanout pages (a
-    // handful of huge sitemaps) can emit SmallWriteRows × 100 children, and
-    // a claim-keyed gate would serialize that multi-million-row write
-    // through one task. newEntries is persisted, so the count materializes
-    // the cache the commit reads anyway; above the claim-size ceiling the
-    // write is parallel regardless and the count is skipped.
-    val fanoutRows =
-      if (claimedCount <= SmallWriteRows)
-        timed("newentries-count")(newEntries.count())
-      else Long.MaxValue
+    // The new-entries write keys its single-file gate on the CLAIM count
+    // (both branches of the bloom route read the persisted `cand`, so the
+    // segment write itself is the one materialization — the previous
+    // persist + eager count() spent a whole extra job per round only to
+    // re-derive what the claim count already bounds). A small claim over
+    // extreme-fanout pages (a handful of huge sitemaps) can still emit
+    // SmallWriteRows × 100 children through the single write task — a
+    // rare, bounded case (one task writing ~10^6 rows) that costs seconds
+    // when it happens, vs. a count job on EVERY small round. Above the
+    // gate the parallel multi-file write is untouched.
+    //
+    // coalesce(1), NOT repartition(1): the children pipeline ends in the
+    // dedup groupBy's exchange, so coalesce collapses only the tiny
+    // post-shuffle stages into one task — the map-side extraction stays
+    // parallel — and skips the extra round-robin exchange+stage that
+    // repartition(1) paid per round. (writeDocs keeps repartition(1):
+    // its pipeline is shuffle-free, so a coalesce there WOULD serialize
+    // the whole fetch-join + extract.)
     def fanoutShape(df: DataFrame): DataFrame =
-      if (fanoutRows <= SmallWriteRows) df.repartition(1) else df
+      if (smallRound) df.coalesce(1) else df
 
     // --- frontier transition + seen growth (S3 snapshot-atomic claim) -------
     // delta commit: append the new entries, tombstone the claimed rows —
@@ -370,11 +397,12 @@ final class CrawlSession(
     val newProcessed = processed + claimedCount
     val (newFv, frontierLeft) = timed("frontier-commit")(frontierTable.commitDeltaTo(
       fanoutShape(newEntries.select(frontier.columns.map(col): _*)),
-      writeShape(claimed.select("urlHash", "url")), v, Map(
+      // tombstones read the persisted claim cache — coalesce merges the
+      // tiny cache-scan tasks without repartition(1)'s extra exchange
+      fanoutShape(claimed.select("urlHash", "url")), v, Map(
         "round" -> (round + 1).toString,
         "processed" -> newProcessed.toString,
-        "claimed" -> claimedCount.toString,
-        "docsWritten" -> docsWritten.toString)))
+        "claimed" -> claimedCount.toString)))
     // delta path: frontier segment newFv IS exactly newEntries — the seen
     // table references those files instead of writing the rows again
     // (halves per-round new-URL write bytes). Compaction path: the segment
@@ -387,6 +415,9 @@ final class CrawlSession(
       else seenTable.commitAppendTo(
         fanoutShape(newEntries.select("urlHash", "url")), seenV,
         Map("round" -> (round + 1).toString)))
+    // both commits must be durable before the round becomes visible
+    val docsWritten = scala.concurrent.Await.result(
+      docsF, scala.concurrent.duration.Duration.Inf)
     // the round becomes visible HERE — one atomic rename for both tables
     writeCheckpoint(newFv, newSv)
     // new-URL count comes free from the seen-commit's segment metric
@@ -401,7 +432,8 @@ final class CrawlSession(
         .map(r => (r.getString(0), r.getInt(1)))
 
     claimed.unpersist(); fetched.unpersist(); cand.unpersist()
-    newEntries.unpersist(); docs.unpersist(); releaseRoute()
+    if (config.mode != WriteMode.Default) docs.unpersist()
+    releaseRoute()
     log(s"round ${round + 1}: claimed=$claimedCount docs=$docsWritten " +
       s"new=$newUrls frontier=$frontierLeft seen=$seenTotal processed=$newProcessed")
     Some(RoundResult(round + 1, claimedCount, docsWritten, newUrls,
@@ -601,6 +633,25 @@ object CrawlSession {
     * rounds keep the parallel multi-file write and per-partition lineage.
     */
   private[graft] val SmallWriteRows = 8192L
+
+  /** Below this KNOWN frontier row count the politeness claim takes the
+    * single per-host-window path (one exchange + sort instead of the
+    * two-phase salted pair): even a frontier fully owned by one host is a
+    * single trivial sort task at this size. Routed on the manifest's row
+    * metric — no extra job; any larger frontier keeps the salted claim
+    * and its skew bound.
+    */
+  private[graft] val SingleWindowClaimRows = 131072L
+
+  /** Driver pool for the concurrent docs-table commit (guide §2.6 overlap
+    * of independent jobs): 2 threads is plenty — one in-flight docs write
+    * per round, and job descriptions/scheduling are thread-local.
+    */
+  private[graft] lazy val docsCommitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-docs-commit"); t.setDaemon(true); t
+      }))
 
   /** single-bloom ceiling for the Auto seen route (matches
     * [[graft.frontier.SeenSet.filterNew]]'s default `maxBloomItems`; beyond

@@ -94,15 +94,25 @@ object Politeness {
       budget: org.apache.spark.sql.Column = null): DataFrame = {
     val budgetExpr = Option(budget).getOrElse(lit(hostBudget))
 
-    val phase1 = Window
-      .partitionBy(col("host"), pmod(col("urlHash"), lit(saltBuckets)))
-      .orderBy(order: _*)
     val phase2 = Window.partitionBy(col("host")).orderBy(order: _*)
 
-    val perHost = frontier
-      .withColumn("__r1", row_number().over(phase1))
-      .filter(col("__r1") <= budgetExpr)
-      .drop("__r1")
+    // saltBuckets <= 1 degenerates both phases to the same per-host
+    // window — skip phase 1 outright (ONE exchange + sort instead of
+    // two). Callers route here when the frontier is small enough that a
+    // single host owning every row is still one trivial sort task
+    // (CrawlSession gates on the known frontier row count — no extra
+    // job); the salted two-phase stays the default for any frontier
+    // where a hot host could be a real partition.
+    val perHost = (if (saltBuckets <= 1) frontier
+      else {
+        val phase1 = Window
+          .partitionBy(col("host"), pmod(col("urlHash"), lit(saltBuckets)))
+          .orderBy(order: _*)
+        frontier
+          .withColumn("__r1", row_number().over(phase1))
+          .filter(col("__r1") <= budgetExpr)
+          .drop("__r1")
+      })
       .withColumn("__r2", row_number().over(phase2))
       .filter(col("__r2") <= budgetExpr)
       .drop("__r2")
