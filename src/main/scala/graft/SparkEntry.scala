@@ -18,20 +18,25 @@ import graft.ops.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
   */
 object SparkEntry {
 
-  /** Table reader with SCALE-ADAPTIVE read parallelism (guide §2/§6): the
-    * sf tables are single small parquet files (sf0.1 documents = one
-    * 0.6 MB file), so every scan planned under
-    * `spark.sql.files.maxPartitionBytes` is ONE task — and the text/dedup/
-    * search queries do their heavy per-row work (tokenize, shingle, hash,
-    * substring scan) in that map phase, serializing it on one core of 32.
-    * When the file bytes yield fewer splits than cores, spread the rows
-    * round-robin; the trigger is DERIVED FROM INPUT SIZE, not a local-mode
-    * constant — at any real corpus size splits ≥ cores and the plain scan
-    * is returned untouched (no exchange added). Results are partitioning-
-    * invariant by contract (the driver already runs correctness at 4
-    * cores and the bench at 32).
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** [[t]] with SCALE-ADAPTIVE read parallelism (guide §2/§6), for the
+    * queries whose per-row map work (tokenize, shingle, hash, substring
+    * scan, vector math) dominates: the sf tables are single small parquet
+    * files (sf0.1 documents = one 0.6 MB file), so every scan planned
+    * under `spark.sql.files.maxPartitionBytes` is ONE task, serializing
+    * that work on one core of 32. When the file bytes yield fewer splits
+    * than cores, spread the rows round-robin; the trigger is DERIVED FROM
+    * INPUT SIZE, not a local-mode constant — at any real corpus size
+    * splits ≥ cores and the plain scan is returned untouched (no exchange
+    * added). Opt-in per query: for scan-light aggregation queries the
+    * extra exchange (and the 32-task map side it gives every downstream
+    * stage) measured as a net +0.3-0.5 s loss, so [[t]] stays the default.
+    * Results are partitioning-invariant by contract (the driver already
+    * runs correctness at 4 cores and the bench at 32).
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = s.read.parquet(path)
     val cores = s.sparkContext.defaultParallelism
@@ -657,7 +662,7 @@ object SparkEntry {
     // pairwise rule under-deletes); DuckDB replays it as a recursive CTE
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.simhashNearDups(
-        t(s, d, "documents").filter(col("doc_id") < 200),
+        tp(s, d, "documents").filter(col("doc_id") < 200),
         hash = TextOps.portableHash)
       Dedup.connectedComponents(pairs)
     }),
@@ -680,7 +685,7 @@ object SparkEntry {
     // 5-token windows duplicated anywhere in the corpus (string-keyed for
     // the oracle; production defaults to the hashed exchange)
     "q_dedup_dupwindows" -> ((s, d) =>
-      Dedup.duplicatedWindowStats(t(s, d, "documents"), k = 5,
+      Dedup.duplicatedWindowStats(tp(s, d, "documents"), k = 5,
         hashShingles = false)),
 
     // exact substring REMOVAL (Lee et al. 2021's removal step over the
@@ -800,7 +805,7 @@ object SparkEntry {
     // leftmost on ties — all map-side, portable hash for the oracle twin
     "q_text_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(
-        t(s, d, "documents").filter(col("doc_id") < 300),
+        tp(s, d, "documents").filter(col("doc_id") < 300),
         k = 3, w = 4, hash = TextOps.portableHash)),
 
     "q_text_tokens" -> ((s, d) => t(s, d, "documents")
@@ -972,7 +977,7 @@ object SparkEntry {
     // alerter runs): catalog folded into the plan as literals, same
     // semantics — the oracle is the identical SQL
     "q_percolate_inline" -> ((s, d) =>
-      graft.ops.SearchOps.percolateInline(t(s, d, "documents"), Seq(
+      graft.ops.SearchOps.percolateInline(tp(s, d, "documents"), Seq(
         "alerts_dup" -> Seq("dup", "spark"),
         "alerts_pipeline" -> Seq("merge", "join", "hash"),
         "alerts_zebra" -> Seq("zebra")))),
@@ -1002,7 +1007,7 @@ object SparkEntry {
     // driver-side partition-offset prefix, never a single-task window
     "q_sample_budget" -> ((s, d) =>
       graft.ops.Sampling.selectByTokenBudget(
-        t(s, d, "documents").select("doc_id", "text"),
+        tp(s, d, "documents").select("doc_id", "text"),
         Seq(size(split(col("text"), "\\s+")).desc, col("doc_id").asc),
         budget = 10000L)
         .select("doc_id", "n_tokens", "cum_tokens")),
@@ -1446,7 +1451,7 @@ object SparkEntry {
 
     // SemDeDup: k-means-cell-blocked semantic dedup, keep-min-id
     "q_dedup_semantic" -> ((s, d) => {
-      val embs = t(s, d, "embeddings")
+      val embs = tp(s, d, "embeddings")
       Dedup.semanticDedup(embs, trainedIvf(s, d, 8, iters = 1), 0.3)
     }),
 
@@ -1548,7 +1553,7 @@ object SparkEntry {
     // ANN recall@10 evaluation: 8 query vectors through the exact path and
     // the 8-bit multi-probe LSH path in one job each, per-query overlap
     "q_sim_recall" -> ((s, d) => {
-      val embs = t(s, d, "embeddings")
+      val embs = tp(s, d, "embeddings")
       val queries = embs.filter(col("vec_id") < 8)
       val exact = Similarity.bruteForceTopKMulti(embs, queries, 10)
       val approx = Similarity.lshTopKMulti(
@@ -1813,13 +1818,13 @@ object SparkEntry {
     // corpus trigram table with a count floor — map-side window expansion,
     // one vocabulary-bounded aggregation, singletons die inside the agg
     "q_text_ngrams" -> ((s, d) =>
-      TextOps.ngramCounts(t(s, d, "documents"), n = 3, minCount = 3L)),
+      TextOps.ngramCounts(tp(s, d, "documents"), n = 3, minCount = 3L)),
 
     // collocation mining: bigram lift in integer ticks (decimal(38,0)
     // cross-multiplied — log-PMI would reintroduce the libm hazard and
     // orders identically), two-phase salted top-k
     "q_text_colloc" -> ((s, d) =>
-      TextOps.collocations(t(s, d, "documents"), k = 15, minCount = 20L)),
+      TextOps.collocations(tp(s, d, "documents"), k = 15, minCount = 20L)),
 
     // epoch-weighted mixture materialization: src0 ×2.5, src1 dropped,
     // src2 ×1.25, rest ×1 — floor copies + deterministic-bucket extras,
@@ -1836,7 +1841,7 @@ object SparkEntry {
     // cover, so an inline cover pre-pass is pure overhead (see
     // SearchOps.wildcardSearch)
     "q_search_wildcard" -> ((s, d) =>
-      graft.ops.SearchOps.wildcardSearch(t(s, d, "documents"), "rt filter")),
+      graft.ops.SearchOps.wildcardSearch(tp(s, d, "documents"), "rt filter")),
 
     // the same search against a PERSISTED bucketed trigram index — the
     // query path bucket-prunes the postings scan and never re-tokenizes
@@ -1849,7 +1854,7 @@ object SparkEntry {
         val n = wildcardIdxCounter.incrementAndGet()
         val work = scratchDir("graft-triidx")
         graft.ops.SearchOps.buildTrigramIndex(
-          t(s, d, "documents"), s"wc_idx_$n", work, nBuckets = 16)
+          tp(s, d, "documents"), s"wc_idx_$n", work, nBuckets = 16)
         (s"wc_idx_${n}_tri", work)
       })
       graft.ops.SearchOps.wildcardSearchIndexed(

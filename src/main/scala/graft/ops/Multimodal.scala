@@ -385,10 +385,16 @@ object Multimodal {
         s"(duration_ms + ${videoFrameMs - 1}L) div ${videoFrameMs}L") * patches)
     val text = docs.select(col("doc_id").cast("string").as("doc_id"),
       size(split(col("text"), "\\s+")).cast("long").as("text_tokens"))
+    // LEFT join (round-5 ADVICE): a doc with no media row keeps its text
+    // tokens with media_tokens = 0 instead of silently vanishing from the
+    // accounting (and thus from weighted budget selection). Identical
+    // output on 1:1 doc↔media tables (the oracle-checked shape); a doc
+    // with several media rows still counts once per media row by design.
     text.join(
         decoded.select(col("doc_id"), col("media_type"),
           mediaToks.as("media_tokens")),
-        Seq("doc_id"))
+        Seq("doc_id"), "left")
+      .withColumn("media_tokens", coalesce(col("media_tokens"), lit(0L)))
       .withColumn("total_tokens", col("text_tokens") + col("media_tokens"))
       .select("doc_id", "media_type", "text_tokens", "media_tokens",
         "total_tokens")

@@ -387,7 +387,10 @@ object Sampling {
     val counts = df
       .filter(col(strataCol).isin(targets.keys.toSeq: _*))
       .groupBy(strataCol)
-      .agg(sum(size(split(lower(col(textCol)), "\\s+"))).as("t"))
+      // literal-space split, matching the q_sample_target oracle's
+      // string_split(…, ' ') exactly (round-5 ADVICE: the regex \s+ form
+      // diverges on runs of whitespace — a latent parity break)
+      .agg(sum(size(split(lower(col(textCol)), " "))).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(targets.keys.forall(s => counts.getOrElse(s, 0L) > 0L),
       s"target strata missing or empty: ${targets.keySet -- counts.keySet}")

@@ -279,6 +279,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys never match — plain and bucketed forms agree (ADVICE r5)") {
+    // SQL join semantics (and the DuckDB ASOF oracle's `l.k = r.k`): a null
+    // key matches nothing. The plain form's Window.partitionBy would GROUP
+    // null keys without the explicit filter — this pins the alignment.
+    val l = Seq((1L, Option(0L), ts(100L)), (2L, Option.empty[Long], ts(100L)))
+      .toDF("l_id", "k", "ts")
+    val r = Seq((10L, Option(0L), ts(50L)), (11L, Option.empty[Long], ts(50L)))
+      .toDF("r_id", "k", "ts")
+    val plain = rowsOf(EventOps.asOfJoin(l, r, Seq("k"), horizonSeconds = 60L))
+    val bucketed = rowsOf(EventOps.asOfJoinBucketed(l, r, Seq("k"), 60L))
+    assert(plain == Set((1L, 10L, 50L)), plain)
+    assert(bucketed == plain)
+  }
+
   test("horizon bound is inclusive: a match exactly horizon back survives") {
     val l = Seq((1L, 0L, ts(60000000L))).toDF("l_id", "k", "ts")
     val r = Seq((10L, 0L, ts(0L))).toDF("r_id", "k", "ts")
