@@ -230,11 +230,15 @@ final class CrawlSession(
     // hot-host partitions as before.
     val salt =
       if (frontierRows <= SingleWindowClaimRows) 1 else 16
+    // the global A2 cap cannot bind when the whole frontier fits in the
+    // remaining budget (claim ⊆ frontier ⇒ |claim| ≤ frontierRows ≤
+    // remaining) — skip the TakeOrdered stage those rounds pay for nothing
+    val capRemaining = if (remaining >= frontierRows) Long.MaxValue else remaining
     val claimed = delayBudgets
       .map(b => Politeness.claimWithHostBudgets(
-        frontier, config.hostBudgetPerRound, b, remaining, saltBuckets = salt))
+        frontier, config.hostBudgetPerRound, b, capRemaining, saltBuckets = salt))
       .getOrElse(Politeness.claim(frontier, config.hostBudgetPerRound,
-        remaining, saltBuckets = salt))
+        capRemaining, saltBuckets = salt))
       .persist()
     val claimedCount = timed("claim-count")(claimed.count())
     if (claimedCount == 0) { claimed.unpersist(); return None }
@@ -351,12 +355,21 @@ final class CrawlSession(
       if (seen == null) cand
       else config.seenRoute match {
         case SeenRoute.Auto =>
-          // incrementally merged bloom: O(new URLs last round), not O(seen)
-          val bloom =
-            if (seenCount <= AutoBloomMaxItems)
-              Some(seenBloom.forVersion(seenV, seenCount))
-            else None
-          SeenSet.filterNew(cand, seen, seenCount, prebuiltBloom = bloom)
+          // Below the floor the bloom route costs more than it saves: the
+          // incremental filter's per-round maintenance is one Spark job per
+          // new segment (stat.bloomFilter over it), and the routed plan
+          // adds a branch union — while the exact anti-join over a tiny
+          // seen set is a single cheap (SHJ-hinted) join. Above the floor,
+          // incrementally merged bloom: O(new URLs last round), not O(seen).
+          if (seenCount < AutoBloomMinItems)
+            SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
+          else {
+            val bloom =
+              if (seenCount <= AutoBloomMaxItems)
+                Some(seenBloom.forVersion(seenV, seenCount))
+              else None
+            SeenSet.filterNew(cand, seen, seenCount, prebuiltBloom = bloom)
+          }
         case SeenRoute.Exact =>
           SeenSet.filterNew(cand, seen, seenCount, maxBloomItems = 0L)
         case SeenRoute.RangePartitioned(nRanges) =>
@@ -659,6 +672,13 @@ object CrawlSession {
     * range-partitioned route is the explicit upgrade path).
     */
   private[graft] val AutoBloomMaxItems = 50000000L
+
+  /** Auto-route floor: below this seen-set size the plain exact anti-join
+    * (SHJ-hinted, one small build) beats the bloom route's per-round
+    * segment-bloom job + two-branch plan. Routing on the KNOWN seen count
+    * — no extra job either way.
+    */
+  private[graft] val AutoBloomMinItems = 1048576L
 
   /** fetch join with a size-gated broadcast hint on the claim batch. */
   private[graft] def fetchJoin(corpus: DataFrame, claimed: DataFrame,
