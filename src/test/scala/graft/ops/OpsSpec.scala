@@ -1466,6 +1466,49 @@ class EventOpsSpec extends AnyFunSuite {
     assert(routed == plain)
   }
 
+  test("stats-hint router: a maxGroupHint skips the eager pre-count scan and routes by the hint") {
+    val rows = ((0 until 200).map(i => ev(1L, i * 30000000L)) ++
+      (0 until 10).map(i => ev(2L, i * 400000000L))).toDF("user_id", "ts")
+    def set(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // hint above the threshold → bucketed; below → plain; both ≡ plain output
+    val plain = set(EventOps.sessionize(rows, gapSeconds = 60L,
+      hotUserThreshold = Long.MaxValue))
+    assert(set(EventOps.sessionize(rows, gapSeconds = 60L,
+      hotUserThreshold = 50L, maxGroupHint = 200L)) == plain)
+    assert(set(EventOps.sessionize(rows, gapSeconds = 60L,
+      hotUserThreshold = 50L, maxGroupHint = 40L)) == plain)
+    // NO JOB may run at plan-build time when hinted: a poisoned user column
+    // throws on ANY evaluation, so an eager pre-count would raise here
+    val poisoned = rows.withColumn("user_id",
+      when(col("user_id") >= 0L, col("user_id"))
+        .otherwise(raise_error(lit("pre-count ran")).cast("long")))
+    // unhinted: the router's pre-count scans and may evaluate the column
+    // (not asserted — raise_error only fires on negative ids, none exist;
+    // the assertion is that the HINTED call builds lazily with zero jobs)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val lazyDf = EventOps.sessionize(poisoned, gapSeconds = 60L,
+      hotUserThreshold = 50L, maxGroupHint = 200L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "hinted sessionize must not launch a pre-count job")
+    assert(set(lazyDf) == plain) // and still computes the identical sessions
+    // funnel + quantiles: hinted forms equal their unhinted twins
+    val evs = rows.withColumn("event_type",
+      concat(lit("s"), (pmod(col("user_id"), lit(2)) + 1).cast("string")))
+    assert(
+      EventOps.funnel(evs, Seq("s1", "s2"), hotUserThreshold = 50L,
+        maxGroupHint = 200L).collect().toSet ==
+      EventOps.funnel(evs, Seq("s1", "s2"),
+        hotUserThreshold = Long.MaxValue).collect().toSet)
+    val vals = rows.withColumn("event_type", lit("t"))
+      .withColumn("value", (col("user_id") * 7 % 13).cast("double"))
+      .withColumn("event_id", monotonically_increasing_id())
+    assert(
+      EventOps.valueQuantiles(vals, maxSortGroup = 50L, maxGroupHint = 200L)
+        .collect().toSet ==
+      EventOps.valueQuantilesHistogram(vals).collect().toSet)
+  }
+
   test("retention floors pre-1970 days like DuckDB's // (not truncating div)") {
     val day = 86400000000L
     // the ev() helper assumes non-negative µs; build pre-epoch instants directly
