@@ -415,7 +415,10 @@ final class CrawlSession(
       fanoutShape(claimed.select("urlHash", "url")), v, Map(
         "round" -> (round + 1).toString,
         "processed" -> newProcessed.toString,
-        "claimed" -> claimedCount.toString)))
+        "claimed" -> claimedCount.toString),
+      // tombstones are exactly the claim batch (1:1) — the exact hint lets
+      // the store overlap the tombstone and segment writes
+      tombstoneRowsHint = claimedCount))
     // delta path: frontier segment newFv IS exactly newEntries — the seen
     // table references those files instead of writing the rows again
     // (halves per-round new-URL write bytes). Compaction path: the segment

@@ -228,24 +228,59 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     * tombstoned key may match 0 (first write of a url) or several
     * (Default-mode duplicate appends) live rows.
     */
+  /** `tombstoneRowsHint` ≥ 0: the caller's exact tombstone row count
+    * (e.g. the crawl round's claim count — tombstones are 1:1 there).
+    * When the hint predicts NO compaction, the tombstone and data-segment
+    * writes run CONCURRENTLY (two independent Spark jobs — guide §2.6);
+    * the decision is still re-verified from the written footers, and a
+    * wrong hint falls back to the compaction path (the pre-written
+    * segment dir is reclaimed), so the hint can cost at most one wasted
+    * write, never correctness.
+    */
   def commitDeltaTo(newRows: DataFrame, tombstones: DataFrame,
       parentVersion: Long,
       metrics: Map[String, String] = Map.empty,
-      deletedRows: Long = -1L): (Long, Long) = {
+      deletedRows: Long = -1L,
+      tombstoneRowsHint: Long = -1L): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     val v = currentVersion + 1
     val prevRows = if (parentVersion < 0) 0L else rowsOf(parentVersion)
     val prevTombRows = if (parentVersion < 0) 0L else tombRowsOf(parentVersion)
-    // write the tombstone segment first; its footer count drives the
-    // compaction decision (no Spark count() job, no trusting the caller)
+    val compactionBudget = math.max(4096L, prevRows / 4)
     val tombDir = s"$root/tombstones/$v"
     val stamped =
       if (sequenced) tombstones.withColumn(SeqCol, lit(v)) else tombstones
-    stamped.write.mode("overwrite").parquet(tombDir)
+    var segPreWritten = false
+    if (tombstoneRowsHint >= 0 &&
+        prevTombRows + tombstoneRowsHint <= compactionBudget) {
+      // hint predicts the delta path → the data segment is needed either
+      // way; write it concurrently with the tombstones
+      val segDir = s"$root/segments/$v"
+      val segOut =
+        if (sequenced) newRows.withColumn(SeqCol, lit(v)) else newRows
+      val tombF = scala.concurrent.Future {
+        stamped.write.mode("overwrite").parquet(tombDir)
+      }(SnapshotTable.writeEc)
+      segOut.write.mode("overwrite").parquet(segDir)
+      scala.concurrent.Await.result(tombF,
+        scala.concurrent.duration.Duration.Inf)
+      segPreWritten = true
+    } else {
+      // write the tombstone segment first; its footer count drives the
+      // compaction decision (no Spark count() job, no trusting the caller)
+      stamped.write.mode("overwrite").parquet(tombDir)
+    }
     val newTombRows = dirRowCount(tombDir)
     val deleted = if (deletedRows >= 0) deletedRows else newTombRows
     val totalTomb = prevTombRows + newTombRows
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
+      Files.deleteIfExists(p)
+    }
     if (totalTomb > math.max(4096L, prevRows / 4)) {
+      // a wrong hint pre-wrote the delta segment — reclaim it (it was
+      // never referenced by any manifest)
+      if (segPreWritten) rm(Paths.get(s"$root/segments/$v"))
       // compact: parent live rows minus the fresh tombstones, plus newRows.
       // readVersion(parent) already applied older tombstones (and dropped
       // __seq for sequenced tables); the fresh ones apply by key alone —
@@ -259,16 +294,18 @@ final class SnapshotTable(val root: String, spark: SparkSession,
         org.apache.spark.sql.functions.col(c)): _*))
       val out = commit(merged, metrics, appendTo = Seq.empty, prevRows = 0L)
       // the tombstone dir is orphaned by the full rewrite — reclaim it
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) listDir(p).foreach(rm)
-        Files.deleteIfExists(p)
-      }
       rm(Paths.get(tombDir))
       out
     } else {
       val prevSegs = if (parentVersion < 0) Seq.empty else segmentsOf(parentVersion)
       val prevTombs = if (parentVersion < 0) Seq.empty else tombstonesOf(parentVersion)
-      commit(newRows, metrics, appendTo = prevSegs,
+      if (segPreWritten)
+        // segment already on disk from the concurrent write — manifest only
+        commitManifest(v.toString, metrics, appendTo = prevSegs,
+          prevRows = prevRows - deleted,
+          tombSegs = prevTombs :+ v.toString, tombRows = totalTomb,
+          expectVersion = v)
+      else commit(newRows, metrics, appendTo = prevSegs,
         prevRows = prevRows - deleted,
         tombSegs = prevTombs :+ v.toString, tombRows = totalTomb,
         expectVersion = v)
@@ -415,6 +452,15 @@ final class SnapshotTable(val root: String, spark: SparkSession,
 object SnapshotTable {
   /** hidden per-segment sequence column of `sequenced` tables. */
   val SeqCol = "__seq"
+
+  /** driver pool for the concurrent tombstone+segment delta write
+    * ([[SnapshotTable.commitDeltaTo]] with a tombstone-rows hint).
+    */
+  private[frontier] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-delta-write"); t.setDaemon(true); t
+      }))
 
   /** Default read-side BROADCAST budget for accumulated tombstones
     * (~60 B/row ⇒ ~60 MB broadcast at the cap). No longer a compaction
