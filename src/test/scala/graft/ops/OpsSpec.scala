@@ -1479,19 +1479,15 @@ class EventOpsSpec extends AnyFunSuite {
     assert(set(EventOps.sessionize(rows, gapSeconds = 60L,
       hotUserThreshold = 50L, maxGroupHint = 40L)) == plain)
     // NO JOB may run at plan-build time when hinted: a poisoned user column
-    // throws on ANY evaluation, so an eager pre-count would raise here
+    // throws on ANY row evaluation, so the eager pre-count raises on the
+    // unhinted call while the hinted call builds a lazy plan untouched
     val poisoned = rows.withColumn("user_id",
-      when(col("user_id") >= 0L, col("user_id"))
-        .otherwise(raise_error(lit("pre-count ran")).cast("long")))
-    // unhinted: the router's pre-count scans and may evaluate the column
-    // (not asserted — raise_error only fires on negative ids, none exist;
-    // the assertion is that the HINTED call builds lazily with zero jobs)
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val lazyDf = EventOps.sessionize(poisoned, gapSeconds = 60L,
-      hotUserThreshold = 50L, maxGroupHint = 200L)
-    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    assert(after == before, "hinted sessionize must not launch a pre-count job")
-    assert(set(lazyDf) == plain) // and still computes the identical sessions
+      raise_error(lit("pre-count ran")).cast("long"))
+    EventOps.sessionize(poisoned, gapSeconds = 60L,
+      hotUserThreshold = 50L, maxGroupHint = 200L) // lazy — must NOT throw
+    intercept[Exception] {
+      EventOps.sessionize(poisoned, gapSeconds = 60L, hotUserThreshold = 50L)
+    } // the unhinted router's pre-count evaluates the column eagerly
     // funnel + quantiles: hinted forms equal their unhinted twins
     val evs = rows.withColumn("event_type",
       concat(lit("s"), (pmod(col("user_id"), lit(2)) + 1).cast("string")))
